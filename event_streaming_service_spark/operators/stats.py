@@ -1,0 +1,168 @@
+"""Monitoring aggregations: consumer lag, topic statistics, percentiles.
+
+Re-expresses the reference's monitoring surface (SURVEY.md section 2.4)
+as declarative DataFrame aggregations:
+
+    A1/A2  consumer lag per partition + totals
+           (TopicManagementService.java:325-353, :306-312)
+    A3     lag rolled up by topic across groups (:536-551)
+    A4     topic message count from offset ranges (:439-475)
+    A5     event statistics record (model/EventStatistics.java:15-25)
+    A6     tag-dimensioned counters (metrics/EventStreamingMetrics.java:53-157)
+    A7     latency percentiles p50/p95/p99 (:88-99)
+    A10    duplicate counting (BaseEventConsumer.java:79-84)
+    A11    health thresholds (TopicManagementService.java:553-556)
+    O4     top-k lagging (health/EventStreamingHealthIndicator.java:148-151)
+
+Scale notes: every aggregation here is a map-side-combinable hash
+aggregate (partial + final), so the shuffle carries only per-group
+partial states, not rows. The lag join (A1) joins two tiny derived
+dimension tables and is always broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Double-valued measures are summed as decimal(24,4): decimal addition is
+# exact, so results are order-independent and identical across engines
+# (a plain double sum varies in the last ulps with partition count).
+_DEC = "decimal(24,4)"
+
+
+def dsum(col: str) -> F.Column:
+    """Order-insensitive, engine-portable sum of a 2-decimal double."""
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+def davg(col: str) -> F.Column:
+    return (F.sum(F.col(col).cast(_DEC)).cast("double") / F.count(col)).cast("double")
+
+
+def consumer_lag(consumer_offsets: DataFrame, end_offsets: DataFrame) -> DataFrame:
+    """A1: lag = end_offset - committed_offset per (group, partition).
+
+    Reference computes this with a per-entry map lookup
+    (TopicManagementService.java:329-345); here it is a broadcast hash
+    join on the partition key.
+    """
+    return (
+        consumer_offsets
+        .join(F.broadcast(end_offsets), "partition", "inner")
+        .withColumn("lag", (F.col("end_offset") - F.col("committed_offset")).cast("bigint"))
+        .select("group_id", "partition", "committed_offset", "end_offset", "lag")
+    )
+
+
+def total_lag(lag_df: DataFrame) -> DataFrame:
+    """A2: one total per group."""
+    return lag_df.groupBy("group_id").agg(F.sum("lag").alias("total_lag"))
+
+
+def topic_message_counts(events_coords: DataFrame) -> DataFrame:
+    """A4: messages per topic = sum over partitions of (max-min+1) offsets.
+
+    Two-level aggregation exactly like the reference's per-partition
+    offset probe then sum (TopicManagementService.java:439-475); both
+    levels are partial-aggregatable.
+    """
+    per_part = (
+        events_coords.groupBy("topic", "partition")
+        .agg((F.max("offset") - F.min("offset") + 1).alias("part_count"))
+    )
+    return (
+        per_part.groupBy("topic")
+        .agg(F.sum("part_count").cast("bigint").alias("message_count"))
+    )
+
+
+def event_statistics(events_coords: DataFrame) -> DataFrame:
+    """A5: per-topic statistics record (EventStatistics.java:15-25).
+
+    totalEvents / successfulEvents / failedEvents / avg processing /
+    lastEventTime. 'error' events stand in for failures; `value` stands
+    in for processing millis (FIXTURES.md section 1).
+    """
+    return (
+        events_coords.groupBy("topic")
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+             .cast("bigint").alias("successful_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+             .cast("bigint").alias("failed_events"),
+            davg("value").alias("avg_processing_ms"),
+            F.max("ts").alias("last_event_time"),
+        )
+    )
+
+
+def events_by_type_and_user_bucket(events_coords: DataFrame) -> DataFrame:
+    """A6: tag-dimensioned counters — counts keyed by multiple dimensions
+    (EventStreamingMetrics.java:53-79). Dimensions here: event_type x tenant."""
+    return (
+        events_coords.groupBy("event_type", "tenant_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+def latency_percentiles(events_coords: DataFrame) -> DataFrame:
+    """A7: p50/p95/p99 of processing time per topic.
+
+    Uses exact `percentile` (the reference's Micrometer timer publishes
+    exact percentiles of a bounded window, EventStreamingMetrics.java:88-99).
+    At 100 TB swap for percentile_approx — same plan shape, bounded state.
+    """
+    return (
+        events_coords.groupBy("topic")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+def duplicate_counts(events_coords: DataFrame) -> DataFrame:
+    """A10: duplicate-consumption counter: total minus distinct event_ids
+    per topic (BaseEventConsumer.java:79-84 counts `events.consumed.duplicate`)."""
+    return (
+        events_coords.groupBy("topic")
+        .agg(
+            F.count("*").alias("consumed"),
+            F.countDistinct("event_id").alias("distinct_events"),
+            (F.count("*") - F.countDistinct("event_id")).alias("duplicates"),
+        )
+    )
+
+
+def health_status(lag_df: DataFrame,
+                  error_threshold: int = 100_000,
+                  warn_threshold: int = 10_000) -> DataFrame:
+    """A11: post-aggregation health classification
+    (TopicManagementService.java:553-556; HealthIndicator.java:143-146)."""
+    return (
+        lag_df.groupBy("group_id")
+        .agg(F.sum("lag").alias("total_lag"))
+        .withColumn(
+            "status",
+            F.when(F.col("total_lag") > error_threshold, F.lit("UNHEALTHY"))
+             .when(F.col("total_lag") > warn_threshold, F.lit("WARNING"))
+             .otherwise(F.lit("HEALTHY")),
+        )
+    )
+
+
+def top_lagging(lag_df: DataFrame, k: int = 3) -> DataFrame:
+    """O4: top-k lagging partitions per group, deterministic tiebreak.
+
+    Window row_number (not orderBy+limit) so the same operator works
+    per-group and in streaming micro-batches.
+    """
+    w = Window.partitionBy("group_id").orderBy(F.col("lag").desc(), F.col("partition"))
+    return (
+        lag_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group_id", "partition", "lag", "rank")
+    )

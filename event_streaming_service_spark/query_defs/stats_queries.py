@@ -1,0 +1,176 @@
+"""Monitoring/statistics queries (SURVEY.md section 2.4, 2.7 O4, A11).
+
+Every query reads the `events` fixture, derives log coordinates with
+sources.tables.with_coordinates, and aggregates with operators.stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_service_spark.operators import stats
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+_BASE = ("WITH " + tables.EVENTS_COORDS_SQL + ", "
+         + tables.CONSUMER_OFFSETS_SQL + ", " + tables.END_OFFSETS_SQL)
+
+_LAG_SQL_BODY = """
+lag_table AS (
+    SELECT co.group_id, co."partition", co.committed_offset, eo.end_offset,
+           CAST(eo.end_offset - co.committed_offset AS BIGINT) AS lag
+    FROM consumer_offsets co JOIN end_offsets eo USING ("partition")
+)
+"""
+
+
+def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.with_coordinates(tables.load_table(spark, sf_dir, "events"))
+
+
+def _lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ec = _coords(spark, sf_dir)
+    return stats.consumer_lag(tables.consumer_offsets(ec), tables.end_offsets(ec))
+
+
+@register(
+    "lag_per_partition",
+    oracle=_BASE + ", " + _LAG_SQL_BODY + " SELECT * FROM lag_table",
+    tags=("A1", "J1"),
+)
+def q_lag_per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/J1: committed-offsets x end-offsets equi-join, lag column
+    (TopicManagementService.java:325-353)."""
+    return _lag(spark, sf_dir)
+
+
+@register(
+    "lag_total_by_group",
+    oracle=_BASE + ", " + _LAG_SQL_BODY +
+    " SELECT group_id, CAST(SUM(lag) AS BIGINT) AS total_lag"
+    " FROM lag_table GROUP BY group_id",
+    tags=("A2", "A3"),
+)
+def q_lag_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: total lag per consumer group (TopicManagementService.java:306-312)."""
+    return stats.total_lag(_lag(spark, sf_dir))
+
+
+@register(
+    "topic_message_count",
+    oracle=_BASE + """
+    SELECT topic, CAST(SUM(part_count) AS BIGINT) AS message_count
+    FROM (
+        SELECT topic, "partition", MAX("offset") - MIN("offset") + 1 AS part_count
+        FROM events_coords GROUP BY topic, "partition"
+    ) GROUP BY topic
+    """,
+    tags=("A4", "S7"),
+)
+def q_topic_message_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-topic message count from per-partition offset ranges
+    (TopicManagementService.java:439-475)."""
+    return stats.topic_message_counts(_coords(spark, sf_dir))
+
+
+@register(
+    "topic_statistics",
+    oracle=_BASE + """
+    SELECT topic,
+           COUNT(*) AS total_events,
+           CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS successful_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS failed_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) / COUNT(value)
+               AS DOUBLE) AS avg_processing_ms,
+           MAX(ts) AS last_event_time
+    FROM events_coords GROUP BY topic
+    """,
+    tags=("A5",),
+)
+def q_topic_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the EventStatistics record per topic (EventStatistics.java:15-25)."""
+    return stats.event_statistics(_coords(spark, sf_dir))
+
+
+@register(
+    "events_by_type_tenant",
+    oracle=_BASE + """
+    SELECT event_type, tenant_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+    FROM events_coords GROUP BY event_type, tenant_id
+    """,
+    tags=("A6",),
+)
+def q_events_by_type_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: tag-dimensioned counters (EventStreamingMetrics.java:53-79)."""
+    return stats.events_by_type_and_user_bucket(_coords(spark, sf_dir))
+
+
+@register(
+    "latency_percentiles",
+    oracle=_BASE + """
+    SELECT topic,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events_coords GROUP BY topic
+    """,
+    tags=("A7",),
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: p50/p95/p99 per topic (EventStreamingMetrics.java:88-99)."""
+    return stats.latency_percentiles(_coords(spark, sf_dir))
+
+
+@register(
+    "duplicate_counts",
+    oracle=_BASE + """
+    SELECT topic, COUNT(*) AS consumed,
+           COUNT(DISTINCT event_id) AS distinct_events,
+           COUNT(*) - COUNT(DISTINCT event_id) AS duplicates
+    FROM events_coords GROUP BY topic
+    """,
+    tags=("A10", "D1"),
+)
+def q_duplicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: duplicate-consumption counting (BaseEventConsumer.java:79-84)."""
+    return stats.duplicate_counts(_coords(spark, sf_dir))
+
+
+@register(
+    "health_status",
+    oracle=_BASE + ", " + _LAG_SQL_BODY + """
+    SELECT group_id, CAST(SUM(lag) AS BIGINT) AS total_lag,
+           CASE WHEN SUM(lag) > 5000 THEN 'UNHEALTHY'
+                WHEN SUM(lag) > 1000 THEN 'WARNING'
+                ELSE 'HEALTHY' END AS status
+    FROM lag_table GROUP BY group_id
+    """,
+    tags=("A11",),
+)
+def q_health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: lag-threshold health classification, thresholds scaled to the
+    fixture (reference values 100000/10000, TopicManagementService.java:553-556)."""
+    return stats.health_status(_lag(spark, sf_dir),
+                               error_threshold=5000, warn_threshold=1000)
+
+
+@register(
+    "top_lagging",
+    oracle=_BASE + ", " + _LAG_SQL_BODY + """
+    SELECT group_id, "partition", lag, rank FROM (
+        SELECT group_id, "partition", lag,
+               CAST(ROW_NUMBER() OVER (PARTITION BY group_id
+                                       ORDER BY lag DESC, "partition") AS INTEGER)
+                   AS rank
+        FROM lag_table
+    ) WHERE rank <= 3
+    """,
+    tags=("O4",),
+)
+def q_top_lagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: top-3 lagging partitions per group
+    (EventStreamingHealthIndicator.java:148-151)."""
+    return stats.top_lagging(_lag(spark, sf_dir), k=3)
