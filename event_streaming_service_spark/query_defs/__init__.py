@@ -3,4 +3,9 @@
 Importing this package registers every query into queries.REGISTRY.
 """
 
-from event_streaming_service_spark.query_defs import stats_queries  # noqa: F401
+from event_streaming_service_spark.query_defs import (  # noqa: F401
+    pipeline_queries,
+    routing_queries,
+    scalar_queries,
+    stats_queries,
+)
