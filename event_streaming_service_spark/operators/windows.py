@@ -1,0 +1,93 @@
+"""Event-time window analytics W8 / W2 (SURVEY.md section 2.8), batch form.
+
+The reference has no windowed aggregation (Kafka Streams is explicitly
+disabled, application.yml:76-88); the north star requires it. Streaming
+twins (native `window()` / `session_window()` with watermarks) live in
+streaming/pipeline.py; the batch analogues here are built on *wall-clock
+millisecond arithmetic* so they are engine-portable (DuckDB-checkable)
+and session-timezone invariant — native `F.window` buckets instants,
+which drifts for non-whole-hour zone offsets.
+
+Scale: tumbling/sliding are pure projections + hash aggregates (the
+explode for sliding multiplies rows by windows/slide, the standard
+cost); sessionization is one shuffle on the key + a sort — the same
+plan Spark's own session_window generates in batch mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.functions.scalars import (
+    millis_to_ts,
+    wall_clock_millis,
+)
+
+
+def tumbling(df: DataFrame, ts_col: str, width_ms: int) -> DataFrame:
+    """W8 tumbling: assign each row the [start, end) bucket of width_ms."""
+    ms = wall_clock_millis(F.col(ts_col))
+    start = (ms / width_ms).cast("bigint") * width_ms
+    return (df
+            .withColumn("window_start", millis_to_ts(start))
+            .withColumn("window_end", millis_to_ts(start + width_ms)))
+
+
+def sliding(df: DataFrame, ts_col: str, width_ms: int, slide_ms: int) -> DataFrame:
+    """W8 sliding: explode each row into the width/slide windows that
+    contain it (standard multiplicity = width_ms / slide_ms)."""
+    assert width_ms % slide_ms == 0, "width must be a multiple of slide"
+    k = width_ms // slide_ms
+    ms = wall_clock_millis(F.col(ts_col))
+    offsets = F.array(*[F.lit(i * slide_ms) for i in range(k)])
+    exploded = df.withColumn("__off", F.explode(offsets))
+    start = ((ms - F.col("__off")) / width_ms).cast("bigint") * width_ms + F.col("__off")
+    return (exploded
+            .withColumn("window_start", millis_to_ts(start))
+            .withColumn("window_end", millis_to_ts(start + width_ms))
+            .filter(ms >= start)  # guard rows earlier than the first window
+            .drop("__off"))
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_ms: int,
+               tiebreak_col: str) -> DataFrame:
+    """W8 session windows: gaps-and-islands — a new session starts when
+    the gap to the previous event of the same key exceeds gap_ms.
+
+    Returns one row per (key, session): start/end timestamps and count.
+    This is the batch twin of `session_window(ts, gap)`; in streaming
+    the native operator maintains the same semantics incrementally.
+    """
+    ms = wall_clock_millis(F.col(ts_col))
+    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    with_gap = (
+        df.withColumn("__ms", ms)
+        .withColumn("__prev", F.lag("__ms").over(order))
+        .withColumn(
+            "__new_session",
+            (F.col("__prev").isNull()
+             | ((F.col("__ms") - F.col("__prev")) > gap_ms)).cast("int"))
+        .withColumn("session_seq",
+                    F.sum("__new_session").over(
+                        order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        with_gap.groupBy(key_col, "session_seq")
+        .agg(
+            millis_to_ts(F.min("__ms")).alias("session_start"),
+            millis_to_ts(F.max("__ms")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def per_key_order(df: DataFrame, key_col: str, ts_col: str,
+                  tiebreak_col: str) -> DataFrame:
+    """W2: the per-key ordering guarantee, materialized — sequence number
+    and previous-event pointer within each key (the result-side
+    restatement of Kafka's same-key-same-partition contract)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (df
+            .withColumn("seq", F.row_number().over(w).cast("bigint"))
+            .withColumn("prev_event_id", F.lag(tiebreak_col).over(w)))

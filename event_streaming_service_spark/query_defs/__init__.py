@@ -4,8 +4,12 @@ Importing this package registers every query into queries.REGISTRY.
 """
 
 from event_streaming_service_spark.query_defs import (  # noqa: F401
+    join_queries,
     pipeline_queries,
+    replay_queries,
     routing_queries,
     scalar_queries,
     stats_queries,
+    tpch_queries,
+    window_queries,
 )

@@ -1,0 +1,114 @@
+"""Event-time window queries W8/W2 (SURVEY.md section 2.8), batch form.
+
+All bucketing is wall-clock-millisecond arithmetic (engine-portable and
+session-timezone invariant); see operators/windows.py for why native
+F.window is reserved for the streaming layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import windows
+from event_streaming_service_spark.operators.stats import dsum
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+HALF_HOUR_MS = 1_800_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "events")
+
+
+@register(
+    "tumbling_daily_by_type",
+    oracle=f"""
+    SELECT make_timestamp((epoch_ms(ts) // {DAY_MS}) * {DAY_MS} * 1000)
+               AS window_start,
+           make_timestamp(((epoch_ms(ts) // {DAY_MS}) * {DAY_MS} + {DAY_MS}) * 1000)
+               AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("W8",),
+)
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 tumbling: daily event counts per type."""
+    df = windows.tumbling(_events(spark, sf_dir), "ts", DAY_MS)
+    return (df.groupBy("window_start", "window_end", "event_type")
+            .agg(F.count("*").alias("n"), dsum("value").alias("sum_value")))
+
+
+@register(
+    "sliding_hourly_counts",
+    oracle=f"""
+    SELECT make_timestamp((((epoch_ms(ts) - off) // {HOUR_MS}) * {HOUR_MS} + off)
+                          * 1000) AS window_start,
+           COUNT(*) AS n
+    FROM events, (VALUES (0), ({HALF_HOUR_MS})) AS offs(off)
+    GROUP BY 1
+    """,
+    tags=("W8",),
+)
+def q_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 sliding: 1-hour windows every 30 minutes (each event in 2)."""
+    df = windows.sliding(_events(spark, sf_dir), "ts", HOUR_MS, HALF_HOUR_MS)
+    return df.groupBy("window_start").agg(F.count("*").alias("n"))
+
+
+@register(
+    "session_windows_30m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ms
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), sess AS (
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           make_timestamp(MIN(ms) * 1000) AS session_start,
+           make_timestamp(MAX(ms) * 1000) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("W8",),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 session windows: 30-minute-gap sessionization per user
+    (gaps-and-islands; streaming twin is session_window + watermark)."""
+    return windows.sessionize(_events(spark, sf_dir), "user_id", "ts",
+                              HALF_HOUR_MS, "event_id")
+
+
+@register(
+    "per_key_ordering",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS seq,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_event_id
+    FROM events
+    """,
+    tags=("W2",),
+)
+def q_per_key_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-key ordering guarantee materialized as (seq, prev pointer)."""
+    df = windows.per_key_order(_events(spark, sf_dir), "user_id", "ts", "event_id")
+    return df.select("event_id", "user_id", "seq", "prev_event_id")
