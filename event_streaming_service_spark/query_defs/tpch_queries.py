@@ -2,9 +2,9 @@
 
 These are the bench headliners: deep scan+agg (Q1), selective
 3-way join top-k (Q3), 6-way join (Q5). Predicates are adapted to the
-fixture's date ranges (orders 1995-2001). Money math goes through
-exact decimals (see operators/stats.dsum rationale) and is cast to
-double at the boundary so hashes are engine-stable.
+fixture's date ranges (orders 1995-2001). Money math uses exact
+integer-cents arithmetic (functions/money.py) so aggregates are
+bit-identical across engines and partitionings.
 """
 
 from __future__ import annotations
@@ -12,47 +12,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.functions.money import cents, cents_sql, pct, pct_sql
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
 
-_D18 = "decimal(18,4)"
-
-
-def _dec(col: str):
-    return F.col(col).cast(_D18)
-
-
-def _disc_price():
-    """exact decimal l_extendedprice * (1 - l_discount)"""
-    return _dec("l_extendedprice") * (F.lit(1).cast(_D18) - _dec("l_discount"))
+# revenue terms in integer units: cents * percent = 1e-4 dollar units,
+# cents * percent * percent = 1e-6 dollar units
+_PRICE_C = cents_sql("l_extendedprice")
+_DISC_P = pct_sql("l_discount")
+_TAX_P = pct_sql("l_tax")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return tables.load_table(spark, sf_dir, name)
 
 
+def _disc_units() -> F.Column:
+    """l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units."""
+    return cents("l_extendedprice") * (100 - pct("l_discount"))
+
+
 @register(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-               AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                         * (CAST(1 AS DECIMAL(18,4))
-                            - CAST(l_discount AS DECIMAL(18,4)))
-                         AS DECIMAL(24,8))
-                    * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4))))
-                AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS avg_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS avg_price,
-           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS avg_disc,
+           SUM({cents_sql('l_quantity')}) / 100.0 AS sum_qty,
+           SUM({_PRICE_C}) / 100.0 AS sum_base_price,
+           SUM({_PRICE_C} * (100 - {_DISC_P})) / 10000.0 AS sum_disc_price,
+           SUM({_PRICE_C} * (100 - {_DISC_P}) * (100 + {_TAX_P})) / 1000000.0
+               AS sum_charge,
+           (SUM({cents_sql('l_quantity')}) / 100.0) / COUNT(*) AS avg_qty,
+           (SUM({_PRICE_C}) / 100.0) / COUNT(*) AS avg_price,
+           (SUM({_DISC_P}) / 100.0) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -63,23 +54,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: scan-heavy grouped aggregation, 8 aggregates."""
     li = _t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast(_D18)
-    charge = (_disc_price().cast("decimal(24,8)")
-              * (F.lit(1).cast("decimal(9,4)") + F.col("l_tax").cast("decimal(9,4)")))
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_p = pct("l_discount")
+    tax_p = pct("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
-                .cast("double").alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
-                .cast("double").alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count("*"))
-                .cast("double").alias("avg_disc"),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_p)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_p) * (100 + tax_p)) / 1000000.0)
+                .alias("sum_charge"),
+            ((F.sum(qty_c) / 100.0) / F.count("*")).alias("avg_qty"),
+            ((F.sum(price_c) / 100.0) / F.count("*")).alias("avg_price"),
+            ((F.sum(disc_p) / 100.0) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -87,12 +77,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(18,4))
-                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-               AS revenue
+           SUM({cents_sql('l.l_extendedprice')}
+               * (100 - {pct_sql('l.l_discount')})) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -117,7 +105,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(c), o.o_custkey == c.c_custkey))
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg((F.sum(_disc_units()) / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -125,12 +113,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (CAST(1 AS DECIMAL(18,4))
-                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-               AS revenue
+           SUM({cents_sql('l.l_extendedprice')}
+               * (100 - {pct_sql('l.l_discount')})) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -164,4 +150,4 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return (joined.groupBy(F.col("n_name").alias("nation"))
-            .agg(F.sum(_disc_price()).cast("double").alias("revenue")))
+            .agg((F.sum(_disc_units()) / 10000.0).alias("revenue")))

@@ -17,7 +17,7 @@ import pandas as pd
 
 from event_streaming_service_spark.sources.tables import TABLE_NAMES
 
-FLOAT_RTOL = 1e-12
+FLOAT_RTOL = 0.0  # exact: the driver hashes raw values
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
