@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(SURVEY.md section 2.12; training-data-pipeline extension surface).
+
+Scale design:
+  * exact dedup: one hash aggregate on a fingerprint — embarrassingly
+    parallel, no row comparison at all;
+  * shingle Jaccard: the pair join is on *shingles* (word n-grams),
+    whose selectivity collapses the candidate space (single tokens over
+    a small vocabulary would be quadratic);
+  * MinHash+LSH: the classic sub-quadratic path — constant-size
+    signatures per doc, banding buckets candidates, exact Jaccard only
+    on candidates. All integer arithmetic, chosen to be bit-identical
+    in any engine (see _HASH_P bound analysis below);
+  * SimHash: constant-size bit fingerprint; hamming distance on 64-bit
+    ints via xor + popcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators.text import shingles, tokens
+
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod P over Z_P.
+# P = 2^31 - 1 (prime); token hashes are 28-bit (7 hex chars of md5),
+# so a_i * x + b_i < 2^31 * 2^28 + 2^31 < 2^60 — no int64 overflow, and
+# every engine computes the identical value.
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band -> s-curve threshold ~ (1/4)^(1/4) ~ 0.71
+_HASH_P = 2_147_483_647
+HASH_AS = [(1103515245 * (i + 1) + 12345) % _HASH_P for i in range(NUM_HASHES)]
+HASH_BS = [(2654435761 * (i + 1) + 1013904223) % _HASH_P for i in range(NUM_HASHES)]
+
+
+def portable_token_hash(tok: Column) -> Column:
+    """28-bit integer hash of a token via md5 — identical in Spark
+    (conv hex->dec) and ANSI SQL ('0x' cast). Production variant:
+    xxhash64(tok) (cheaper, JVM-native) — same plan, engine-specific
+    values; used by simhash below."""
+    return F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("bigint")
+
+
+def portable_token_hash_sql(tok_expr: str) -> str:
+    return f"CAST('0x' || SUBSTRING(md5({tok_expr}), 1, 7) AS BIGINT)"
+
+
+def exact_canonical(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact dedup as a canonical-id mapping: every doc points at the
+    smallest doc_id sharing its md5 fingerprint. Survivors are rows
+    where doc_id == canonical_id; one shuffle on the fingerprint."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .select(id_col, "fingerprint", "canonical_id", "n_copies")
+    )
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-n-gram sets."""
+    return (
+        docs.filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold).
+
+    inter = |A ∩ B| from a self-equi-join on shingle; |A ∪ B| by
+    inclusion-exclusion. The join key is the shingle, so co-occurrence
+    is computed shuffle-once; no cross product ever materializes.
+    """
+    sets_ = shingle_sets(docs, id_col, text_col, n)
+    sizes = sets_.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a, b = sets_.alias("a"), sets_.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("set_size", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("set_size", "size_b")
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") * 1.0
+                    / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """MinHash signatures: NUM_HASHES permutation-minima per doc over
+    its shingle set — one explode + one hash aggregate, constant output
+    size per doc regardless of document length."""
+    hashed = shingle_sets(docs, id_col, text_col, n).withColumn(
+        "h", portable_token_hash(F.col("shingle")))
+    aggs = [
+        F.min((HASH_AS[i] * F.col("h") + HASH_BS[i]) % _HASH_P).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: hash each band of NUM_HASHES/NUM_BANDS signature
+    rows to a bucket key; docs sharing any band key are candidates."""
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    bands = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                id_col,
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_key")))
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct candidate pairs from LSH banding (doc_a < doc_b) —
+    the sub-quadratic candidate generation step; join is on band_key,
+    never all-pairs."""
+    keys = minhash_band_keys(
+        minhash_signatures(docs, id_col, text_col, n), id_col)
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, threshold: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Full MinHash+LSH dedup: bucketed candidates, then exact Jaccard
+    verification on candidates only."""
+    cands = minhash_candidate_pairs(docs, id_col, text_col, n)
+    exact = jaccard_pairs(docs, 0.0, id_col, text_col, n)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash63(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """63-bit SimHash over token xxhash64 values: per bit, sum +/-1
+    votes across tokens; the sign vector packs into one non-negative
+    BIGINT (63 bits so the packed value never touches the sign bit).
+
+    xxhash64 is JVM-native (no portable SQL twin), so this operator is
+    verified by pytest invariants (identity / small-perturbation
+    hamming distance) rather than the DuckDB oracle.
+    """
+    bits = 63
+    tok = docs.select(id_col,
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"v{i}") > 0,
+                           F.lit(1 << i).cast("bigint")).otherwise(0)
+    return per_doc.select(id_col, sim.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of xor — SimHash distance."""
+    return F.bit_count(a.bitwiseXOR(b))

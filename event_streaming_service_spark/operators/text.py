@@ -1,0 +1,84 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md
+section 2.12 + the training-data-pipeline extension surface).
+
+Everything is built-in column expressions (JVM-side, codegen'd):
+tokenization is `split` + `explode`, fingerprints are md5, heuristics
+are arithmetic over counted ratios. No Python in the hot path — at
+100 TB these run as a single scan + one hash aggregate per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The handful of function-word stopwords that appear in fixtures and
+# real English alike; language-ID below is a ratio heuristic over them.
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "it", "on", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard input unit."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]),
+        )
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Token counting: total / distinct / mean token length per doc."""
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    return tok.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        (F.sum(F.length("tok")) * 1.0 / F.count("*")).alias("avg_token_len"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are function-word stopwords."""
+    toks = tokens(text)
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    return F.size(stops) * 1.0 / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_guess(text: Column, threshold: float = 0.03) -> Column:
+    """n-gram-heuristic language ID: English function words make up a
+    few percent of natural English text; below threshold -> unknown.
+    (A production version adds per-language stopword tables — same plan
+    shape, one `when` branch per language.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown"))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Document quality in [0,1]: length, vocabulary, and stopword
+    signals, equally deterministic in any engine (single-op arithmetic)."""
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    len_component = F.least(n_chars / 500.0, F.lit(1.0))
+    vocab_component = F.least(F.size(F.array_distinct(toks)) * 1.0
+                              / F.greatest(n_toks, F.lit(1)) * 2.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * 10.0, F.lit(1.0))
+    return (len_component * 0.4 + vocab_component * 0.3 + stop_component * 0.3)
+
+
+def fingerprint_exact(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the raw text."""
+    return F.md5(text)
+
+
+def fingerprint_token_set(text: Column) -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted distinct token
+    set — catches reorderings/shuffles of the same content."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

@@ -4,12 +4,16 @@ Importing this package registers every query into queries.REGISTRY.
 """
 
 from event_streaming_service_spark.query_defs import (  # noqa: F401
+    dedup_queries,
     join_queries,
+    multimodal_queries,
     pipeline_queries,
     replay_queries,
     routing_queries,
     scalar_queries,
+    similarity_queries,
     stats_queries,
+    text_queries,
     tpch_queries,
     window_queries,
 )

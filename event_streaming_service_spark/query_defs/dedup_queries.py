@@ -1,0 +1,148 @@
+"""Deduplication queries over `documents` (SURVEY.md section 2.12):
+exact, n-gram Jaccard, MinHash signatures, and the full MinHash+LSH
+pipeline — each checked against the identical computation in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_service_spark.operators import dedup
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+JACCARD_THRESHOLD = 0.5
+
+# ---- shared SQL fragments (exact twins of operators/dedup.py) ----
+
+# distinct word-trigram shingles per doc
+_SHINGLES = r"""
+shingle_sets AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+          FROM documents)
+    WHERE len(toks) >= 3
+)
+"""
+
+_JACCARD = _SHINGLES + """,
+set_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingle_sets GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingle_sets a JOIN shingle_sets b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT doc_a, doc_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+           inter * 1.0 / (sa.set_size + sb.set_size - inter) AS jaccard
+    FROM inter JOIN set_sizes sa ON doc_a = sa.doc_id
+               JOIN set_sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+
+def _minhash_sql_body() -> str:
+    """Signatures CTE: identical universal-hash arithmetic to
+    operators/dedup.minhash_signatures."""
+    h = dedup.portable_token_hash_sql("shingle")
+    mins = ",\n           ".join(
+        f"MIN(({dedup.HASH_AS[i]} * h + {dedup.HASH_BS[i]}) % {dedup._HASH_P})"
+        f" AS mh{i}"
+        for i in range(dedup.NUM_HASHES))
+    return f""",
+hashed AS (SELECT doc_id, {h} AS h FROM shingle_sets),
+signatures AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+)
+"""
+
+
+def _bands_sql() -> str:
+    rows = dedup.NUM_HASHES // dedup.NUM_BANDS
+    selects = []
+    for b in range(dedup.NUM_BANDS):
+        cols = " || '-' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM signatures")
+    return ",\nband_keys AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact_canonical",
+    oracle="""
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    """,
+    tags=("dedup-exact",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as canonical-id mapping (hash groupBy, no pair joins)."""
+    return dedup.exact_canonical(_docs(spark, sf_dir))
+
+
+@register(
+    "near_dup_shingle_jaccard",
+    oracle="WITH " + _JACCARD + f"""
+    SELECT doc_a, doc_b, inter, size_a, size_b, jaccard
+    FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup-jaccard",),
+)
+def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard near-duplicate pairs (>= 0.5) —
+    the ground truth the LSH pipeline approximates."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+@register(
+    "minhash_signatures",
+    oracle="WITH " + _SHINGLES + _minhash_sql_body() + "SELECT * FROM signatures",
+    tags=("dedup-minhash",),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures — constant size per doc."""
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle="WITH " + _JACCARD + _minhash_sql_body() + _bands_sql() + f""",
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM candidates c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup-minhash-lsh",),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: banded candidate generation
+    (sub-quadratic) + exact Jaccard verification of candidates only."""
+    return dedup.minhash_near_dups(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=None,  # xxhash64 has no portable SQL twin; pytest covers invariants
+    tags=("dedup-simhash",),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprints (rows-only driver check)."""
+    return dedup.simhash63(_docs(spark, sf_dir))

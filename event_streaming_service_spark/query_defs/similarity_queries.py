@@ -1,0 +1,83 @@
+"""Similarity-search queries over `embeddings` (SURVEY.md section 2.12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import similarity
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+K = 5
+N_QUERY_VECS = 8
+EMBEDDING_DIM = 64
+
+_COS = ("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))"
+        " * sqrt(list_dot_product(cv, cv)))")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+            FROM q, c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+    """,
+    tags=("similarity", "ann-baseline"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against (cosine rounded to 6dp before ranking)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.cosine_topk(queries, emb, K)
+
+
+@register(
+    "ann_lsh_cosine",
+    oracle=None,  # approximate by design; recall vs brute force in pytest
+    tags=("similarity", "ann-lsh"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path: equi-join on
+    sign-pattern bucket instead of a cross join)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ann_cosine_topk(queries, emb, K, EMBEDDING_DIM)
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(MIN(sqrt(list_dot_product(v, v))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(v, v))), 6) AS max_norm
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    GROUP BY label
+    """,
+    tags=("similarity", "stats"),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column statistics per label (min/max L2 norm — order-
+    independent aggregates, so no float-summation drift)."""
+    emb = _emb(spark, sf_dir)
+    v = similarity.as_double(F.col("embedding"))
+    return (emb.select("label", similarity.l2_norm(v).alias("norm"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("norm"), 6).alias("min_norm"),
+                 F.round(F.max("norm"), 6).alias("max_norm")))

@@ -1,0 +1,98 @@
+"""Text-analysis queries over `documents` (SURVEY.md section 2.12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import text
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+# Shared SQL fragments mirroring operators/text.py exactly.
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+_STOP_RATIO = (f"len(list_filter({_TOKS}, t -> lower(t) IN ({_STOPS_SQL})))"
+               f" * 1.0 / greatest(len({_TOKS}), 1)")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "token_stats_per_doc",
+    oracle=r"""
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct_tokens,
+           SUM(LENGTH(tok)) * 1.0 / COUNT(*) AS avg_token_len
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY doc_id
+    """,
+    tags=("text", "token-count"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total / distinct / mean length per document."""
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "language_id_heuristic",
+    oracle=f"""
+    SELECT doc_id,
+           {_STOP_RATIO} AS stop_ratio,
+           CASE WHEN {_STOP_RATIO} >= 0.03 THEN 'en' ELSE 'unknown' END
+               AS lang_guess
+    FROM documents
+    """,
+    tags=("text", "lang-id"),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword density."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text.stopword_ratio(t).alias("stop_ratio"),
+        text.language_guess(t).alias("lang_guess"))
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           LEAST(n_chars / 500.0, 1.0) * 0.4
+           + LEAST(len(list_distinct({_TOKS})) * 1.0
+                   / greatest(len({_TOKS}), 1) * 2.0, 1.0) * 0.3
+           + LEAST({_STOP_RATIO} * 10.0, 1.0) * 0.3 AS quality
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + vocabulary + stopword components."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text.quality_score(F.col("text"), F.col("n_chars")).alias("quality"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id, md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(text, '\s+'), t -> t <> ''))), ' '))
+               AS fp_token_set
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 + order-insensitive token-set md5."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text.fingerprint_exact(t).alias("fp_exact"),
+        text.fingerprint_token_set(t).alias("fp_token_set"))
