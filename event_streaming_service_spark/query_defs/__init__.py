@@ -13,6 +13,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     scalar_queries,
     similarity_queries,
     stats_queries,
+    streaming_queries,
     text_queries,
     tpch_queries,
     window_queries,
