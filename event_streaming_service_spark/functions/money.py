@@ -19,20 +19,26 @@ from pyspark.sql import functions as F
 
 
 def cents(col: str | Column) -> Column:
-    """double 1234.56 -> long 123456 (exact: decimal cast rounds the
-    double's binary value to 2 decimals identically in both engines)."""
+    """double 1234.56 -> long 123456.
+
+    round(x*100) instead of a decimal cast: x*100 is one IEEE multiply
+    (identical in every engine) landing within 1e-9 of an integer for
+    2-decimal inputs, so rounding never sees a half-way case and both
+    engines agree exactly — at a fraction of the JVM decimal cost
+    (decimal casts made TPC-H Q1's partial aggregate ~2x slower).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("decimal(18,2)") * 100).cast("long")
+    return F.round(c * 100, 0).cast("long")
 
 
 def pct(col: str | Column) -> Column:
     """2-decimal fraction 0.07 -> long 7 (percent units)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (c.cast("decimal(18,2)") * 100).cast("long")
+    return F.round(c * 100, 0).cast("long")
 
 
 def cents_sql(col: str) -> str:
-    return f"CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"CAST(ROUND({col} * 100, 0) AS BIGINT)"
 
 
 def pct_sql(col: str) -> str:

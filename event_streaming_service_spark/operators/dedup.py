@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from event_streaming_service_spark.operators.text import shingles, tokens
+from event_streaming_service_spark.operators.text import (
+    fan_out,
+    shingles_from_tokens,
+    tokens,
+)
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod P over Z_P.
 # P = 2^31 - 1 (prime); token hashes are 28-bit (7 hex chars of md5),
@@ -62,11 +66,19 @@ def exact_canonical(docs: DataFrame, id_col: str = "doc_id",
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-n-gram sets."""
-    return (
-        docs.filter(F.size(tokens(F.col(text_col))) >= n)
-        .select(id_col, F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-    )
+    """(doc_id, shingle) exploded distinct word-n-gram sets.
+
+    The token array is materialized as a column FIRST: inside the
+    shingle lambda each element_at then reads the bound array in O(1).
+    Inlining `tokens(text)` instead would copy the split/filter subtree
+    into every lambda element — the regex would run per-shingle, not
+    per-row (a ~20x slowdown observed at sf0.1).
+    """
+    toks = fan_out(docs).select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
+    return (toks.filter(F.size(t) >= n)
+            .select(id_col,
+                    F.explode(shingles_from_tokens(t, n)).alias("shingle")))
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float,
@@ -77,8 +89,12 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
     inter = |A ∩ B| from a self-equi-join on shingle; |A ∪ B| by
     inclusion-exclusion. The join key is the shingle, so co-occurrence
     is computed shuffle-once; no cross product ever materializes.
+
+    The shingle set feeds three consumers (both join sides + sizes), so
+    it is cached (MEMORY_AND_DISK — spills, never OOMs) instead of
+    being re-derived from the text three times.
     """
-    sets_ = shingle_sets(docs, id_col, text_col, n)
+    sets_ = shingle_sets(docs, id_col, text_col, n).cache()
     sizes = sets_.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a, b = sets_.alias("a"), sets_.alias("b")
     inter = (
@@ -116,21 +132,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding: hash each band of NUM_HASHES/NUM_BANDS signature
-    rows to a bucket key; docs sharing any band key are candidates."""
+    rows to a bucket key; docs sharing any band key are candidates.
+
+    Emitted as ONE explode over a per-row array of (band, key) structs —
+    a union of per-band projections would re-evaluate the upstream
+    signature pipeline once per band (observed 4x wall time)."""
     rows_per_band = NUM_HASHES // NUM_BANDS
-    bands = []
+    entries = []
     for b in range(NUM_BANDS):
         cols = [F.col(f"mh{b * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                id_col,
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("-", *cols)).alias("band_key")))
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+        entries.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("-", *cols)).alias("band_key")))
+    return (sigs.select(id_col, F.explode(F.array(*entries)).alias("__e"))
+            .select(id_col, F.col("__e.band").alias("band"),
+                    F.col("__e.band_key").alias("band_key")))
 
 
 def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -155,9 +172,19 @@ def minhash_near_dups(docs: DataFrame, threshold: float,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3) -> DataFrame:
     """Full MinHash+LSH dedup: bucketed candidates, then exact Jaccard
-    verification on candidates only."""
-    cands = minhash_candidate_pairs(docs, id_col, text_col, n)
-    exact = jaccard_pairs(docs, 0.0, id_col, text_col, n)
+    verification restricted to candidate documents ONLY — the whole
+    point of LSH is that the expensive pair computation never touches
+    non-candidate docs, so the shingle self-join runs on the (small)
+    semi-joined subset, not the corpus."""
+    # cache: the candidate set is tiny but feeds TWO consumers (the doc
+    # filter and the final join) — uncached, Spark re-runs the whole
+    # signature+banding pipeline per consumer (observed 3x wall time)
+    cands = minhash_candidate_pairs(docs, id_col, text_col, n).cache()
+    cand_docs = (cands.select(F.col("doc_a").alias(id_col))
+                 .union(cands.select(F.col("doc_b").alias(id_col)))
+                 .distinct())
+    survivors = docs.join(F.broadcast(cand_docs), id_col, "left_semi")
+    exact = jaccard_pairs(survivors, 0.0, id_col, text_col, n)
     return (
         cands.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
@@ -176,8 +203,8 @@ def simhash63(docs: DataFrame, id_col: str = "doc_id",
     hamming distance) rather than the DuckDB oracle.
     """
     bits = 63
-    tok = docs.select(id_col,
-                      F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = fan_out(docs).select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
     tok = tok.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)

@@ -22,9 +22,24 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), the MinHash/Jaccard input unit."""
-    toks = tokens(text)
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input BEFORE a row-multiplying op (explode,
+    shingle, per-token hashing). Fixture files are single-row-group
+    parquet, so without this the explode and its partial aggregate run
+    on ONE core; the upfront shuffle of a few thousand narrow rows is
+    noise, the 32x parallel explode is not. On a real multi-row-group
+    table the scan already parallelizes and this becomes a cheap no-op
+    rebalance (AQE coalesces it)."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from a MATERIALIZED token-array
+    column. Always project `tokens(text)` into a column first — passing
+    the tokens expression inline would copy the regex-split subtree into
+    every lambda element and run it per-shingle instead of per-row
+    (see operators/dedup.shingle_sets)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
@@ -37,7 +52,8 @@ def shingles(text: Column, n: int = 3) -> Column:
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Token counting: total / distinct / mean token length per doc."""
-    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = fan_out(docs).select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
     return tok.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct_tokens"),
@@ -45,32 +61,43 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def stopword_ratio(text: Column) -> Column:
-    """Fraction of tokens that are function-word stopwords."""
-    toks = tokens(text)
+def stopword_ratio_from_tokens(toks: Column) -> Column:
+    """Fraction of tokens that are function-word stopwords. Pass a
+    MATERIALIZED token-array column (see shingles_from_tokens note)."""
     stops = F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
     return F.size(stops) * 1.0 / F.greatest(F.size(toks), F.lit(1))
 
 
-def language_guess(text: Column, threshold: float = 0.03) -> Column:
+def stopword_ratio(text: Column) -> Column:
+    return stopword_ratio_from_tokens(tokens(text))
+
+
+def language_guess_from_tokens(toks: Column, threshold: float = 0.03) -> Column:
     """n-gram-heuristic language ID: English function words make up a
     few percent of natural English text; below threshold -> unknown.
     (A production version adds per-language stopword tables — same plan
     shape, one `when` branch per language.)"""
-    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
-        F.lit("unknown"))
+    return F.when(stopword_ratio_from_tokens(toks) >= threshold,
+                  F.lit("en")).otherwise(F.lit("unknown"))
 
 
-def quality_score(text: Column, n_chars: Column) -> Column:
+def language_guess(text: Column, threshold: float = 0.03) -> Column:
+    return language_guess_from_tokens(tokens(text), threshold)
+
+
+def quality_score_from_tokens(toks: Column, n_chars: Column) -> Column:
     """Document quality in [0,1]: length, vocabulary, and stopword
     signals, equally deterministic in any engine (single-op arithmetic)."""
-    toks = tokens(text)
     n_toks = F.size(toks)
     len_component = F.least(n_chars / 500.0, F.lit(1.0))
     vocab_component = F.least(F.size(F.array_distinct(toks)) * 1.0
                               / F.greatest(n_toks, F.lit(1)) * 2.0, F.lit(1.0))
-    stop_component = F.least(stopword_ratio(text) * 10.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio_from_tokens(toks) * 10.0, F.lit(1.0))
     return (len_component * 0.4 + vocab_component * 0.3 + stop_component * 0.3)
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    return quality_score_from_tokens(tokens(text), n_chars)
 
 
 def fingerprint_exact(text: Column) -> Column:

@@ -51,12 +51,42 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "lang-id"),
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: stopword density."""
-    t = F.col("text")
-    return _docs(spark, sf_dir).select(
+    """Language-ID heuristic: stopword density.
+
+    Computed explode->aggregate (one shuffle on doc_id) rather than as
+    array lambdas per row: Catalyst's CollapseProject re-inlines a
+    projected token array into every consumer, re-running the regex
+    split several times per row — the aggregate form tokenizes once.
+    """
+    counts = _token_counts(spark, sf_dir)
+    ratio = F.col("n_stops") * 1.0 / F.greatest(F.col("n_toks"), F.lit(1))
+    return counts.select(
         "doc_id",
-        text.stopword_ratio(t).alias("stop_ratio"),
-        text.language_guess(t).alias("lang_guess"))
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unknown"))
+         .alias("lang_guess"))
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token aggregates shared by language-ID and quality:
+    tokenize once, explode, count — ONE shuffle, no join. explode_outer
+    + count(tok) keeps token-less docs at zero counts, matching the
+    per-row array semantics."""
+    docs = _docs(spark, sf_dir)
+    tok = text.fan_out(docs).select(
+        "doc_id", "n_chars",
+        F.explode_outer(text.tokens(F.col("text"))).alias("tok"))
+    # two-level aggregate instead of countDistinct: the (doc, tok) level
+    # map-side-combines the exploded rows before the one shuffle, where
+    # countDistinct would Expand and shuffle the full exploded set
+    per_tok = tok.groupBy("doc_id", "n_chars", "tok").agg(
+        F.count("*").alias("cnt"))
+    return per_tok.groupBy("doc_id", "n_chars").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), F.col("cnt")).otherwise(0))
+            .alias("n_toks"),
+        F.count("tok").alias("n_distinct"),
+        F.sum(F.when(F.lower("tok").isin(*text.STOPWORDS), F.col("cnt"))
+              .otherwise(0)).alias("n_stops"))
 
 
 @register(
@@ -72,10 +102,15 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length + vocabulary + stopword components."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        text.quality_score(F.col("text"), F.col("n_chars")).alias("quality"))
+    """Quality scoring: length + vocabulary + stopword components
+    (explode->aggregate form; see q_language_id for why)."""
+    counts = _token_counts(spark, sf_dir)
+    n_toks = F.greatest(F.col("n_toks"), F.lit(1))
+    len_c = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    vocab_c = F.least(F.col("n_distinct") * 1.0 / n_toks * 2.0, F.lit(1.0))
+    stop_c = F.least(F.col("n_stops") * 1.0 / n_toks * 10.0, F.lit(1.0))
+    return counts.select(
+        "doc_id", (len_c * 0.4 + vocab_c * 0.3 + stop_c * 0.3).alias("quality"))
 
 
 @register(
