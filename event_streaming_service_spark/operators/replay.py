@@ -14,8 +14,28 @@ Replayed records get provenance headers exactly like the reference
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _wall_to_micros(ts_str: str) -> int:
+    """Naive wall-clock literal -> epoch micros (the fixture's stored
+    values are naive wall-clock; see sources/tables.py)."""
+    dt = datetime.fromisoformat(ts_str).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def nanos_range(from_ts: str, to_ts: str, nanos_col: str = "__ts_nanos") -> Column:
+    """Pushdown-capable twin of `ts BETWEEN from AND to` on the raw
+    nanos long: ts = floor(ns/1000) as wall-clock, so
+    ts >= F  <=>  ns >= F_us*1000   and   ts <= T  <=>  ns <= T_us*1000+999
+    — exact integer equivalence, and a plain column predicate the
+    parquet reader prunes row groups with."""
+    lo = _wall_to_micros(from_ts) * 1000
+    hi = _wall_to_micros(to_ts) * 1000 + 999
+    return F.col(nanos_col).between(lo, hi)
 
 
 def with_provenance(df: DataFrame, replay_ts: str,
@@ -36,10 +56,18 @@ def replay_time_range(events_coords: DataFrame, from_ts: str, to_ts: str,
                       replay_ts: str, filter_expr: Column | None = None) -> DataFrame:
     """S5: time-range replay — `offsetsForTimes` seek + stop predicate
     `record.timestamp() > toTimestamp` (EventReplayService.java:45-147)
-    as a pushed-down range filter; P5 optional ReplayFilter (:107-111)."""
-    out = events_coords.filter(
-        (F.col("ts") >= F.lit(from_ts).cast("timestamp"))
-        & (F.col("ts") <= F.lit(to_ts).cast("timestamp")))
+    as a pushed-down range filter; P5 optional ReplayFilter (:107-111).
+
+    When the raw nanos column is present the range predicate targets it
+    (exact equivalent) so it reaches the parquet scan — predicates on
+    the converted timestamp expression cannot push down.
+    """
+    if "__ts_nanos" in events_coords.columns:
+        out = events_coords.filter(nanos_range(from_ts, to_ts))
+    else:
+        out = events_coords.filter(
+            (F.col("ts") >= F.lit(from_ts).cast("timestamp"))
+            & (F.col("ts") <= F.lit(to_ts).cast("timestamp")))
     if filter_expr is not None:
         out = out.filter(filter_expr)
     return with_provenance(out, replay_ts)

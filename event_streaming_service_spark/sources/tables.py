@@ -58,6 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         field = df.schema[col]
         if field.dataType.typeName() == "long":
+            # Keep the RAW nanos column: predicates on the converted
+            # timestamp cannot push down to the parquet scan (the filter
+            # sits on an expression, not a column), so time-range scans
+            # like replay instead filter on the raw long — the conversion
+            # is monotonic, giving exact integer-range equivalents that
+            # reach the row-group min/max stats. See replay.nanos_range.
+            df = df.withColumn(f"__{col}_nanos", F.col(col))
             # to_utc_timestamp(..., current_timezone()) pins the rendered
             # wall-clock to the stored naive value for ANY session timezone,
             # matching DuckDB's naive read of the same file.

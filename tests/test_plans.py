@@ -1,0 +1,112 @@
+"""Physical-plan quality gates: these queries must keep the plans they
+were designed for — broadcast joins for dimensions, pushed-down range
+predicates for replay, no Python row UDFs on oracle paths, codegen on
+the scan-agg spine. A regression here is a 100x problem at 100 TB even
+when correctness stays green."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from event_streaming_service_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+
+def plan_of(spark, sf_oracle, name: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_oracle)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q5_broadcasts_dimensions(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    # the fact-fact join may be SMJ; dimension joins must not shuffle both sides
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_raw_time_filter_pushes_down_via_nanos(spark, sf_oracle):
+    """Predicates on the converted timestamp expression cannot reach the
+    scan; the raw-nanos twin (replay.nanos_range) must."""
+    from event_streaming_service_spark.operators.replay import nanos_range
+    from event_streaming_service_spark.sources import tables
+
+    df = tables.load_table(spark, sf_oracle, "events").filter(
+        nanos_range("2024-01-10 00:00:00", "2024-01-15 00:00:00"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+
+
+def test_materialized_topic_replay_prunes(spark, sf_oracle, tmp_path):
+    """Against a topic with STORED coordinates (the production layout,
+    sources/topics.py) the replay range predicate pushes down directly.
+    The fixture-derived-coordinate query can never prune — offsets are
+    a window over the whole log — which is exactly why topics store
+    them physically."""
+    from event_streaming_service_spark.operators import replay
+    from event_streaming_service_spark.sources import tables
+
+    topic_dir = str(tmp_path / "topic")
+    tables.with_coordinates(tables.load_table(spark, sf_oracle, "events")) \
+        .drop("__ts_nanos").write.parquet(topic_dir)
+    stored = spark.read.parquet(topic_dir)
+    out = replay.replay_time_range(
+        stored, "2024-01-10 00:00:00", "2024-01-15 00:00:00",
+        "2024-02-01 00:00:00")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_q1_prunes_columns_and_combines_map_side(spark, sf_oracle):
+    df = REGISTRY["tpch_q1_pricing_summary"].builder(spark, sf_oracle)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    simple = buf.getvalue()
+    # partial aggregation BEFORE the exchange: the shuffle carries only
+    # per-group partial states, never rows — the property that makes
+    # this plan survive a 100x scale-up
+    assert "partial_sum" in simple
+    assert simple.index("partial_sum") > simple.index("Exchange")  # partial below
+    plan = plan_of(spark, sf_oracle, "tpch_q1_pricing_summary")
+    # only the 7 needed columns reach the scan, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_no_python_udfs_on_oracle_paths(spark, sf_oracle):
+    """Every oracle-checked query must stay JVM-side (the multimodal
+    stub is rows-only and exempt by construction)."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        if name.startswith("streaming_"):
+            continue
+        plan = plan_of(spark, sf_oracle, name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs found in: {offenders}"
+
+
+def test_lag_join_is_broadcast(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "lag_per_partition")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_broadcasts_bands(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "price_band_range_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
