@@ -16,6 +16,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     stats_queries,
     streaming_queries,
     text_queries,
+    tpch_extra_queries,
     tpch_queries,
     window_queries,
 )

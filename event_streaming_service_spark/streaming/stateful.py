@@ -1,0 +1,75 @@
+"""Custom stateful operator: exact wall-clock-TTL idempotency (D1/D2/W4).
+
+`dropDuplicatesWithinWatermark` approximates the reference's Redis
+`SET key EX 3600` (BaseEventConsumer.java:188-196) in EVENT time; this
+operator is the exact twin in PROCESSING time: per-event_id state with
+a wall-clock timeout, so a duplicate arriving within ttl_seconds of
+the first copy is dropped, and the key is re-admitted after expiry —
+precisely the Redis TTL contract.
+
+Built on applyInPandasWithState (Arrow-batched, per-key state with
+ProcessingTimeTimeout). State is one empty marker per in-flight key,
+evicted by timeout — bounded by (arrival rate x TTL) like the
+reference's Redis working set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from event_streaming_service_spark.streaming.pipeline import EVENT_SCHEMA
+
+IDEMPOTENCY_TTL_S = 3600  # BaseEventConsumer.java:43-47
+
+_STATE_SCHEMA = "seen byte"  # minimal marker; presence IS the state
+
+
+def dedup_with_ttl(stream: DataFrame,
+                   ttl_seconds: int | None = IDEMPOTENCY_TTL_S) -> DataFrame:
+    """First occurrence per event_id passes; duplicates within the TTL
+    drop; after the TTL the key re-admits (Redis-expiry semantics).
+
+    ttl_seconds=None disables the wall-clock timer (state then lives for
+    the query lifetime). Tests use this: with ProcessingTimeTimeout
+    registered, a query has standing timer work, so availableNow /
+    processAllAvailable never see an idle stream and block until an
+    external stop — fine for an always-on production pipeline, hostile
+    to a run-to-completion harness.
+    """
+
+    ttl_ms = None if ttl_seconds is None else ttl_seconds * 1000
+
+    def dedup_fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batches = [pdf for pdf in pdfs]
+        if state.exists:
+            return  # duplicate within TTL -> drop everything
+        state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        first = min(
+            (pdf for pdf in batches if len(pdf)),
+            key=lambda pdf: (pdf["ts"].min(), pdf["event_id"].min()),
+            default=None,
+        )
+        if first is not None:
+            row = first.sort_values(["ts", "event_id"]).head(1)
+            yield row
+
+    timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
+    return (stream.groupBy("event_id")
+            .applyInPandasWithState(
+                dedup_fn,
+                outputStructType=EVENT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=timeout))
