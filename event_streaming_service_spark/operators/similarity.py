@@ -132,3 +132,67 @@ def ann_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — the embedding leg of the dedup family. Brute force is
+    the exactness baseline; the LSH/IVF buckets above are the scale
+    path for candidate generation."""
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       as_double(F.col(vec_col)).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       as_double(F.col(vec_col)).alias("vb"))
+    return (a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                    n_cells: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest centroid cell once; a query probes its
+    n_probe nearest cells and reranks exactly inside them.
+
+    Centroids are the first n_cells corpus vectors (deterministic "init
+    step" of k-means — one Lloyd round would refine them with the same
+    plan shape: broadcast centroids, argmin assign, mean per cell).
+    Probe cost at scale: n_probe/n_cells of the corpus per query, as an
+    equi-join on cell id — no cross product.
+    """
+    cents = (corpus.orderBy(id_col).limit(n_cells)
+             .select(F.monotonically_increasing_id().alias("cell"),
+                     as_double(F.col(vec_col)).alias("centroid")))
+    cents = F.broadcast(cents)
+
+    def assign(df, vec, keep, n_cells_kept):
+        scored = (df.crossJoin(cents)
+                  .withColumn("sim", cosine(vec, F.col("centroid")))
+                  .withColumn("rnk", F.row_number().over(
+                      Window.partitionBy(*keep).orderBy(
+                          F.col("sim").desc(), F.col("cell"))))
+                  .filter(F.col("rnk") <= n_cells_kept))
+        return scored.select(*keep, "cell")
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    c_cells = assign(c, F.col("cv"), ["neighbor_id", "cv"], 1)
+    q_cells = assign(q, F.col("qv"), ["query_id", "qv"], n_probe)
+    scored = (q_cells.join(c_cells, "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .dropDuplicates(["query_id", "neighbor_id"])
+              .withColumn("cosine",
+                          F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

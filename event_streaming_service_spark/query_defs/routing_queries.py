@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from event_streaming_service_spark.operators import routing
+from event_streaming_service_spark.operators import routing, rules
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
 
@@ -155,3 +155,37 @@ def q_routing_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         routing.portable_partition_for(key).alias("partition_id"),
         routing.is_well_balanced_key(key).alias("well_balanced"),
     )
+
+
+@register(
+    "routing_rule_fanout",
+    oracle="""
+    SELECT event_id, event_type, value,
+           value * 2 AS boosted,
+           'high-value' AS priority_tag,
+           'nnipa.events.priority' AS target_topic,
+           'tenant-' || CAST(user_id % 10 AS VARCHAR) AS key
+    FROM events
+    WHERE value > 400.0 AND event_type IN ('purchase', 'signup')
+    """,
+    tags=("P8",),
+)
+def q_routing_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: a declarative EventRoutingRule (condition string +
+    transformations map) compiled into the plan via F.expr — Catalyst
+    is the rule evaluator the reference never implemented
+    (model/EventRoutingRule.java:16-24)."""
+    ev = (tables.load_table(spark, sf_dir, "events")
+          .withColumn("tenant_id",
+                      F.concat(F.lit("tenant-"),
+                               (F.col("user_id") % 10).cast("string"))))
+    rule = rules.EventRoutingRule(
+        source_topic="nnipa.events.all",
+        target_topic="nnipa.events.priority",
+        condition="value > 400.0 AND event_type IN ('purchase', 'signup')",
+        partition_strategy="TENANT_BASED",
+        transformations={"boosted": "value * 2",
+                         "priority_tag": "'high-value'"})
+    out = rules.apply_rule(ev, rule)
+    return out.select("event_id", "event_type", "value", "boosted",
+                      "priority_tag", "target_topic", "key")

@@ -81,3 +81,35 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.min("norm"), 6).alias("min_norm"),
                  F.round(F.max("norm"), 6).alias("max_norm")))
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                    * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.35
+    """,
+    tags=("similarity", "dedup-embedding"),
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.35) — the embedding
+    leg of the dedup family, brute-force exactness baseline."""
+    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), 0.35)
+
+
+@register("ivf_cosine_topk", oracle=None, tags=("similarity", "ann-ivf"))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (probe nearest cells, exact rerank inside);
+    recall vs brute force is pytest-checked."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_cosine_topk(queries, emb, K)

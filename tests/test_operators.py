@@ -165,3 +165,35 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
         "doc_id long, text string")
     pairs = dedup.minhash_near_dups(df, 0.5).collect()
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_oracle):
+    from event_streaming_service_spark.sources import tables
+
+    emb = tables.load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(queries, emb, 5)
+    approx = similarity.ivf_cosine_topk(queries, emb, 5,
+                                        n_cells=16, n_probe=6)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+
+
+def test_rule_fanout_branches(spark):
+    from event_streaming_service_spark.operators import rules
+
+    df = spark.createDataFrame(
+        [(1, "purchase", 500.0, "t1", ""), (2, "view", 500.0, "t1", ""),
+         (3, "purchase", 10.0, "t1", "")],
+        "event_id long, event_type string, value double, "
+        "tenant_id string, user_key string")
+    out = rules.fan_out_rules(df, [
+        rules.EventRoutingRule("src", "hi", "value > 100", "TENANT_BASED"),
+        rules.EventRoutingRule("src", "views", "event_type = 'view'", "NONE"),
+    ])
+    assert sorted(r.event_id for r in out["hi"].collect()) == [1, 2]
+    assert [r.event_id for r in out["views"].collect()] == [2]
+    assert out["hi"].first().key == "t1"
+    assert "key" not in out["views"].columns
