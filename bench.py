@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",      # scan-heavy 8-agg groupBy
     "tpch_q3_shipping_priority",    # selective 3-way join + top-k
     "tpch_q5_local_supplier_volume",  # 6-way join
+    "tpch_q7_nation_volume",        # bilateral nation pairs by year
+    "tpch_q10_returned_items",      # returned-item top-20
+    "tpch_q14_promo_revenue",       # promo ratio
+    "tpch_q19_disjunctive_join",    # disjunctive predicates
     "topic_statistics",             # event stats A5
     "lag_per_partition",            # offset joins A1/J1
     "routing_keys",                 # 8 key strategies projection
@@ -44,8 +48,12 @@ BENCH_QUERIES = [
     "near_dup_shingle_jaccard",     # exact near-dup pairs
     "minhash_lsh_pairs",            # MinHash+LSH dedup pipeline
     "cosine_topk_bruteforce",       # similarity top-k
+    "ann_lsh_cosine",               # LSH approximate top-k
     "doc_fingerprints",             # text fingerprints
     "quality_scores",               # text quality
+    "tfidf_top_terms",              # tf-idf
+    "salted_hot_key_agg",           # skew-safe aggregation
+    "scd2_customer_updates",        # CDC merge
 ]
 
 

@@ -11,6 +11,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     pipeline_queries,
     replay_queries,
     routing_queries,
+    scale_queries,
     scalar_queries,
     similarity_queries,
     stats_queries,

@@ -80,6 +80,14 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
         f"{name}: row count {len(got)} != oracle {len(want)}")
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != oracle {list(want.columns)}")
+    # dtype KINDS must agree (int vs float vs bool vs datetime vs object):
+    # a DuckDB HUGEINT surfacing as float64 against Spark's int64 hashes
+    # differently in the driver even when the values compare equal
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk, (
+            f"{name}: dtype kind mismatch col={c}: spark={got[c].dtype} "
+            f"oracle={want[c].dtype}")
 
     max_delta = 0.0
     for c in got.columns:

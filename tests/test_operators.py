@@ -197,3 +197,12 @@ def test_rule_fanout_branches(spark):
     assert [r.event_id for r in out["views"].collect()] == [2]
     assert out["hi"].first().key == "t1"
     assert "key" not in out["views"].columns
+
+
+def test_approx_distinct_within_bounds(spark, sf_oracle):
+    from event_streaming_service_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["approx_distinct_users"].builder(spark, sf_oracle).collect()
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
