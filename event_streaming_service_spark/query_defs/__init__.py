@@ -19,5 +19,6 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     text_queries,
     tpch_extra_queries,
     tpch_queries,
+    window_frame_queries,
     window_queries,
 )
