@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): operator invariants over
+adversarial inputs — empty strings, unicode, extreme values — one
+generated batch per property to keep Spark round trips bounded."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import dedup, pipeline, routing
+from event_streaming_service_spark.operators.pipeline import dedup_earliest
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+keys = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Po")),
+    min_size=0, max_size=24)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(keys, keys), min_size=1, max_size=30))
+def test_routing_partition_total_and_stable(spark, rows):
+    df = spark.createDataFrame(rows, "tenant_id string, user_key string")
+    out = df.select(
+        routing.tenant_based().alias("k"),
+        routing.partition_for(routing.tenant_based(), 6).alias("p"),
+        routing.partition_for(routing.tenant_based(), 6).alias("p2"))
+    for r in out.collect():
+        assert 0 <= r.p < 6          # total: every key gets a partition
+        assert r.p == r.p2           # stable: same key -> same partition
+        assert r.k != ""             # fallback guarantees non-empty key
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=20))
+def test_backoff_monotone_and_capped(spark, retries):
+    df = spark.createDataFrame([(n,) for n in retries], "n int")
+    got = sorted((r.n, r.b) for r in df.select(
+        "n", pipeline.backoff_ms(F.col("n")).alias("b")).collect())
+    for (n1, b1), (n2, b2) in zip(got, got[1:]):
+        assert b1 <= b2              # monotone in retry count
+    assert all(500.0 <= b <= 60000.0 for _, b in got)  # capped
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+                min_size=1, max_size=40))
+def test_dedup_earliest_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "k long, v long, uid long")
+    once = dedup_earliest(df, ["k"], ["v", "uid"])
+    twice = dedup_earliest(once, ["k"], ["v", "uid"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b                   # idempotent
+    assert len(a) == len({k for k, _ in rows})  # one winner per key
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=2, max_size=10))
+def test_jaccard_bounds_and_self_similarity(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    pairs = dedup.jaccard_pairs(df, 0.0).collect()
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+        assert p.doc_a < p.doc_b     # canonical pair orientation
+        assert p.inter <= min(p.size_a, p.size_b)

@@ -1,0 +1,73 @@
+"""Streaming/batch equivalence: the same windowed aggregation computed
+by Structured Streaming micro-batches (complete mode) must equal the
+one-shot batch computation — the strongest correctness statement the
+streaming layer can make without a DuckDB oracle."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.sources import tables
+from event_streaming_service_spark.streaming import pipeline as sp
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ess-eq-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_smoke, tmpdir):
+    src = f"{tmpdir}/src"
+    ev = tables.load_table(spark, sf_smoke, "events")
+    # several files -> several micro-batches -> real incremental state
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = sp.read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = (stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("window.start").alias("ws"), "event_type", "n"))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("eq_stream").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.ws, r.event_type): r.n
+           for r in spark.sql("SELECT * FROM eq_stream").collect()}
+
+    batch = (ev.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+             .agg(F.count("*").alias("n"))
+             .select(F.col("window.start").alias("ws"), "event_type", "n"))
+    want = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_session_equals_batch_sessionize(spark, sf_smoke, tmpdir):
+    """Native streaming session_window vs the batch gaps-and-islands
+    operator: same session count and total events per user."""
+    src = f"{tmpdir}/src"
+    ev = tables.load_table(spark, sf_smoke, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = sp.read_event_stream(spark, src)
+    agg = (stream.groupBy(F.session_window("ts", "30 minutes"),
+                          F.col("user_id"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("eq_sess").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.sql("SELECT user_id, count(*) sessions, sum(n) events "
+                     "FROM eq_sess GROUP BY user_id"))
+    got_map = {r.user_id: (r.sessions, r.events) for r in got.collect()}
+
+    from event_streaming_service_spark.operators import windows
+
+    batch = windows.sessionize(ev, "user_id", "ts", 1_800_000, "event_id")
+    want = (batch.groupBy("user_id")
+            .agg(F.count("*").alias("sessions"),
+                 F.sum("n_events").alias("events")))
+    want_map = {r.user_id: (r.sessions, r.events) for r in want.collect()}
+    assert got_map == want_map
