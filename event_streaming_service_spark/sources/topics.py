@@ -90,8 +90,9 @@ class TopicCatalog:
 
     def list(self, include_internal: bool = False) -> list[str]:
         """P6: internal `_`-prefixed topics filtered, sorted
-        (TopicManagementService.java:141-144)."""
-        names = sorted(self._meta)
+        (TopicManagementService.java:141-144). Group-offset entries
+        (`__group::` keys) are catalog state, never topics."""
+        names = sorted(n for n in self._meta if not n.startswith("__group::"))
         if not include_internal:
             names = [n for n in names if not n.startswith("_")]
         return names
@@ -111,17 +112,73 @@ class TopicCatalog:
 
     # -- S1/S2 publish, S4 scan --
 
-    def publish(self, df: DataFrame, topic: str, key_col: str = "key") -> None:
-        """S1: keyed publish — hash the key onto the topic's partitions
-        and append; same key -> same partition -> per-key order (W2)."""
+    def publish(self, df: DataFrame, topic: str, key_col: str = "key",
+                order_col: str | None = None) -> None:
+        """S1: keyed publish — hash the key onto the topic's partitions,
+        assign dense per-partition offsets continuing from the current
+        log end, and append. Same key -> same partition -> per-key order
+        (W2); offsets make the log replayable by range (S6) and lag
+        measurable (A1) exactly like a Kafka partition.
+        """
+        from pyspark.sql import Window
+
         cfg = self.config(topic)
         n = cfg.partitions
         out = df.withColumn(
             "partition", F.pmod(F.abs(F.hash(F.col(key_col))), F.lit(n)))
+        # current log end per partition (empty/new topic -> base 0)
+        ends = None
+        try:
+            existing = self.scan(topic)
+            if "offset" in existing.columns:
+                ends = (existing.groupBy("partition")
+                        .agg((F.max("offset") + 1).alias("base")))
+        except Exception:
+            pass
+        order = [order_col] if order_col else []
+        w = Window.partitionBy("partition").orderBy(
+            *(order or [F.monotonically_increasing_id()]))
+        out = out.withColumn("__rn", F.row_number().over(w) - 1)
+        if ends is not None:
+            out = (out.join(F.broadcast(ends), "partition", "left")
+                   .withColumn("offset",
+                               (F.coalesce(F.col("base"), F.lit(0))
+                                + F.col("__rn")).cast("bigint"))
+                   .drop("base", "__rn"))
+        else:
+            out = out.withColumn("offset", F.col("__rn").cast("bigint")) \
+                     .drop("__rn")
         (out.repartition(n, "partition")
             .write.mode("append").partitionBy("partition")
             .option("compression", cfg.compression)
             .parquet(str(self.root / topic)))
+
+    # -- consumer-group offsets (A1 against the physical log) --
+
+    def commit_offsets(self, group_id: str, topic: str,
+                       offsets: dict[int, int]) -> None:
+        """Record a group's committed offset per partition
+        (the AdminClient listConsumerGroupOffsets state,
+        TopicManagementService.java:325-353)."""
+        key = f"__group::{topic}"
+        groups = self._meta.setdefault(key, {})
+        groups[group_id] = {str(p): int(o) for p, o in offsets.items()}
+        self._save()
+
+    def consumer_lag(self, topic: str) -> DataFrame:
+        """A1: lag = log-end offset - committed, per (group, partition)."""
+        key = f"__group::{topic}"
+        groups = self._meta.get(key, {})
+        rows = [(g, int(p), int(o)) for g, ps in groups.items()
+                for p, o in ps.items()]
+        committed = self.spark.createDataFrame(
+            rows, "group_id string, partition int, committed_offset long")
+        ends = (self.scan(topic).groupBy("partition")
+                .agg((F.max("offset") + 1).cast("bigint").alias("end_offset")))
+        return (committed.join(F.broadcast(ends), "partition")
+                .withColumn("lag", F.col("end_offset") - F.col("committed_offset"))
+                .select("group_id", "partition", "committed_offset",
+                        "end_offset", "lag"))
 
     def scan(self, topic: str) -> DataFrame:
         """S4: full-topic scan; partition pruning applies for S6 reads."""

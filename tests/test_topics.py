@@ -86,3 +86,38 @@ def test_delete_removes_topic(spark, catalog):
     assert "t4" in catalog.list()
     catalog.delete("t4")
     assert "t4" not in catalog.list()
+
+
+def test_publish_assigns_dense_continuing_offsets(spark, catalog):
+    catalog.create(tp.TopicConfig("log1", partitions=2))
+    df1 = spark.createDataFrame([(f"k{i}", i) for i in range(10)],
+                                "key string, v long")
+    catalog.publish(df1, "log1", order_col="v")
+    df2 = spark.createDataFrame([(f"k{i}", 100 + i) for i in range(6)],
+                                "key string, v long")
+    catalog.publish(df2, "log1", order_col="v")
+    back = catalog.scan("log1")
+    assert back.count() == 16
+    # offsets dense 0..n-1 within each partition, no gaps or dups
+    per = (back.groupBy("partition")
+           .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+                F.countDistinct("offset").alias("d")).collect())
+    for r in per:
+        assert (r.lo, r.hi, r.d) == (0, r.n - 1, r.n)
+
+
+def test_commit_offsets_and_lag(spark, catalog):
+    catalog.create(tp.TopicConfig("log2", partitions=2))
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(12)],
+                               "key string, v long")
+    catalog.publish(df, "log2", order_col="v")
+    sizes = {int(r.partition): r.n for r in
+             catalog.scan("log2").groupBy("partition")
+             .agg(F.count("*").alias("n")).collect()}
+    catalog.commit_offsets("g1", "log2", {p: 1 for p in sizes})
+    lag = {int(r.partition): r.lag for r in
+           catalog.consumer_lag("log2").collect()}
+    assert lag == {p: n - 1 for p, n in sizes.items()}
+    assert "log2" in catalog.list()          # group keys are not topics
+    assert all(not n.startswith("__group") for n in catalog.list(True))
