@@ -46,3 +46,25 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 dropDuplicatesWithinWatermark over the event stream."""
     return _run_stream(spark, sf_dir, sp.dedup_stream, "dedup")
+
+
+@register("streaming_continuous_rollup", oracle=None,
+          tags=("W8", "W9", "rollup", "streaming"))
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily rollup (hypertable-style
+    continuous aggregate): per-batch partial aggregation + per-window
+    partition overwrite; equality with the batch recomputation is
+    pytest-checked (tests/test_rollup.py)."""
+    import tempfile
+
+    from event_streaming_service_spark.streaming import rollup
+
+    tmp = tempfile.mkdtemp(prefix="ess-rollup-q-")
+    src = f"{tmp}/src"
+    tables.load_table(spark, sf_dir, "events").coalesce(2) \
+        .write.mode("overwrite").parquet(src)
+    q = rollup.start_continuous_rollup(
+        sp.read_event_stream(spark, src, max_files_per_trigger=1),
+        f"{tmp}/rollup", f"{tmp}/ckpt")
+    q.awaitTermination(300)
+    return rollup.read_rollup(spark, f"{tmp}/rollup")
