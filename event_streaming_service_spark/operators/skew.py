@@ -26,16 +26,23 @@ DEFAULT_SALT = 16
 
 def salted_sum_count(df: DataFrame, key_cols: list[str],
                      sum_cols: dict[str, Column],
-                     salt: int = DEFAULT_SALT) -> DataFrame:
+                     salt: int = DEFAULT_SALT,
+                     salt_cols: list[str] | None = None) -> DataFrame:
     """Two-phase salted aggregation for sum/count family aggregates.
 
     sum_cols maps output name -> the EXPRESSION to sum (exact integer /
     decimal expressions recommended; see functions/money.py).
+
+    The salt is derived from ROW CONTENT (`salt_cols`, default: every
+    column), never from monotonically_increasing_id or rand: a
+    nondeterministic grouping key re-salts rows to different reducers
+    when a task is retried after a shuffle-fetch failure, double-counting
+    or dropping them. xxhash64 of stable columns gives the same spread
+    and is replay-stable. Pass a unique column (e.g. event_id) as
+    salt_cols when one exists — hashing one column is cheaper than all.
     """
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]],
-                                    F.monotonically_increasing_id()),
-                         F.lit(salt)))
+    src = [F.col(c) for c in (salt_cols if salt_cols else df.columns)]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*src), F.lit(salt)))
     phase1 = (salted.groupBy(*key_cols, "__salt")
               .agg(F.count("*").alias("__n"),
                    *[F.sum(expr).alias(f"__s_{name}")

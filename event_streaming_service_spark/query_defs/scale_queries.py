@@ -28,7 +28,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — salting must be result-invisible."""
     ev = tables.load_table(spark, sf_dir, "events")
     return skew.salted_sum_count(
-        ev, ["event_type"], {"value_cents": cents("value")})
+        ev, ["event_type"], {"value_cents": cents("value")},
+        salt_cols=["event_id"])
 
 
 @register(

@@ -119,6 +119,18 @@ class TopicCatalog:
         log end, and append. Same key -> same partition -> per-key order
         (W2); offsets make the log replayable by range (S6) and lag
         measurable (A1) exactly like a Kafka partition.
+
+        Offset assignment is read-log-end-then-append, which is only
+        correct with ONE writer per topic at a time — the same contract
+        a Kafka partition leader enforces broker-side. A catalog lock
+        file serializes publishes that honor this API; it is an
+        in-process/advisory guard, not a distributed lock (at scale the
+        single-writer is the streaming sink's epoch, W9).
+
+        Ordering within the append is `order_col` when given, else ALL
+        columns — content-deterministic either way, so a retried/replayed
+        publish assigns every row the same offset (an earlier
+        monotonically_increasing_id fallback was scheduling-dependent).
         """
         from pyspark.sql import Window
 
@@ -126,32 +138,63 @@ class TopicCatalog:
         n = cfg.partitions
         out = df.withColumn(
             "partition", F.pmod(F.abs(F.hash(F.col(key_col))), F.lit(n)))
-        # current log end per partition (empty/new topic -> base 0)
-        ends = None
-        try:
-            existing = self.scan(topic)
-            if "offset" in existing.columns:
-                ends = (existing.groupBy("partition")
-                        .agg((F.max("offset") + 1).alias("base")))
-        except Exception:
-            pass
-        order = [order_col] if order_col else []
-        w = Window.partitionBy("partition").orderBy(
-            *(order or [F.monotonically_increasing_id()]))
-        out = out.withColumn("__rn", F.row_number().over(w) - 1)
-        if ends is not None:
-            out = (out.join(F.broadcast(ends), "partition", "left")
-                   .withColumn("offset",
-                               (F.coalesce(F.col("base"), F.lit(0))
-                                + F.col("__rn")).cast("bigint"))
-                   .drop("base", "__rn"))
-        else:
-            out = out.withColumn("offset", F.col("__rn").cast("bigint")) \
-                     .drop("__rn")
-        (out.repartition(n, "partition")
-            .write.mode("append").partitionBy("partition")
-            .option("compression", cfg.compression)
-            .parquet(str(self.root / topic)))
+        order = [order_col] if order_col else [
+            c for c in df.columns]  # total, content-based order
+        with self._publish_lock(topic):
+            # current log end per partition (empty/new topic -> base 0)
+            ends = None
+            try:
+                existing = self.scan(topic)
+                if "offset" in existing.columns:
+                    ends = (existing.groupBy("partition")
+                            .agg((F.max("offset") + 1).alias("base")))
+            except Exception:
+                pass
+            w = Window.partitionBy("partition").orderBy(*order)
+            out = out.withColumn("__rn", F.row_number().over(w) - 1)
+            if ends is not None:
+                out = (out.join(F.broadcast(ends), "partition", "left")
+                       .withColumn("offset",
+                                   (F.coalesce(F.col("base"), F.lit(0))
+                                    + F.col("__rn")).cast("bigint"))
+                       .drop("base", "__rn"))
+            else:
+                out = out.withColumn("offset", F.col("__rn").cast("bigint")) \
+                         .drop("__rn")
+            (out.repartition(n, "partition")
+                .write.mode("append").partitionBy("partition")
+                .option("compression", cfg.compression)
+                .parquet(str(self.root / topic)))
+
+    def _publish_lock(self, topic: str, timeout_s: float = 60.0):
+        """Advisory single-writer lock per topic (O_CREAT|O_EXCL)."""
+        import contextlib
+        import os
+        import time
+
+        path = self.root / f"_lock_{topic.replace('/', '_')}"
+
+        @contextlib.contextmanager
+        def lock():
+            deadline = time.monotonic() + timeout_s
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"publish lock held for {topic}; single-writer "
+                            "contract violated or stale lock at "
+                            f"{path}") from None
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(path)
+
+        return lock()
 
     # -- consumer-group offsets (A1 against the physical log) --
 

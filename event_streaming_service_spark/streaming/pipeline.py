@@ -117,7 +117,12 @@ def consume_to_tables(stream: DataFrame, main_dir: str, dlq_dir: str,
                  .withColumn("topic", F.concat(F.lit("nnipa.events."),
                                                F.col("event_type"))),
             "event_key", "ts", now)
-        out = valid.dropDuplicates(["event_id"])
+        # deterministic first-wins (bare dropDuplicates keeps a
+        # scheduling-dependent survivor, so a replayed batch could
+        # rewrite its directory with different rows — breaking the
+        # idempotent-by-batch_id property this sink advertises)
+        out = batch_pipeline.dedup_earliest(valid, ["event_id"],
+                                            ["ts", "event_id"])
         if process is not None:
             out = process(out)
         (out.write.mode("overwrite")

@@ -5,16 +5,24 @@ maintained incrementally as micro-batches arrive, instead of
 recomputing the whole history. Each foreachBatch:
 
   1. aggregates ONLY the new batch to per-window partials,
-  2. determines which windows the batch touched,
-  3. re-aggregates just those windows from (existing partials + new
-     partials) and overwrites their partitions.
+  2. writes those partials under (window_start, batch_id) partitions
+     with dynamic partition overwrite.
 
-Writes are partitioned by window and replaced per window
-(partitionOverwriteMode=dynamic), so a replayed batch converges to the
-same state — idempotent like the W9 sinks. At 100 TB the work per
-trigger is proportional to the data ARRIVING, not the table size; old
-windows are never touched once their data stops arriving (late data
-within the watermark updates exactly the windows it lands in).
+Because the partials are scoped by batch_id, a replayed micro-batch
+(failure after the parquet write but before the checkpoint commit)
+overwrites exactly its OWN previous partitions and nothing else — the
+merge is idempotent by construction, never additive, so no batch can be
+double-counted. This is stronger than a read-merge-overwrite loop,
+whose replay would re-merge partials that the crashed attempt already
+merged.
+
+`read_rollup` folds the partials with a final (tiny) aggregate; counts
+and sums are associative so partial + final equals the one-shot batch
+aggregate. `compact_rollup` periodically collapses the accumulated
+partials back to one row per window (same policy as any log-structured
+aggregate table). At 100 TB the work per trigger is proportional to the
+data ARRIVING, not the table size; old windows are never touched once
+their data stops arriving.
 """
 
 from __future__ import annotations
@@ -44,29 +52,21 @@ def _window_partials(batch: DataFrame) -> DataFrame:
 
 def start_continuous_rollup(stream: DataFrame, rollup_dir: str,
                             checkpoint_dir: str) -> StreamingQuery:
-    """Maintain `rollup_dir` (partitioned by window_start) incrementally."""
+    """Maintain `rollup_dir` (partitioned by window_start, batch_id)
+    incrementally; idempotent under micro-batch replay (see module doc)."""
 
     def update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        new_partials = _window_partials(batch).cache()
-        touched = [r.window_start for r in
-                   new_partials.select("window_start").distinct().collect()]
-        if not touched:
-            return
-        try:
-            existing = spark.read.parquet(rollup_dir).filter(
-                F.col("window_start").isin(touched))
-        except Exception:
-            existing = None
-        merged = new_partials if existing is None else (
-            existing.unionByName(new_partials)
-            .groupBy("window_start", "event_type")
-            .agg(F.sum("n").alias("n"),
-                 F.sum("value_cents").alias("value_cents")))
+        partials = (_window_partials(batch)
+                    .withColumn("batch_id", F.lit(batch_id)))
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (merged.write.mode("overwrite").partitionBy("window_start")
+            # dynamic overwrite replaces only the (window, batch_id)
+            # partitions present in THIS batch: replay of batch N swaps
+            # in an identical copy of its own output — never a re-merge
+            (partials.write.mode("overwrite")
+             .partitionBy("window_start", "batch_id")
              .parquet(rollup_dir))
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -76,5 +76,30 @@ def start_continuous_rollup(stream: DataFrame, rollup_dir: str,
             .trigger(availableNow=True).start())
 
 
+def _fold(partials: DataFrame) -> DataFrame:
+    return (partials.groupBy("window_start", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("value_cents").alias("value_cents")))
+
+
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
-    return spark.read.parquet(rollup_dir)
+    """The rollup view: final fold over per-batch partials. The fold
+    groups on the partition column, so partition pruning still serves
+    single-window reads before the (tiny) aggregate."""
+    return _fold(spark.read.parquet(rollup_dir))
+
+
+def compact_rollup(spark: SparkSession, rollup_dir: str) -> None:
+    """Collapse accumulated partials to one row per (window, type),
+    re-tagged as batch_id=-1 partitions. Run between triggers (the
+    single-writer maintenance window, like any log-structured table's
+    compaction); readers see the same fold before and after."""
+    compacted = (_fold(spark.read.parquet(rollup_dir))
+                 .withColumn("batch_id", F.lit(-1)))
+    tmp = rollup_dir.rstrip("/") + "_compact_tmp"
+    (compacted.write.mode("overwrite")
+     .partitionBy("window_start", "batch_id").parquet(tmp))
+    import shutil
+
+    shutil.rmtree(rollup_dir)
+    shutil.move(tmp, rollup_dir)

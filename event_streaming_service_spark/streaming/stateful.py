@@ -26,7 +26,7 @@ from event_streaming_service_spark.streaming.pipeline import EVENT_SCHEMA
 
 IDEMPOTENCY_TTL_S = 3600  # BaseEventConsumer.java:43-47
 
-_STATE_SCHEMA = "seen byte"  # minimal marker; presence IS the state
+_STATE_SCHEMA = "first_seen_ms long"  # wall-clock admit time of the key
 
 
 def dedup_with_ttl(stream: DataFrame,
@@ -46,13 +46,25 @@ def dedup_with_ttl(stream: DataFrame,
 
     def dedup_fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
+        import time
+
         if state.hasTimedOut:
             state.remove()
             return
         batches = [pdf for pdf in pdfs]
         if state.exists:
-            return  # duplicate within TTL -> drop everything
-        state.update((1,))
+            # duplicate within TTL -> drop everything. Each invocation
+            # CLEARS the previously-registered timeout, so the timer
+            # must be re-armed here with the REMAINING ttl (measured
+            # from the stored first-seen wall clock) or the key's state
+            # would never expire — the Redis contract is expiry at
+            # first_seen + TTL regardless of how many duplicates land.
+            if ttl_ms is not None:
+                (first_seen_ms,) = state.get
+                remaining = first_seen_ms + ttl_ms - int(time.time() * 1000)
+                state.setTimeoutDuration(max(1, remaining))
+            return
+        state.update((int(time.time() * 1000),))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         first = min(

@@ -53,6 +53,41 @@ def test_incremental_rollup_equals_batch(spark, sf_smoke, tmpdir):
     assert got == want
 
 
+def test_rollup_replayed_batches_do_not_double_count(spark, sf_smoke, tmpdir):
+    """Failure after the parquet write but before the checkpoint commit
+    replays the micro-batch. Deleting the checkpoint replays EVERY batch
+    over the already-written output — the worst case of that scenario —
+    and the totals must not change (the old additive merge doubled them)."""
+    src = f"{tmpdir}/src"
+    ev = tables.load_table(spark, sf_smoke, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    for _ in range(2):
+        q = rollup.start_continuous_rollup(
+            sp.read_event_stream(spark, src, max_files_per_trigger=1),
+            f"{tmpdir}/rollup", f"{tmpdir}/ckpt")
+        q.awaitTermination(180)
+        shutil.rmtree(f"{tmpdir}/ckpt")  # lose the commit -> full replay
+    total = (rollup.read_rollup(spark, f"{tmpdir}/rollup")
+             .agg(F.sum("n").alias("s")).first().s)
+    assert total == ev.count()
+
+
+def test_rollup_compaction_preserves_view(spark, sf_smoke, tmpdir):
+    src = f"{tmpdir}/src"
+    ev = tables.load_table(spark, sf_smoke, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    q = rollup.start_continuous_rollup(
+        sp.read_event_stream(spark, src, max_files_per_trigger=1),
+        f"{tmpdir}/rollup", f"{tmpdir}/ckpt")
+    q.awaitTermination(180)
+    before = sorted((r.window_start, r.event_type, r.n, r.value_cents)
+                    for r in rollup.read_rollup(spark, f"{tmpdir}/rollup").collect())
+    rollup.compact_rollup(spark, f"{tmpdir}/rollup")
+    after = sorted((r.window_start, r.event_type, r.n, r.value_cents)
+                   for r in rollup.read_rollup(spark, f"{tmpdir}/rollup").collect())
+    assert before == after
+
+
 def test_rollup_restart_is_idempotent(spark, sf_smoke, tmpdir):
     src = f"{tmpdir}/src"
     ev = tables.load_table(spark, sf_smoke, "events")
