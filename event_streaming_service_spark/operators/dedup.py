@@ -83,18 +83,38 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(docs: DataFrame, threshold: float,
                   id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
+                  n: int = 3,
+                  hot_shingle_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold).
 
     inter = |A ∩ B| from a self-equi-join on shingle; |A ∪ B| by
     inclusion-exclusion. The join key is the shingle, so co-occurrence
     is computed shuffle-once; no cross product ever materializes.
 
+    `hot_shingle_cap`: drop shingles whose document frequency exceeds
+    the cap BEFORE the self-join. A shingle shared by d documents emits
+    d·(d-1)/2 join rows, so one boilerplate trigram in 1M docs alone
+    creates ~5·10^11 pairs — the cap bounds the join fan-out at
+    cap·(cap-1)/2 per shingle. The filter is applied consistently to
+    both the intersection AND the set sizes, so the result is the exact
+    Jaccard over the capped shingle space (the standard near-dup
+    practice: ubiquitous shingles are boilerplate and carry no
+    dedup signal; a pair whose similarity relied on them alone was a
+    false near-dup to begin with). With cap=None semantics are the
+    classic unfiltered Jaccard. The doc-frequency window partitions on
+    `shingle` — the same key the self-join hashes on, so the capping
+    exchange is reused, not added.
+
     The shingle set feeds three consumers (both join sides + sizes), so
     it is cached (MEMORY_AND_DISK — spills, never OOMs) instead of
     being re-derived from the text three times.
     """
-    sets_ = shingle_sets(docs, id_col, text_col, n).cache()
+    sets_ = shingle_sets(docs, id_col, text_col, n)
+    if hot_shingle_cap is not None:
+        w = Window.partitionBy("shingle")
+        sets_ = (sets_.withColumn("__df", F.count("*").over(w))
+                 .filter(F.col("__df") <= hot_shingle_cap).drop("__df"))
+    sets_ = sets_.cache()
     sizes = sets_.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a, b = sets_.alias("a"), sets_.alias("b")
     inter = (

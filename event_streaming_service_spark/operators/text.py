@@ -22,15 +22,24 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def fan_out(df: DataFrame, partitions: int | None = None,
+            by: list[str] | None = None) -> DataFrame:
     """Repartition a narrow input BEFORE a row-multiplying op (explode,
     shingle, per-token hashing). Fixture files are single-row-group
     parquet, so without this the explode and its partial aggregate run
     on ONE core; the upfront shuffle of a few thousand narrow rows is
     noise, the 32x parallel explode is not. On a real multi-row-group
     table the scan already parallelizes and this becomes a cheap no-op
-    rebalance (AQE coalesces it)."""
+    rebalance (AQE coalesces it).
+
+    Pass `by` to hash-partition on those columns instead of round-robin:
+    downstream groupBys/windows whose keys INCLUDE these columns then
+    reuse the exchange (HashPartitioning on a subset of the clustering
+    keys satisfies the required distribution), turning a 4-shuffle
+    pipeline into a 1-shuffle one."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
     return df.repartition(n)
 
 

@@ -207,18 +207,31 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure DataFrame ops — CountVectorizer/IDF without MLlib buffers."""
     docs = (tables.load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 50))
-    tok = text.fan_out(docs).select(
+    # hash fan-out on doc_id: the (doc_id, tok) groupBy, the doc_len
+    # window, and the final rank window all reuse this one exchange
+    tok = text.fan_out(docs, by=["doc_id"]).select(
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    # tf feeds THREE consumers (doc_freq, n_docs, the scoring join):
+    # uncached, the tokenize+explode+count subtree runs three times
     tf = (tok.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
           .withColumn("doc_len",
                       F.sum("cnt").over(Window.partitionBy("doc_id"))))
-    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (tf.join(df_, "tok").crossJoin(F.broadcast(n_docs))
+    tf = tf.cache()
+    # tf is distinct per (doc_id, tok), so COUNT(*) == COUNT(DISTINCT
+    # doc_id) — a plain hash agg instead of a distinct-expand double
+    # exchange
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("doc_freq"))
+    # one global scalar: collect it rather than cross-joining a
+    # broadcast single-row frame (a scalar reduce is cluster-cheap at
+    # any scale; the crossJoin variant costs an extra broadcast job)
+    n_docs = tf.select("doc_id").distinct().count()
+    # doc_freq is tiny after aggregation — broadcast instead of
+    # shuffling the full tf side on tok
+    scored = (tf.join(F.broadcast(df_), "tok")
               .withColumn(
                   "tfidf",
                   F.round(F.col("cnt") * 1.0 / F.col("doc_len")
-                          * F.log(F.col("n_docs") * 1.0 / F.col("doc_freq")), 6)))
+                          * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= 3)

@@ -12,6 +12,10 @@ from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
 
 JACCARD_THRESHOLD = 0.5
+# Drop shingles shared by more than this many docs before the pair join
+# (boilerplate carries no dedup signal; fan-out is bounded at
+# cap*(cap-1)/2 rows per shingle). 64 ~= 13% of the sf0.01 corpus.
+HOT_SHINGLE_CAP = 64
 
 # ---- shared SQL fragments (exact twins of operators/dedup.py) ----
 
@@ -28,11 +32,26 @@ shingle_sets AS (
 )
 """
 
-_JACCARD = _SHINGLES + """,
-set_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingle_sets GROUP BY doc_id),
+def _jaccard_sql(cap: int | None = None) -> str:
+    """Jaccard CTE chain; with `cap`, the identical doc-frequency filter
+    operators/dedup.jaccard_pairs applies (both inter AND sizes)."""
+    if cap is None:
+        capped, src = "", "shingle_sets"
+    else:
+        capped = f""",
+shingle_sets_capped AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM shingle_sets)
+    WHERE df <= {cap}
+)"""
+        src = "shingle_sets_capped"
+    return _SHINGLES + capped + f""",
+set_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM {src} GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-    FROM shingle_sets a JOIN shingle_sets b
+    FROM {src} a JOIN {src} b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
@@ -43,6 +62,9 @@ jac AS (
                JOIN set_sizes sb ON doc_b = sb.doc_id
 )
 """
+
+
+_JACCARD = _jaccard_sql(None)
 
 
 def _minhash_sql_body() -> str:
@@ -95,7 +117,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_shingle_jaccard",
-    oracle="WITH " + _JACCARD + f"""
+    oracle="WITH " + _jaccard_sql(HOT_SHINGLE_CAP) + f"""
     SELECT doc_a, doc_b, inter, size_a, size_b, jaccard
     FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
@@ -103,8 +125,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard near-duplicate pairs (>= 0.5) —
-    the ground truth the LSH pipeline approximates."""
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+    the ground truth the LSH pipeline approximates. Runs with the
+    hot-shingle doc-frequency cap that bounds join fan-out on real
+    corpora (the oracle applies the identical cap)."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD,
+                               hot_shingle_cap=HOT_SHINGLE_CAP)
 
 
 @register(

@@ -206,3 +206,36 @@ def test_approx_distinct_within_bounds(spark, sf_oracle):
     rows = REGISTRY["approx_distinct_users"].builder(spark, sf_oracle).collect()
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+
+
+def test_jaccard_hot_shingle_cap_bounds_fanout(spark):
+    """One boilerplate shingle shared by every doc must not create
+    all-pairs join rows once capped. Docs: unique bodies + one shared
+    trigram; only the planted near-dup pair is genuinely similar."""
+    boiler = "terms of service apply"
+    docs = []
+    for i in range(40):
+        docs.append((i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d"))
+    # planted near-dup pair 100/101: same body, one token differs
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs += [(100, f"{boiler} {body}"), (101, f"{boiler} {body.replace('iota', 'iota2')}")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = dedup.jaccard_pairs(df, 0.0).collect()
+    capped = dedup.jaccard_pairs(df, 0.0, hot_shingle_cap=10).collect()
+    # boilerplate links every doc pair without the cap...
+    assert len(uncapped) == 42 * 41 // 2
+    # ...and only genuinely-overlapping pairs with it
+    assert len(capped) < len(uncapped) / 10
+    top = {(p.doc_a, p.doc_b) for p in capped if p.jaccard >= 0.5}
+    assert top == {(100, 101)}
+
+
+def test_jaccard_cap_noop_when_no_hot_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four six"),
+         (3, "seven eight nine ten eleven")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, dedup.jaccard_pairs(df, 0.0).collect()))
+    b = sorted(map(tuple, dedup.jaccard_pairs(df, 0.0, hot_shingle_cap=100).collect()))
+    assert a == b
