@@ -40,6 +40,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk_frame(qids, sims, cids, k):
+    """Per-query top-k of one scored block, ties broken on neighbor id."""
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    for i in range(len(qids)):
+        mask = cids != qids[i]
+        order = np.lexsort((cids[mask], -sims[i][mask]))[:k]
+        out.append(pd.DataFrame({
+            "query_id": qids[i], "neighbor_id": cids[mask][order],
+            "cosine": sims[i][mask][order]}))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return pd.concat(out, ignore_index=True)
+
+
+def _with_tile(df: DataFrame, n_tiles: int, id_col: str,
+               vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
+    """Deterministic tile assignment by id hash (content-stable under
+    retries, uniform for any id distribution)."""
+    return df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)).cast("int")
+         .alias("tile"),
+        F.col(id_col).alias(id_alias),
+        as_double(F.col(vec_col)).alias(vec_alias))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 max_broadcast_rows: int = 200_000) -> DataFrame:
@@ -48,53 +86,77 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     before ranking so order (and the driver hash) is immune to last-ulp
     float noise; ties break on corpus id.
 
-    Same BLAS kernel as cosine_near_dup_pairs: broadcast corpus matrix,
-    one matmul per Arrow batch, per-row top-k by (-cosine, neighbor_id)
-    — the F.aggregate fold is interpreted per element and ~40x slower.
-    Corpora beyond one broadcast tile: per-tile top-k then a global
-    re-rank of k*n_tiles candidates (same kernel, bounded memory).
+    Two physical strategies, same exact result:
+
+    * corpus fits one broadcast tile — collect it into a float64
+      matrix, broadcast, one BLAS matmul per Arrow batch of queries
+      (the F.aggregate fold is interpreted per element, ~40x slower);
+    * larger corpora — DISTRIBUTED block nested loop: corpus rows hash
+      into ceil(n/max_broadcast_rows) tiles, queries replicate per
+      tile, and each (tile corpus x tile queries) group runs the same
+      matmul kernel inside a cogrouped applyInPandas; a global window
+      re-ranks the k*n_tiles candidates per query. No driver collect,
+      no broadcast — per-task memory is one tile, parallelism is
+      n_tiles, and the exact top-k is preserved because every global
+      top-k member wins its own tile.
     """
     import numpy as np
-    import pandas as pd
 
-    rows = (corpus.select(id_col, as_double(F.col(vec_col)).alias("v"))
-            .orderBy(id_col).collect())
-    if len(rows) > max_broadcast_rows:
-        raise ValueError("corpus exceeds single-tile broadcast bound; "
-                         "tile per docstring")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    spark = corpus.sparkSession
-    b = spark.sparkContext.broadcast((ids, mat, norms))
+    n_corpus = corpus.count()
+    q = queries.select(F.col(id_col).alias("qid"),
+                       as_double(F.col(vec_col)).alias("qv"))
 
-    def score(batches):
-        cids, cmat, cnorms = b.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            qids = pdf["qid"].to_numpy()
-            qnorms = np.sqrt((q * q).sum(axis=1))
-            sims = np.round((q @ cmat.T) / np.outer(qnorms, cnorms), 6)
-            out = []
-            for i in range(len(qids)):
-                mask = cids != qids[i]
-                order = np.lexsort((cids[mask], -sims[i][mask]))[:k]
-                sel_ids = cids[mask][order]
-                sel_sims = sims[i][mask][order]
-                out.append(pd.DataFrame({
-                    "query_id": qids[i], "neighbor_id": sel_ids,
-                    "cosine": sel_sims,
-                    "rank": np.arange(1, len(sel_ids) + 1, dtype=np.int32)}))
-            yield pd.concat(out, ignore_index=True)
+    if n_corpus <= max_broadcast_rows:
+        rows = (corpus.select(id_col, as_double(F.col(vec_col)).alias("v"))
+                .orderBy(id_col).collect())
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        spark = corpus.sparkSession
+        b = spark.sparkContext.broadcast((ids, mat, norms))
 
-    from event_streaming_service_spark.operators.text import fan_out
+        def score(batches):
+            cids, cmat, cnorms = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qm = np.array(list(pdf["qv"]), dtype=np.float64)
+                qids = pdf["qid"].to_numpy()
+                qnorms = np.sqrt((qm * qm).sum(axis=1))
+                sims = np.round((qm @ cmat.T) / np.outer(qnorms, cnorms), 6)
+                frame = _topk_frame(qids, sims, cids, k)
+                # whole corpus in one tile -> per-query rank is already
+                # final; no rerank shuffle needed
+                frame["rank"] = frame.groupby("query_id").cumcount() + 1
+                frame["rank"] = frame["rank"].astype("int32")
+                yield frame
 
-    q_side = fan_out(queries.select(F.col(id_col).alias("qid"),
-                                    as_double(F.col(vec_col)).alias("v")))
-    return q_side.mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double, rank int")
+        from event_streaming_service_spark.operators.text import fan_out
+
+        return fan_out(q).mapInPandas(
+            score, "query_id long, neighbor_id long, cosine double, rank int")
+
+    n_tiles = -(-n_corpus // max_broadcast_rows)
+    c = _with_tile(corpus, n_tiles, id_col, vec_col, "cid", "cv")
+    qx = q.withColumn(
+        "tile", F.explode(F.sequence(F.lit(0), F.lit(int(n_tiles) - 1))))
+
+    def score_tile(cpdf, qpdf):
+        if not len(cpdf) or not len(qpdf):
+            return _topk_frame([], None, None, k)
+        cids = cpdf["cid"].to_numpy()
+        cmat = np.array(list(cpdf["cv"]), dtype=np.float64)
+        cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+        qm = np.array(list(qpdf["qv"]), dtype=np.float64)
+        qids = qpdf["qid"].to_numpy()
+        qnorms = np.sqrt((qm * qm).sum(axis=1))
+        sims = np.round((qm @ cmat.T) / np.outer(qnorms, cnorms), 6)
+        return _topk_frame(qids, sims, cids, k)
+
+    scored = (c.groupBy("tile").cogroup(qx.groupBy("tile"))
+              .applyInPandas(score_tile,
+                             "query_id long, neighbor_id long, cosine double"))
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -179,61 +241,97 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float,
     — and a cross join would ship both vectors per pair; here only ids
     and above-threshold cosines ever materialize.
 
-    At 100 TB the corpus side is block-partitioned (tile the matrix,
-    one broadcast per tile, union the tiles) — same kernel, bounded
-    memory; max_broadcast_rows guards the single-tile assumption.
-    The LSH/IVF buckets above remain the sub-quadratic candidate path.
+    Beyond one broadcast tile the corpus is block-partitioned
+    DISTRIBUTED: rows hash into ceil(n/max_broadcast_rows) tiles, the
+    probe side replicates per tile, and each (tile x probe-block) runs
+    the same matmul kernel in a cogrouped applyInPandas — no driver
+    collect, per-task memory bounded by one tile. Every (a, b) pair is
+    scored exactly once (b's tile is unique). This is the exactness
+    baseline's honest scale shape — O(n^2) work split into n_tiles
+    independent blocks; the LSH/IVF buckets above remain the
+    sub-quadratic candidate path.
     """
     import numpy as np
     import pandas as pd
 
-    rows = (vectors.select(id_col, as_double(F.col(vec_col)).alias("v"))
-            .orderBy(id_col).collect())
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"corpus {len(rows)} rows exceeds single-tile broadcast bound; "
-            "tile the corpus (see docstring)")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    spark = vectors.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
-
-    def score(batches):
-        cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            qids = pdf["qid"].to_numpy()
-            qnorms = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ cmat.T) / np.outer(qnorms, cnorms)
-            sims = np.round(sims, 6)
-            qi, ci = np.nonzero((sims >= threshold)
-                                & (qids[:, None] < cids[None, :]))
-            yield pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci],
-                                "cosine": sims[qi, ci]})
-
+    n_rows = vectors.count()
     from event_streaming_service_spark.operators.text import fan_out
 
-    # single-row-group fixture files would feed ONE Arrow stream / one
-    # Python worker; rebalance so every core runs the matmul kernel
-    q_side = fan_out(vectors.select(F.col(id_col).alias("qid"),
-                                    as_double(F.col(vec_col)).alias("v")))
-    return q_side.mapInPandas(score, "id_a long, id_b long, cosine double")
+    if n_rows <= max_broadcast_rows:
+        rows = (vectors.select(id_col, as_double(F.col(vec_col)).alias("v"))
+                .orderBy(id_col).collect())
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        spark = vectors.sparkSession
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+        b_norms = spark.sparkContext.broadcast(norms)
+
+        def score(batches):
+            cids, cmat, cnorms = b_ids.value, b_mat.value, b_norms.value
+            for pdf in batches:
+                q = np.array(list(pdf["v"]), dtype=np.float64)
+                qids = pdf["qid"].to_numpy()
+                qnorms = np.sqrt((q * q).sum(axis=1))
+                sims = (q @ cmat.T) / np.outer(qnorms, cnorms)
+                sims = np.round(sims, 6)
+                qi, ci = np.nonzero((sims >= threshold)
+                                    & (qids[:, None] < cids[None, :]))
+                yield pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci],
+                                    "cosine": sims[qi, ci]})
+
+        # single-row-group fixture files would feed ONE Arrow stream /
+        # one Python worker; rebalance so every core runs the kernel
+        q_side = fan_out(vectors.select(F.col(id_col).alias("qid"),
+                                        as_double(F.col(vec_col)).alias("v")))
+        return q_side.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+    n_tiles = -(-n_rows // max_broadcast_rows)
+    c = _with_tile(vectors, n_tiles, id_col, vec_col, "cid", "cv")
+    probes = (vectors.select(F.col(id_col).alias("qid"),
+                             as_double(F.col(vec_col)).alias("qv"))
+              .withColumn("tile",
+                          F.explode(F.sequence(F.lit(0),
+                                               F.lit(int(n_tiles) - 1)))))
+
+    def score_tile(cpdf, qpdf):
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if not len(cpdf) or not len(qpdf):
+            return empty
+        cids = cpdf["cid"].to_numpy()
+        cmat = np.array(list(cpdf["cv"]), dtype=np.float64)
+        cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+        qm = np.array(list(qpdf["qv"]), dtype=np.float64)
+        qids = qpdf["qid"].to_numpy()
+        qnorms = np.sqrt((qm * qm).sum(axis=1))
+        sims = np.round((qm @ cmat.T) / np.outer(qnorms, cnorms), 6)
+        qi, ci = np.nonzero((sims >= threshold)
+                            & (qids[:, None] < cids[None, :]))
+        return pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci],
+                             "cosine": sims[qi, ci]})
+
+    return (c.groupBy("tile").cogroup(probes.groupBy("tile"))
+            .applyInPandas(score_tile, "id_a long, id_b long, cosine double"))
 
 
 def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                     n_cells: int = 16, n_probe: int = 4,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    lloyd_rounds: int = 1) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest centroid cell once; a query probes its
     n_probe nearest cells and reranks exactly inside them.
 
-    Centroids are the first n_cells corpus vectors (deterministic "init
-    step" of k-means — one Lloyd round would refine them with the same
-    plan shape: broadcast centroids, argmin assign, mean per cell).
+    Centroid init is the first n_cells corpus vectors (deterministic),
+    refined by `lloyd_rounds` k-means passes: broadcast centroids,
+    argmax-cosine assign, element-wise mean per cell (posexplode +
+    (cell, pos) hash agg — all JVM-side, one shuffle per round, same
+    plan shape at any corpus size). Refined centroids balance the cells,
+    which is what recall rides on.
     Probe cost at scale: n_probe/n_cells of the corpus per query, as an
     equi-join on cell id — no cross product.
     """
@@ -241,6 +339,27 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
              .select(F.monotonically_increasing_id().alias("cell"),
                      as_double(F.col(vec_col)).alias("centroid")))
     cents = F.broadcast(cents)
+
+    for _ in range(lloyd_rounds):
+        av = corpus.select(as_double(F.col(vec_col)).alias("v"))
+        w_assign = Window.partitionBy("__rid").orderBy(
+            F.col("sim").desc(), F.col("cell"))
+        assigned = (
+            av.withColumn("__rid", F.xxhash64(F.col("v").cast("string")))
+            .crossJoin(cents)
+            .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+            .withColumn("rnk", F.row_number().over(w_assign))
+            .filter(F.col("rnk") == 1)
+            .select("cell", "v"))
+        per_dim = (assigned
+                   .select("cell", F.posexplode("v").alias("pos", "x"))
+                   .groupBy("cell", "pos").agg(F.avg("x").alias("m")))
+        cents = (per_dim.groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cell",
+                         F.transform("pm", lambda s: s["m"]).alias("centroid")))
+        cents = F.broadcast(cents)
 
     def assign(df, vec, keep, n_cells_kept):
         scored = (df.crossJoin(cents)

@@ -178,7 +178,9 @@ def test_ivf_recall_vs_brute_force(spark, sf_oracle):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.2, f"IVF recall too low: {recall}"
+    # with one Lloyd refinement round the observed recall is ~0.9;
+    # 0.6 leaves margin for fixture regeneration
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
 def test_rule_fanout_branches(spark):
@@ -239,3 +241,28 @@ def test_jaccard_cap_noop_when_no_hot_shingles(spark):
     a = sorted(map(tuple, dedup.jaccard_pairs(df, 0.0).collect()))
     b = sorted(map(tuple, dedup.jaccard_pairs(df, 0.0, hot_shingle_cap=100).collect()))
     assert a == b
+
+
+def test_cosine_topk_tiled_equals_broadcast(spark, sf_oracle):
+    """Forcing the corpus over the broadcast bound must switch to the
+    distributed tiled path and return the IDENTICAL exact top-k."""
+    from event_streaming_service_spark.sources import tables
+
+    emb = tables.load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    single = sorted(map(tuple, similarity.cosine_topk(queries, emb, 5).collect()))
+    tiled = sorted(map(tuple, similarity.cosine_topk(
+        queries, emb, 5, max_broadcast_rows=150).collect()))
+    assert len(single) == 40
+    assert tiled == single
+
+
+def test_cosine_near_dup_tiled_equals_broadcast(spark, sf_oracle):
+    from event_streaming_service_spark.sources import tables
+
+    emb = tables.load_table(spark, sf_oracle, "embeddings")
+    single = sorted(map(tuple, similarity.cosine_near_dup_pairs(emb, 0.35).collect()))
+    tiled = sorted(map(tuple, similarity.cosine_near_dup_pairs(
+        emb, 0.35, max_broadcast_rows=150).collect()))
+    assert len(single) > 0
+    assert tiled == single
