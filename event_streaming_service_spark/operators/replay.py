@@ -75,13 +75,16 @@ def replay_time_range(events_coords: DataFrame, from_ts: str, to_ts: str,
 
 def replay_offset_range(events_coords: DataFrame, partition: int,
                         from_offset: int, to_offset: int,
-                        replay_ts: str) -> DataFrame:
+                        replay_ts: str, topic: str | None = None) -> DataFrame:
     """S6: offset-range replay — `assign + seek(from)` poll loop until
-    `offset > toOffset` (EventReplayService.java:152-207)."""
-    out = events_coords.filter(
-        (F.col("partition") == partition)
-        & F.col("offset").between(from_offset, to_offset))
-    return with_provenance(out, replay_ts)
+    `offset > toOffset` (EventReplayService.java:152-207). The seek is
+    on a TopicPartition, so pass `topic` to scope the range to one log
+    (None = every topic's partition, for cross-topic sweeps)."""
+    pred = ((F.col("partition") == partition)
+            & F.col("offset").between(from_offset, to_offset))
+    if topic is not None:
+        pred = pred & (F.col("topic") == topic)
+    return with_provenance(events_coords.filter(pred), replay_ts)
 
 
 def offset_probe(events_coords: DataFrame) -> DataFrame:

@@ -41,17 +41,20 @@ def davg(col: str) -> F.Column:
 
 
 def consumer_lag(consumer_offsets: DataFrame, end_offsets: DataFrame) -> DataFrame:
-    """A1: lag = end_offset - committed_offset per (group, partition).
+    """A1: lag = end_offset - committed_offset per (group, topic,
+    partition) — the reference's lag map is keyed by TopicPartition
+    (topic AND partition), never partition alone.
 
     Reference computes this with a per-entry map lookup
     (TopicManagementService.java:329-345); here it is a broadcast hash
-    join on the partition key.
+    join on the (topic, partition) key.
     """
     return (
         consumer_offsets
-        .join(F.broadcast(end_offsets), "partition", "inner")
+        .join(F.broadcast(end_offsets), ["topic", "partition"], "inner")
         .withColumn("lag", (F.col("end_offset") - F.col("committed_offset")).cast("bigint"))
-        .select("group_id", "partition", "committed_offset", "end_offset", "lag")
+        .select("group_id", "topic", "partition", "committed_offset",
+                "end_offset", "lag")
     )
 
 
@@ -160,9 +163,10 @@ def top_lagging(lag_df: DataFrame, k: int = 3) -> DataFrame:
     Window row_number (not orderBy+limit) so the same operator works
     per-group and in streaming micro-batches.
     """
-    w = Window.partitionBy("group_id").orderBy(F.col("lag").desc(), F.col("partition"))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("lag").desc(), F.col("topic"), F.col("partition"))
     return (
         lag_df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("group_id", "partition", "lag", "rank")
+        .select("group_id", "topic", "partition", "lag", "rank")
     )

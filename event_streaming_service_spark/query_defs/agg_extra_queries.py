@@ -30,7 +30,7 @@ def _lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag_table AS (
         SELECT co.group_id, CAST(eo.end_offset - co.committed_offset AS BIGINT)
                    AS lag
-        FROM consumer_offsets co JOIN end_offsets eo USING ("partition")
+        FROM consumer_offsets co JOIN end_offsets eo USING (topic, "partition")
     )
     SELECT group_id, CAST(SUM(lag) AS BIGINT) AS total_lag,
            CAST(GROUPING(group_id) AS INTEGER) AS is_total

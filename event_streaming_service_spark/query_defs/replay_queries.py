@@ -52,14 +52,16 @@ def q_replay_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, topic, "partition", "offset",
            TIMESTAMP '{REPLAY_TS}' AS replay_timestamp
     FROM events_coords
-    WHERE "partition" = 2 AND "offset" BETWEEN 100 AND 600
+    WHERE topic = 'nnipa.events.view'
+      AND "partition" = 2 AND "offset" BETWEEN 100 AND 600
     """,
     tags=("S6",),
 )
 def q_replay_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6: offset-range replay on one partition
+    """S6: offset-range replay on one TopicPartition
     (EventReplayService.java:152-207)."""
-    out = replay.replay_offset_range(_coords(spark, sf_dir), 2, 100, 600, REPLAY_TS)
+    out = replay.replay_offset_range(_coords(spark, sf_dir), 2, 100, 600,
+                                     REPLAY_TS, topic="nnipa.events.view")
     return out.select("event_id", "ts", "topic", "partition", "offset",
                       "replay_timestamp")
 

@@ -17,9 +17,10 @@ _BASE = ("WITH " + tables.EVENTS_COORDS_SQL + ", "
 
 _LAG_SQL_BODY = """
 lag_table AS (
-    SELECT co.group_id, co."partition", co.committed_offset, eo.end_offset,
+    SELECT co.group_id, co.topic, co."partition", co.committed_offset,
+           eo.end_offset,
            CAST(eo.end_offset - co.committed_offset AS BIGINT) AS lag
-    FROM consumer_offsets co JOIN end_offsets eo USING ("partition")
+    FROM consumer_offsets co JOIN end_offsets eo USING (topic, "partition")
 )
 """
 
@@ -160,11 +161,11 @@ def q_health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_lagging",
     oracle=_BASE + ", " + _LAG_SQL_BODY + """
-    SELECT group_id, "partition", lag, rank FROM (
-        SELECT group_id, "partition", lag,
+    SELECT group_id, topic, "partition", lag, rank FROM (
+        SELECT group_id, topic, "partition", lag,
                CAST(ROW_NUMBER() OVER (PARTITION BY group_id
-                                       ORDER BY lag DESC, "partition") AS INTEGER)
-                   AS rank
+                                       ORDER BY lag DESC, topic, "partition")
+                    AS INTEGER) AS rank
         FROM lag_table
     ) WHERE rank <= 3
     """,

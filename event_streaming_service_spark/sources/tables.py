@@ -15,8 +15,11 @@ Derivation rules (shared contract, see EVENTS_COORDS_SQL):
     tenant_id  = 'tenant-' || (user_id % 10)          -- synthetic tenancy
     partition  = int(user_id % 6)                     -- 6 default partitions,
                                                       -- application.yml:136
-    offset     = row_number() over (partition by partition
+    offset     = row_number() over (partition by topic, partition
                                     order by ts, event_id) - 1
+                 -- offsets are per (topic, partition) — each topic is its
+                 -- own log, exactly like Kafka
+                 -- (TopicManagementService.java:329-345)
 
 At 100 TB the same derivation holds: it is a narrow projection plus one
 window; the window shuffles once on `partition` (the same key later
@@ -85,7 +88,7 @@ def with_coordinates(events: DataFrame) -> DataFrame:
     Spark-side twin of EVENTS_COORDS_SQL below; keep both in sync.
     """
     part = (F.col("user_id") % NUM_PARTITIONS).cast("int")
-    w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    w = Window.partitionBy("topic", "partition").orderBy("ts", "event_id")
     return (
         events
         .withColumn("topic", F.concat(F.lit(TOPIC_PREFIX), F.col("event_type")))
@@ -108,7 +111,8 @@ events_coords AS (
         'nnipa.events.' || event_type                      AS topic,
         'tenant-' || CAST(user_id % 10 AS VARCHAR)         AS tenant_id,
         CAST(user_id % 6 AS INTEGER)                       AS "partition",
-        CAST(ROW_NUMBER() OVER (PARTITION BY CAST(user_id % 6 AS INTEGER)
+        CAST(ROW_NUMBER() OVER (PARTITION BY 'nnipa.events.' || event_type,
+                                             CAST(user_id % 6 AS INTEGER)
                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS "offset"
     FROM events
 )
@@ -119,7 +123,8 @@ events_coords AS (
 # (TopicManagementService.java:325-353 reads them via AdminClient). We derive
 # an equivalent deterministic table: each group has consumed every event
 # strictly before its cutoff timestamp, so its committed offset per
-# (topic-agnostic) partition is the count of such events.
+# (topic, partition) is the count of such events in that log — the same
+# two-key TopicPartition the reference's lag map is keyed by.
 CONSUMER_GROUP_CUTOFFS = {
     "nnipa-analytics": "2024-01-08 00:00:00",
     "nnipa-audit": "2024-01-04 00:00:00",
@@ -127,27 +132,28 @@ CONSUMER_GROUP_CUTOFFS = {
 
 
 def consumer_offsets(events_coords: DataFrame) -> DataFrame:
-    """Committed offset per (group, partition): #events with ts < cutoff."""
+    """Committed offset per (group, topic, partition): #events with
+    ts < cutoff in that (topic, partition) log."""
     groups = None
     for group, cutoff in CONSUMER_GROUP_CUTOFFS.items():
         g = (
             events_coords
-            .groupBy("partition")
+            .groupBy("topic", "partition")
             .agg(
                 F.sum(F.when(F.col("ts") < F.lit(cutoff).cast("timestamp"), 1)
                       .otherwise(0)).cast("bigint").alias("committed_offset"))
             .withColumn("group_id", F.lit(group))
         )
         groups = g if groups is None else groups.unionByName(g)
-    return groups.select("group_id", "partition", "committed_offset")
+    return groups.select("group_id", "topic", "partition", "committed_offset")
 
 
 def _consumer_offsets_sql_one(group: str, cutoff: str) -> str:
     return f"""
-    SELECT '{group}' AS group_id, "partition",
+    SELECT '{group}' AS group_id, topic, "partition",
            CAST(SUM(CASE WHEN ts < TIMESTAMP '{cutoff}' THEN 1 ELSE 0 END) AS BIGINT)
                AS committed_offset
-    FROM events_coords GROUP BY "partition"
+    FROM events_coords GROUP BY topic, "partition"
     """
 
 
@@ -157,17 +163,17 @@ CONSUMER_OFFSETS_SQL = "consumer_offsets AS (" + " UNION ALL ".join(
 
 
 def end_offsets(events_coords: DataFrame) -> DataFrame:
-    """Log-end offset per partition (max offset + 1), reference S7
-    (EventReplayService.java:212-227 beginningOffsets/endOffsets)."""
+    """Log-end offset per (topic, partition) (max offset + 1), reference
+    S7 (EventReplayService.java:212-227 beginningOffsets/endOffsets)."""
     return (
-        events_coords.groupBy("partition")
+        events_coords.groupBy("topic", "partition")
         .agg((F.max("offset") + 1).cast("bigint").alias("end_offset"))
     )
 
 
 END_OFFSETS_SQL = """
 end_offsets AS (
-    SELECT "partition", CAST(MAX("offset") + 1 AS BIGINT) AS end_offset
-    FROM events_coords GROUP BY "partition"
+    SELECT topic, "partition", CAST(MAX("offset") + 1 AS BIGINT) AS end_offset
+    FROM events_coords GROUP BY topic, "partition"
 )
 """
