@@ -157,6 +157,55 @@ def health_status(lag_df: DataFrame,
     )
 
 
+def lag_surface(lag_df: DataFrame) -> DataFrame:
+    """A1+A2+A3 in one pass: ROLLUP(group, topic, partition) over the lag
+    table — leaf rows are per-partition lag (A1), (group) rows are
+    per-group totals (A2), intermediate/grand-total rows are the rollup
+    the reference assembles with separate AdminClient loops
+    (TopicManagementService.java:306-353, :536-551).
+
+    One partial-aggregatable shuffle produces every level; NULL grouping
+    slots are filled ('ALL' / -1) so the result is oracle-hashable.
+    """
+    return (
+        lag_df.rollup("group_id", "topic", "partition")
+        .agg(F.sum("lag").cast("bigint").alias("total_lag"))
+        .select(
+            F.coalesce("group_id", F.lit("ALL")).alias("group_id"),
+            F.coalesce("topic", F.lit("ALL")).alias("topic"),
+            F.coalesce(F.col("partition"), F.lit(-1)).alias("partition"),
+            "total_lag",
+        )
+    )
+
+
+def topic_dashboard(events_coords: DataFrame) -> DataFrame:
+    """A5+A7+A10 in one grouped pass: the per-topic statistics record
+    (EventStatistics.java:15-25) widened with latency percentiles
+    (EventStreamingMetrics.java:88-99) and duplicate counters
+    (BaseEventConsumer.java:79-84) — the reference's whole per-topic
+    monitoring dashboard as ONE hash aggregate over one scan, instead
+    of three queries re-reading the log.
+    """
+    return (
+        events_coords.groupBy("topic")
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+             .cast("bigint").alias("successful_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+             .cast("bigint").alias("failed_events"),
+            davg("value").alias("avg_processing_ms"),
+            F.max("ts").alias("last_event_time"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.countDistinct("event_id").alias("distinct_events"),
+            (F.count("*") - F.countDistinct("event_id")).alias("duplicates"),
+        )
+    )
+
+
 def top_lagging(lag_df: DataFrame, k: int = 3) -> DataFrame:
     """O4: top-k lagging partitions per group, deterministic tiebreak.
 

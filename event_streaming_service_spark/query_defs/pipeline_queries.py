@@ -98,6 +98,66 @@ def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_dispositions",
+    oracle="WITH " + _VALIDATION_INPUT_SQL + f""",
+    base AS (
+        SELECT *, CAST(event_id % 5 AS INTEGER) AS retry_count,
+               CASE WHEN event_key IS NULL OR event_key = ''
+                        THEN 'missing_event_id'
+                    WHEN ts < TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+                        THEN 'stale_event'
+                    ELSE NULL END AS reject_reason
+        FROM validation_input
+    )
+    SELECT event_id,
+           CASE WHEN reject_reason IS NOT NULL THEN 'reject'
+                WHEN retry_count >= 3 THEN 'exhausted'
+                WHEN retry_count > 0 THEN 'retry'
+                ELSE 'ok' END AS disposition,
+           CASE WHEN reject_reason IS NOT NULL THEN 'nnipa.dlq.' || event_type
+                WHEN retry_count >= 3 THEN 'nnipa.dlq.' || event_type
+                WHEN retry_count > 0
+                    THEN 'nnipa.events.' || event_type || '.retry.'
+                         || CAST(retry_count + 1 AS VARCHAR)
+                ELSE topic END AS target_topic,
+           CASE WHEN reject_reason IS NULL AND retry_count BETWEEN 1 AND 2
+                THEN LEAST(POW(2, retry_count - 1) * 1000, 60000)
+                END AS backoff_ms,
+           reject_reason
+    FROM base
+    """,
+    tags=("P3", "S3", "W5", "W6"),
+)
+def q_pipeline_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/S3/W5/W6: the whole consume-pipeline decision per event —
+    validation reject -> DLQ topic, retries-exhausted -> DLQ, transient
+    failure -> next retry topic with backoff, else deliver — as one
+    branch-free projection (BaseEventConsumer.java:136-276). At 100 TB
+    the classification rides the scan; the per-disposition fan-out is a
+    partitioned write, not four passes."""
+    df = (validation_input(spark, sf_dir)
+          .withColumn("retry_count", (F.col("event_id") % 5).cast("int")))
+    now = F.lit(NOW).cast("timestamp")
+    reject = pipeline.rejection_reason(F.col("event_key"), F.col("ts"), now)
+    retrying = reject.isNull() & (F.col("retry_count") > 0)
+    return df.select(
+        "event_id",
+        F.when(reject.isNotNull(), F.lit("reject"))
+         .when(F.col("retry_count") >= 3, F.lit("exhausted"))
+         .when(F.col("retry_count") > 0, F.lit("retry"))
+         .otherwise(F.lit("ok")).alias("disposition"),
+        F.when(reject.isNotNull() | (F.col("retry_count") >= 3),
+               F.concat(F.lit("nnipa.dlq."), F.col("event_type")))
+         .when(F.col("retry_count") > 0,
+               pipeline.retry_route(F.col("topic"), F.col("retry_count")))
+         .otherwise(F.col("topic")).alias("target_topic"),
+        F.when(retrying & (F.col("retry_count") < 3),
+               pipeline.backoff_ms(F.col("retry_count"))).alias("backoff_ms"),
+        reject.alias("reject_reason"),
+    )
+
+
+@register(
     "dedup_earliest",
     oracle="""
     SELECT dup_key, event_id, ts, event_type FROM (

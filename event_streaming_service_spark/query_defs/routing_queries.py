@@ -158,6 +158,62 @@ def q_routing_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "routing_surface",
+    oracle="WITH " + _ROUTING_INPUT_SQL + """
+    SELECT
+        event_id,
+        COALESCE(NULLIF(tenant_id, ''), 'default-tenant') AS key_tenant,
+        COALESCE(NULLIF(user_key, ''), NULLIF(tenant_id, ''), 'default-tenant')
+            AS key_user,
+        COALESCE(NULLIF(correlation_id, ''), event_key) AS key_correlation,
+        COALESCE(NULLIF(priority, ''), 'PRIORITY_MEDIUM') AS key_priority,
+        event_class AS key_event_type,
+        CONCAT_WS(':', COALESCE(NULLIF(tenant_id, ''), 'default'),
+                       COALESCE(NULLIF(user_key, ''), 'system')) AS key_composite,
+        CASE
+            WHEN event_class LIKE '%Tenant%'
+                THEN COALESCE(NULLIF(tenant_id, ''), 'default-tenant')
+            WHEN event_class LIKE '%User%' OR event_class LIKE '%Auth%'
+                THEN CONCAT_WS(':', COALESCE(NULLIF(tenant_id, ''), 'default'),
+                                    COALESCE(NULLIF(user_key, ''), 'system'))
+            WHEN event_class LIKE '%Notification%'
+                THEN COALESCE(NULLIF(user_key, ''), 'default-user')
+            ELSE COALESCE(NULLIF(correlation_id, ''), event_key)
+        END AS key_custom,
+        CAST((LENGTH(COALESCE(NULLIF(tenant_id, ''), 'default-tenant')) * 31
+              + ASCII(SUBSTRING(COALESCE(NULLIF(tenant_id, ''), 'default-tenant'), 1, 1))
+              + ASCII(SUBSTRING(COALESCE(NULLIF(tenant_id, ''), 'default-tenant'),
+                                LENGTH(COALESCE(NULLIF(tenant_id, ''), 'default-tenant')), 1)) * 7)
+             % 6 AS INTEGER) AS partition_id,
+        LENGTH(COALESCE(NULLIF(tenant_id, ''), 'default-tenant')) >= 8
+            AND NOT regexp_matches(COALESCE(NULLIF(tenant_id, ''), 'default-tenant'),
+                                   '^[0-9]+$') AS well_balanced
+    FROM routing_input
+    """,
+    tags=("R1", "R2", "R3", "R4", "R5", "R6", "R8", "R9", "R10", "R11"),
+)
+def q_routing_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R11 end-to-end: every key strategy AND the partition the
+    tenant key lands on, plus the balance heuristic — the full
+    EventPublisher routing decision as one narrow projection
+    (PartitionKeyExtractor.java:31-116), no shuffle, codegen'd."""
+    df = routing_input(spark, sf_dir)
+    key = routing.tenant_based()
+    return df.select(
+        "event_id",
+        key.alias("key_tenant"),
+        routing.user_based().alias("key_user"),
+        routing.correlation_based().alias("key_correlation"),
+        routing.priority_based().alias("key_priority"),
+        routing.event_type_based().alias("key_event_type"),
+        routing.composite().alias("key_composite"),
+        routing.custom().alias("key_custom"),
+        routing.portable_partition_for(key).alias("partition_id"),
+        routing.is_well_balanced_key(key).alias("well_balanced"),
+    )
+
+
+@register(
     "routing_rule_fanout",
     oracle="""
     SELECT event_id, event_type, value,

@@ -159,6 +159,52 @@ def q_health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lag_surface",
+    oracle=_BASE + ", " + _LAG_SQL_BODY + """
+    SELECT COALESCE(group_id, 'ALL') AS group_id,
+           COALESCE(topic, 'ALL') AS topic,
+           COALESCE("partition", -1) AS "partition",
+           CAST(SUM(lag) AS BIGINT) AS total_lag
+    FROM lag_table
+    GROUP BY ROLLUP(group_id, topic, "partition")
+    """,
+    tags=("A1", "A2", "A3", "J1"),
+)
+def q_lag_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3/J1: every lag grain — per (group, topic, partition), per
+    (group, topic), per group, grand total — from ONE rollup aggregate
+    over the offsets join (TopicManagementService.java:306-353, :536-551)."""
+    return stats.lag_surface(_lag(spark, sf_dir))
+
+
+@register(
+    "topic_dashboard",
+    oracle=_BASE + """
+    SELECT topic,
+           COUNT(*) AS total_events,
+           CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS successful_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS failed_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) / COUNT(value)
+               AS DOUBLE) AS avg_processing_ms,
+           MAX(ts) AS last_event_time,
+           ROUND(quantile_cont(value, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           COUNT(DISTINCT event_id) AS distinct_events,
+           COUNT(*) - COUNT(DISTINCT event_id) AS duplicates
+    FROM events_coords GROUP BY topic
+    """,
+    tags=("A4", "A5", "A7", "A10"),
+)
+def q_topic_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A7/A10: the per-topic monitoring dashboard — statistics record,
+    latency percentiles, duplicate counters — one scan, one hash agg."""
+    return stats.topic_dashboard(_coords(spark, sf_dir))
+
+
+@register(
     "top_lagging",
     oracle=_BASE + ", " + _LAG_SQL_BODY + """
     SELECT group_id, topic, "partition", lag, rank FROM (

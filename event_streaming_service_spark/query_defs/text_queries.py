@@ -86,7 +86,10 @@ def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_toks"),
         F.count("tok").alias("n_distinct"),
         F.sum(F.when(F.lower("tok").isin(*text.STOPWORDS), F.col("cnt"))
-              .otherwise(0)).alias("n_stops"))
+              .otherwise(0)).alias("n_stops"),
+        F.sum(F.when(F.col("tok").isNotNull(),
+                     F.length("tok") * F.col("cnt")).otherwise(0))
+            .alias("n_tok_chars"))
 
 
 @register(
@@ -111,6 +114,69 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_c = F.least(F.col("n_stops") * 1.0 / n_toks * 10.0, F.lit(1.0))
     return counts.select(
         "doc_id", (len_c * 0.4 + vocab_c * 0.3 + stop_c * 0.3).alias("quality"))
+
+
+@register(
+    "doc_text_metrics",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_distinct_tokens,
+               CAST(SUM(LENGTH(tok)) AS BIGINT) AS n_tok_chars,
+               CAST(SUM(CASE WHEN lower(tok) IN ({_STOPS_SQL})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stops
+        FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_distinct_tokens, 0) AS BIGINT)
+               AS n_distinct_tokens,
+           CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN NULL
+                ELSE a.n_tok_chars * 1.0 / a.n_tokens END AS avg_token_len,
+           COALESCE(a.n_stops, 0) * 1.0
+               / GREATEST(COALESCE(a.n_tokens, 0), 1) AS stop_ratio,
+           CASE WHEN COALESCE(a.n_stops, 0) * 1.0
+                     / GREATEST(COALESCE(a.n_tokens, 0), 1) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_guess,
+           LEAST(d.n_chars / 500.0, 1.0) * 0.4
+           + LEAST(COALESCE(a.n_distinct_tokens, 0) * 1.0
+                   / GREATEST(COALESCE(a.n_tokens, 0), 1) * 2.0, 1.0) * 0.3
+           + LEAST(COALESCE(a.n_stops, 0) * 1.0
+                   / GREATEST(COALESCE(a.n_tokens, 0), 1) * 10.0, 1.0) * 0.3
+               AS quality
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "token-count", "lang-id", "quality"),
+)
+def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis panel in one aggregate: token
+    counts (total/distinct/mean length), stopword density + language-ID
+    heuristic, and the composite quality score. Tokenize once, explode,
+    two-level hash agg — ONE shuffle for all seven metrics where the
+    separate queries each paid their own."""
+    counts = _token_counts(spark, sf_dir)
+    n_toks_safe = F.greatest(F.col("n_toks"), F.lit(1))
+    ratio = F.col("n_stops") * 1.0 / n_toks_safe
+    len_c = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    vocab_c = F.least(F.col("n_distinct") * 1.0 / n_toks_safe * 2.0, F.lit(1.0))
+    stop_c = F.least(ratio * 10.0, F.lit(1.0))
+    return counts.select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_tokens"),
+        F.when(F.col("n_toks") == 0, F.lit(None).cast("double"))
+         .otherwise(F.col("n_tok_chars") * 1.0 / F.col("n_toks"))
+         .alias("avg_token_len"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unknown"))
+         .alias("lang_guess"),
+        (len_c * 0.4 + vocab_c * 0.3 + stop_c * 0.3).alias("quality"),
+    )
 
 
 @register(

@@ -1,0 +1,64 @@
+"""Driver-budget coverage: the first 50 queries the driver sees must
+cover every SURVEY.md section-2 operator tag and every LLM-pipeline
+operator family (round-1 verdict: the driver records rows for exactly
+the first 50 registry entries)."""
+
+from __future__ import annotations
+
+import re
+
+from event_streaming_service_spark.queries import (
+    PRIORITY, REGISTRY, _load_all, all_oracles, all_queries, ordered_names,
+)
+
+_load_all()
+
+DRIVER_BUDGET = 50
+
+# Every kebab-case operator-family tag that must have a driver row.
+# (ann-ivf and decode-stub are deliberately just past the budget at
+# positions 51-52: both are rows-only checks whose round-1 driver rows
+# and pytest invariants already carry the verification weight.)
+REQUIRED_FAMILY_TAGS = {
+    "dedup-exact", "dedup-jaccard", "dedup-minhash-lsh", "dedup-simhash",
+    "dedup-embedding", "ann-baseline", "ann-lsh", "similarity",
+    "multimodal", "frame-sample", "text", "tfidf", "token-count",
+    "lang-id", "quality", "fingerprint", "streaming", "rollup",
+    "window-frames", "listagg", "calendar", "tpch", "map-ops",
+}
+
+
+def test_priority_names_registered_and_unique():
+    assert len(PRIORITY) == DRIVER_BUDGET
+    assert len(set(PRIORITY)) == len(PRIORITY)
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+
+
+def test_driver_order_starts_with_priority():
+    names = ordered_names()
+    assert tuple(names[:DRIVER_BUDGET]) == PRIORITY
+    assert list(all_queries())[:DRIVER_BUDGET] == list(PRIORITY)
+    # no dropped registrations
+    assert set(names) == set(REGISTRY)
+    # oracles iterate in the same driver order
+    oracle_names = list(all_oracles())
+    assert oracle_names == [n for n in names if REGISTRY[n].oracle is not None]
+
+
+def test_budget_covers_every_operator_tag():
+    in_budget = set()
+    for name in ordered_names()[:DRIVER_BUDGET]:
+        in_budget.update(REGISTRY[name].tags)
+
+    all_tags = {t for spec in REGISTRY.values() for t in spec.tags}
+    # section-2 operator ids: S1..S10, P1.., R.., A.., D.., J.., O.., W..,
+    # and the 2.x family rows
+    op_tags = {t for t in all_tags
+               if re.fullmatch(r"[SPRADJOW]\d+|2\.\d+(-\w+)?", t)}
+    missing_ops = op_tags - in_budget
+    assert not missing_ops, f"section-2 tags outside driver budget: {missing_ops}"
+
+    missing_families = REQUIRED_FAMILY_TAGS - in_budget
+    assert not missing_families, (
+        f"LLM operator families outside driver budget: {missing_families}")
