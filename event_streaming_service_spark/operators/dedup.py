@@ -107,14 +107,24 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
 
     The shingle set feeds three consumers (both join sides + sizes), so
     it is cached (MEMORY_AND_DISK — spills, never OOMs) instead of
-    being re-derived from the text three times.
+    being re-derived from the text three times. The UNCAPPED derivation
+    is what gets cached: the tokenize+explode is the expensive part, it
+    is the plan other operators over the same corpus build on (MinHash
+    signatures derive from the identical subtree, so a session running
+    both shares one materialization), and the cap then filters the
+    cached rows rather than forking a second scan of the raw text.
     """
-    sets_ = shingle_sets(docs, id_col, text_col, n)
+    sets_ = shingle_sets(docs, id_col, text_col, n).cache()
     if hot_shingle_cap is not None:
-        w = Window.partitionBy("shingle")
-        sets_ = (sets_.withColumn("__df", F.count("*").over(w))
-                 .filter(F.col("__df") <= hot_shingle_cap).drop("__df"))
-    sets_ = sets_.cache()
+        # Hot shingles are FEW by construction (df > cap), so compute
+        # them with a partial-aggregating groupBy and remove them with a
+        # broadcast anti-join: map-side over the cached shingle set, no
+        # sort, no second full-width shuffle (a count-over-window here
+        # costs a full shuffle+sort of every (doc, shingle) row).
+        hot = (sets_.groupBy("shingle").agg(F.count("*").alias("__df"))
+               .filter(F.col("__df") > hot_shingle_cap)
+               .select("shingle").cache())
+        sets_ = sets_.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sets_.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a, b = sets_.alias("a"), sets_.alias("b")
     inter = (
