@@ -54,6 +54,16 @@ BENCH_QUERIES = [
     "tfidf_top_terms",              # tf-idf
     "salted_hot_key_agg",           # skew-safe aggregation
     "scd2_customer_updates",        # CDC merge
+    # round-2 combined-grain surface
+    "lag_surface",                  # ROLLUP lag at every grain
+    "topic_dashboard",              # stats+percentiles+dups, one agg
+    "topic_offset_catalog",         # offset probe + per-topic counts
+    "replay_slice",                 # both replay modes, one scan
+    "routing_surface",              # keys + partition + balance
+    "pipeline_dispositions",        # validate/retry/DLQ decision
+    "envelope_projection",          # nested envelope build + project
+    "catalog_surface",              # topics/groups/subscriptions
+    "doc_text_metrics",             # token/langid/quality, one pass
 ]
 
 

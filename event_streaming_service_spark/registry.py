@@ -70,11 +70,18 @@ class SchemaRegistry:
     endpoint surface (SchemaRegistryService.java:56-121, 190-247,
     304-319)."""
 
+    DEFAULT_COMPATIBILITY = "FULL_TRANSITIVE"  # application.yml:98-102
+
     _subjects: dict[str, list[SchemaVersion]] = field(default_factory=dict)
+    _compat_overrides: dict[str, str] = field(default_factory=dict)
     _next_id: int = 1
 
     def register(self, subject: str, schema: T.StructType,
-                 compatibility: str = "FULL_TRANSITIVE") -> SchemaVersion:
+                 compatibility: str | None = None) -> SchemaVersion:
+        """Register a version under the subject's effective compatibility:
+        an explicit argument wins, else the subject-level override
+        (set_compatibility), else the registry default."""
+        compatibility = compatibility or self.get_compatibility(subject)
         versions = self._subjects.setdefault(subject, [])
         if versions and compatibility != "NONE":
             for prior in versions:
@@ -88,6 +95,41 @@ class SchemaRegistry:
         self._next_id += 1
         versions.append(sv)
         return sv
+
+    # -- subject-level compatibility + deletion
+    #    (SchemaRegistryService.java:157-214) --
+
+    def set_compatibility(self, subject: str, compatibility: str) -> None:
+        """Per-subject compatibility override (:190-200). Validates the
+        mode eagerly — the reference surfaces the registry's rejection."""
+        self._compatible(T.StructType([]), T.StructType([]), compatibility)
+        self._compat_overrides[subject] = compatibility
+
+    def get_compatibility(self, subject: str) -> str:
+        """Effective level: override else default (:205-214)."""
+        return self._compat_overrides.get(subject, self.DEFAULT_COMPATIBILITY)
+
+    def delete_subject(self, subject: str) -> list[int]:
+        """Delete a subject and return its version numbers (:157-166)."""
+        versions = self._subjects.pop(subject, [])
+        self._compat_overrides.pop(subject, None)
+        return [sv.version for sv in versions]
+
+    def delete_version(self, subject: str, version: int) -> None:
+        """Delete one schema version (:173-183). Remaining versions keep
+        their numbers (registry semantics: version ids are never
+        reused); an empty subject disappears."""
+        versions = self._subjects.get(subject)
+        if not versions:
+            raise KeyError(subject)
+        for i, sv in enumerate(versions):
+            if sv.version == version:
+                del versions[i]
+                break
+        else:
+            raise KeyError(f"{subject} v{version}")
+        if not versions:
+            del self._subjects[subject]
 
     @staticmethod
     def _compatible(new: T.StructType, old: T.StructType, mode: str) -> bool:
@@ -114,7 +156,10 @@ class SchemaRegistry:
         return versions[-1]
 
     def get(self, subject: str, version: int) -> SchemaVersion:
-        return self._subjects[subject][version - 1]
+        for sv in self._subjects.get(subject, ()):
+            if sv.version == version:
+                return sv
+        raise KeyError(f"{subject} v{version}")
 
     def subjects(self) -> list[str]:
         return sorted(self._subjects)

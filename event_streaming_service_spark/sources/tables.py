@@ -133,19 +133,32 @@ CONSUMER_GROUP_CUTOFFS = {
 
 def consumer_offsets(events_coords: DataFrame) -> DataFrame:
     """Committed offset per (group, topic, partition): #events with
-    ts < cutoff in that (topic, partition) log."""
-    groups = None
-    for group, cutoff in CONSUMER_GROUP_CUTOFFS.items():
-        g = (
-            events_coords
-            .groupBy("topic", "partition")
-            .agg(
-                F.sum(F.when(F.col("ts") < F.lit(cutoff).cast("timestamp"), 1)
-                      .otherwise(0)).cast("bigint").alias("committed_offset"))
-            .withColumn("group_id", F.lit(group))
-        )
-        groups = g if groups is None else groups.unionByName(g)
-    return groups.select("group_id", "topic", "partition", "committed_offset")
+    ts < cutoff in that (topic, partition) log.
+
+    ONE aggregation pass: every group's committed offset is a
+    conditional count in the same groupBy, then the per-group counts
+    stack into rows via an inline explode. A per-group union would scan
+    and shuffle the log once per consumer group. Note no `offset`
+    column is touched: the count-below-cutoff IS the committed offset
+    because offsets are dense — so lag plans skip the row_number window
+    entirely (Catalyst prunes it) and reduce to one hash aggregate
+    over the scan.
+    """
+    aggs = [
+        F.sum(F.when(F.col("ts") < F.lit(cutoff).cast("timestamp"), 1)
+              .otherwise(0)).cast("bigint").alias(f"__g{i}")
+        for i, cutoff in enumerate(CONSUMER_GROUP_CUTOFFS.values())
+    ]
+    per_part = events_coords.groupBy("topic", "partition").agg(*aggs)
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(group).alias("group_id"),
+                 F.col(f"__g{i}").alias("committed_offset"))
+        for i, group in enumerate(CONSUMER_GROUP_CUTOFFS)
+    ])).alias("__e")
+    return (per_part.select("topic", "partition", stacked)
+            .select(F.col("__e.group_id").alias("group_id"),
+                    "topic", "partition",
+                    F.col("__e.committed_offset").alias("committed_offset")))
 
 
 def _consumer_offsets_sql_one(group: str, cutoff: str) -> str:
@@ -163,11 +176,17 @@ CONSUMER_OFFSETS_SQL = "consumer_offsets AS (" + " UNION ALL ".join(
 
 
 def end_offsets(events_coords: DataFrame) -> DataFrame:
-    """Log-end offset per (topic, partition) (max offset + 1), reference
-    S7 (EventReplayService.java:212-227 beginningOffsets/endOffsets)."""
+    """Log-end offset per (topic, partition), reference S7
+    (EventReplayService.java:212-227 beginningOffsets/endOffsets).
+
+    Computed as count(*) — identical to max(offset)+1 because offsets
+    are dense row_numbers — so consumers that only need log ends (every
+    lag query) never evaluate the window; the plan is a plain hash
+    aggregate on the scan.
+    """
     return (
         events_coords.groupBy("topic", "partition")
-        .agg((F.max("offset") + 1).cast("bigint").alias("end_offset"))
+        .agg(F.count("*").cast("bigint").alias("end_offset"))
     )
 
 

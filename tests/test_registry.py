@@ -81,3 +81,42 @@ def test_merge_and_fingerprint(spark):
     df.register("a-value", BASE)
     table = df.to_dataframe(spark)
     assert table.count() == 1 and table.first().subject == "a-value"
+
+def test_subject_compatibility_override():
+    r = reg.SchemaRegistry()
+    assert r.get_compatibility("s-value") == "FULL_TRANSITIVE"
+    r.set_compatibility("s-value", "NONE")
+    assert r.get_compatibility("s-value") == "NONE"
+    r.register("s-value", BASE)
+    # removal of a field violates FULL but NONE admits it
+    narrowed = T.StructType(BASE.fields[:1])
+    r.register("s-value", narrowed)
+    assert r.latest("s-value").version == 2
+    with pytest.raises(ValueError):
+        r.set_compatibility("s-value", "SIDEWAYS")
+    # explicit argument still wins over the override
+    with pytest.raises(reg.CompatibilityError):
+        r.register("s-value", T.StructType([]), compatibility="FULL")
+
+
+def test_delete_subject_and_version():
+    r = reg.SchemaRegistry()
+    r.register("d-value", BASE)
+    r.register("d-value", ADDED_NULLABLE)
+    r.register("d-value", ADDED_NULLABLE)
+    assert r.delete_subject("d-value") == [1, 2, 3]
+    assert "d-value" not in r.subjects()
+    assert r.delete_subject("d-value") == []
+
+    r.register("e-value", BASE)
+    r.register("e-value", ADDED_NULLABLE)
+    r.delete_version("e-value", 1)
+    # remaining version keeps its number; positional get still works
+    assert r.latest("e-value").version == 2
+    assert r.get("e-value", 2).version == 2
+    with pytest.raises(KeyError):
+        r.get("e-value", 1)
+    r.delete_version("e-value", 2)
+    assert "e-value" not in r.subjects()
+    with pytest.raises(KeyError):
+        r.delete_version("e-value", 1)
