@@ -87,6 +87,60 @@ def extract_features(media_df: DataFrame, codec_libs_available: bool = False
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize_plan(media_df: DataFrame, max_w: int = 224, max_h: int = 224
+                ) -> DataFrame:
+    """Aspect-preserving fit into (max_w, max_h), never upscaling:
+    scale = min(1, max_w/w, max_h/h); target dims floor to >= 1 px.
+
+    The dimension planning is pure JVM-side arithmetic on the metadata
+    struct (codegen'd, SQL-oracle-able, no Python); only the pixel
+    resample itself touches payload bytes — see resize_stub. Splitting
+    the two means the planner can drive batch-size / output-size
+    accounting for 100 TB jobs without decoding anything.
+    """
+    w, h = F.col("media.width"), F.col("media.height")
+    scale = F.least(F.lit(1.0), F.lit(max_w) / w, F.lit(max_h) / h)
+    return media_df.select(
+        "doc_id", w.alias("width"), h.alias("height"),
+        F.greatest(F.lit(1), F.floor(w * scale)).cast("int").alias("target_w"),
+        F.greatest(F.lit(1), F.floor(h * scale)).cast("int").alias("target_h"),
+        (F.greatest(F.lit(1), F.floor(w * scale))
+         * F.greatest(F.lit(1), F.floor(h * scale)) * 3)
+        .cast("bigint").alias("target_bytes_rgb8"),
+    )
+
+
+RESIZE_SCHEMA = "doc_id bigint, target_w int, target_h int, n_bytes int"
+
+
+def resize_stub(media_df: DataFrame, max_w: int = 224, max_h: int = 224,
+                codec_libs_available: bool = False) -> DataFrame:
+    """The pixel-resample step as mapInPandas plumbing: real batch
+    shape, real planned dimensions; the actual decode+resample raises
+    until codec libs exist (deterministic byte-slice fake otherwise)."""
+
+    planned = resize_plan(media_df, max_w, max_h).join(
+        media_df.select("doc_id", "payload"), "doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if codec_libs_available:
+                raise NotImplementedError(
+                    "real resample needs PIL/ffmpeg; plug the decode + "
+                    "interpolation in here")
+            n = (pdf["target_w"] * pdf["target_h"] * 3).astype("int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "target_w": pdf["target_w"],
+                "target_h": pdf["target_h"],
+                # fake: clamp payload to the planned output size
+                "n_bytes": [min(len(b), int(m))
+                            for b, m in zip(pdf["payload"], n)],
+            })
+
+    return planned.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def sample_frames(media_df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame sampling: explode one row per sampled frame index — the
     row-multiplying step runs AFTER filtering so only kept frames

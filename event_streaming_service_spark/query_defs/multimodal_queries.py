@@ -71,3 +71,46 @@ def q_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas; the codec call is the stubbed step)."""
     return multimodal.extract_features(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 48 + 16 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(GREATEST(1, FLOOR(width * LEAST(1.0, 224.0 / width,
+                                                224.0 / height)))
+                AS INTEGER) AS target_w,
+           CAST(GREATEST(1, FLOOR(height * LEAST(1.0, 224.0 / width,
+                                                 224.0 / height)))
+                AS INTEGER) AS target_h,
+           CAST(GREATEST(1, FLOOR(width * LEAST(1.0, 224.0 / width,
+                                                224.0 / height)))
+                * GREATEST(1, FLOOR(height * LEAST(1.0, 224.0 / width,
+                                                   224.0 / height)))
+                * 3 AS BIGINT) AS target_bytes_rgb8
+    FROM dims
+    """,
+    tags=("multimodal",),
+)
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving fit into 224x224 without
+    upscale — pure metadata arithmetic, no decode, so output-size
+    accounting for a 100 TB resample job costs one narrow scan."""
+    return multimodal.resize_plan(_media(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=None,  # mapInPandas resample plumbing; codec call stubbed
+    tags=("multimodal", "decode-stub"),
+)
+def q_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resample step itself as Arrow-batched plumbing (stub fake:
+    payload clamped to the planned output size)."""
+    return multimodal.resize_stub(_media(spark, sf_dir))

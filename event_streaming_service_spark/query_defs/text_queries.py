@@ -179,6 +179,61 @@ def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SQL = text.BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@register(
+    "token_stats_bpe",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS tok
+        FROM documents
+    ), ws AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> '')) AS n_ws_tokens
+        FROM documents
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct_bpe,
+           CAST(w.n_ws_tokens AS BIGINT) AS n_ws_tokens,
+           CASE WHEN w.n_ws_tokens = 0 THEN NULL
+                ELSE COALESCE(a.n_bpe_tokens, 0) * 1.0 / w.n_ws_tokens
+                END AS bpe_per_ws
+    FROM ws w LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_bpe_tokens,
+               COUNT(DISTINCT tok) AS n_distinct
+        FROM tok GROUP BY doc_id
+    ) a USING (doc_id)
+    """,
+    tags=("text", "token-count"),
+)
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the BPE-ish regex split: per-doc BPE-unit
+    counts, distincts, and the BPE-per-whitespace-token ratio used for
+    training-data token budgeting. Same explode -> two-level aggregate
+    shape as the whitespace path (one shuffle)."""
+    docs = _docs(spark, sf_dir)
+    base = text.fan_out(docs).select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.explode_outer(text.bpe_tokens(F.col("text"))).alias("tok"))
+    per_tok = base.groupBy("doc_id", "n_ws_tokens", "tok").agg(
+        F.count("*").alias("cnt"))
+    agg = per_tok.groupBy("doc_id", "n_ws_tokens").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("n_bpe_tokens"),
+        F.count("tok").cast("bigint").alias("n_distinct_bpe"))
+    return agg.select(
+        "doc_id", "n_bpe_tokens", "n_distinct_bpe",
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.when(F.col("n_ws_tokens") == 0, F.lit(None).cast("double"))
+         .otherwise(F.col("n_bpe_tokens") * 1.0 / F.col("n_ws_tokens"))
+         .alias("bpe_per_ws"))
+
+
 @register(
     "doc_fingerprints",
     oracle=r"""
