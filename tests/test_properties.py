@@ -70,3 +70,54 @@ def test_jaccard_bounds_and_self_similarity(spark, texts):
         assert 0.0 <= p.jaccard <= 1.0
         assert p.doc_a < p.doc_b     # canonical pair orientation
         assert p.inter <= min(p.size_a, p.size_b)
+
+
+# -- protobuf wire encoding (sources/proto_wire.py) --
+
+from event_streaming_service_spark.sources import proto_wire  # noqa: E402
+from tests.test_protobuf_bridge import _read_fields  # noqa: E402
+
+_META = st.fixed_dictionaries({
+    "event_id": st.text(min_size=0, max_size=20),
+    "correlation_id": st.text(min_size=0, max_size=20),
+    "source_service": st.text(min_size=0, max_size=20),
+    "version": st.integers(0, 2**31 - 1),
+    "tenant_id": st.text(min_size=0, max_size=20),
+    "user_id": st.text(min_size=0, max_size=20),
+    "priority": st.integers(0, 4),
+    "retry_count": st.integers(0, 100),
+})
+
+
+@settings(max_examples=50, deadline=None)
+@given(_META)
+def test_proto_wire_roundtrip(meta):
+    """Encode -> independent wire reader recovers exactly the
+    non-default fields (proto3 canonical form omits defaults)."""
+    buf = proto_wire.encode_event_metadata(meta)
+    fields = _read_fields(buf)
+    by_number = {num: (name, ftype)
+                 for name, num, ftype in proto_wire.EVENT_METADATA_FIELDS}
+    seen = set()
+    for num, raw in fields.items():
+        name, ftype = by_number[num]
+        seen.add(name)
+        if ftype == proto_wire.TYPE_STRING:
+            assert raw.decode("utf-8") == meta[name]
+        else:
+            assert raw == meta[name]
+    for name, num, ftype in proto_wire.EVENT_METADATA_FIELDS:
+        if name not in seen:  # omitted => was a proto3 default
+            assert not meta[name]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**63 - 1))
+def test_proto_varint_roundtrip(n):
+    buf = proto_wire._varint(n)
+    # independent decode
+    val = shift = 0
+    for b in buf:
+        val |= (b & 0x7F) << shift
+        shift += 7
+    assert (b & 0x80) == 0 and val == n
