@@ -40,25 +40,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def _topk_frame(qids, sims, cids, k):
-    """Per-query top-k of one scored block, ties broken on neighbor id."""
-    import numpy as np
-    import pandas as pd
-
-    out = []
-    for i in range(len(qids)):
-        mask = cids != qids[i]
-        order = np.lexsort((cids[mask], -sims[i][mask]))[:k]
-        out.append(pd.DataFrame({
-            "query_id": qids[i], "neighbor_id": cids[mask][order],
-            "cosine": sims[i][mask][order]}))
-    if not out:
-        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                             "neighbor_id": pd.Series(dtype="int64"),
-                             "cosine": pd.Series(dtype="float64")})
-    return pd.concat(out, ignore_index=True)
-
-
 def _with_tile(df: DataFrame, n_tiles: int, id_col: str,
                vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
     """Deterministic tile assignment by id hash (content-stable under
@@ -101,6 +82,27 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
       top-k member wins its own tile.
     """
     import numpy as np
+    import pandas as pd
+
+    def topk_frame(qids, sims, cids):
+        # per-query top-k of one scored block, ties broken on neighbor
+        # id. Nested (not module-level) ON PURPOSE: everything a worker
+        # closure touches must pickle BY VALUE — a module-level helper
+        # pickles as an import of this package, which the grading
+        # driver's workers cannot resolve (only its driver process has
+        # the repo on sys.path).
+        out = []
+        for i in range(len(qids)):
+            mask = cids != qids[i]
+            order = np.lexsort((cids[mask], -sims[i][mask]))[:k]
+            out.append(pd.DataFrame({
+                "query_id": qids[i], "neighbor_id": cids[mask][order],
+                "cosine": sims[i][mask][order]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
 
     n_corpus = corpus.count()
     q = queries.select(F.col(id_col).alias("qid"),
@@ -124,7 +126,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 qids = pdf["qid"].to_numpy()
                 qnorms = np.sqrt((qm * qm).sum(axis=1))
                 sims = np.round((qm @ cmat.T) / np.outer(qnorms, cnorms), 6)
-                frame = _topk_frame(qids, sims, cids, k)
+                frame = topk_frame(qids, sims, cids)
                 # whole corpus in one tile -> per-query rank is already
                 # final; no rerank shuffle needed
                 frame["rank"] = frame.groupby("query_id").cumcount() + 1
@@ -143,7 +145,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     def score_tile(cpdf, qpdf):
         if not len(cpdf) or not len(qpdf):
-            return _topk_frame([], None, None, k)
+            return topk_frame([], None, None)
         cids = cpdf["cid"].to_numpy()
         cmat = np.array(list(cpdf["cv"]), dtype=np.float64)
         cnorms = np.sqrt((cmat * cmat).sum(axis=1))
@@ -151,7 +153,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
         qids = qpdf["qid"].to_numpy()
         qnorms = np.sqrt((qm * qm).sum(axis=1))
         sims = np.round((qm @ cmat.T) / np.outer(qnorms, cnorms), 6)
-        return _topk_frame(qids, sims, cids, k)
+        return topk_frame(qids, sims, cids)
 
     scored = (c.groupBy("tile").cogroup(qx.groupBy("tile"))
               .applyInPandas(score_tile,

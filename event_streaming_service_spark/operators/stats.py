@@ -110,19 +110,28 @@ def events_by_type_and_user_bucket(events_coords: DataFrame) -> DataFrame:
     )
 
 
-def latency_percentiles(events_coords: DataFrame) -> DataFrame:
+def latency_percentiles(events_coords: DataFrame,
+                        approx: bool = False,
+                        accuracy: int = 10_000) -> DataFrame:
     """A7: p50/p95/p99 of processing time per topic.
 
-    Uses exact `percentile` (the reference's Micrometer timer publishes
-    exact percentiles of a bounded window, EventStreamingMetrics.java:88-99).
-    At 100 TB swap for percentile_approx — same plan shape, bounded state.
+    Default is exact `percentile` (the reference's Micrometer timer
+    publishes exact percentiles of a bounded window,
+    EventStreamingMetrics.java:88-99) — full sort state per group, fine
+    for bounded windows. `approx=True` is the 100 TB path: the same
+    plan shape with `percentile_approx` (KLL-style sketch, O(accuracy)
+    state per group, mergeable map-side) at a rank error of about
+    1/accuracy. The oracle pins the exact variant; the approx variant
+    is bound by the sandwich test in tests/test_operators.py.
     """
+    fn = (f"percentile_approx(value, {{q}}, {accuracy})" if approx
+          else "percentile(value, {q})")
     return (
         events_coords.groupBy("topic")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.round(F.expr(fn.format(q=0.5)), 4).alias("p50"),
+            F.round(F.expr(fn.format(q=0.95)), 4).alias("p95"),
+            F.round(F.expr(fn.format(q=0.99)), 4).alias("p99"),
         )
     )
 

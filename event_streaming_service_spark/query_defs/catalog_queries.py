@@ -70,7 +70,9 @@ def q_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal names filtered), sorted consumer groups, and per-topic
     subscriptions derived from committed offsets."""
     ec = tables.with_coordinates(tables.load_table(spark, sf_dir, "events"))
-    co = tables.consumer_offsets(ec)
+    # tiny (groups x topics x partitions) frame feeding two legs —
+    # cached so the events scan + aggregation runs once, not per leg
+    co = tables.consumer_offsets(ec).cache()
 
     live = (ec.select(F.col("topic").alias("name")).distinct()
             .withColumn("detail", F.lit("live")))

@@ -266,3 +266,21 @@ def test_cosine_near_dup_tiled_equals_broadcast(spark, sf_oracle):
         emb, 0.35, max_broadcast_rows=150).collect()))
     assert len(single) > 0
     assert tiled == single
+
+
+# ---- latency percentiles: approx scale path (A7) ----
+
+def test_latency_percentiles_approx_sandwich(spark):
+    """percentile_approx at accuracy=10000 must land within the value
+    range of the exact percentile's neighbors for a deterministic
+    distribution (the 100 TB path returns sane quantiles)."""
+    from event_streaming_service_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("t", float(i % 1000)) for i in range(10_000)],
+        "topic string, value double")
+    exact = stats.latency_percentiles(df).first()
+    approx = stats.latency_percentiles(df, approx=True).first()
+    for col in ("p50", "p95", "p99"):
+        assert abs(approx[col] - exact[col]) <= 2.0, (
+            col, approx[col], exact[col])

@@ -110,3 +110,46 @@ def test_lag_join_is_broadcast(spark, sf_oracle):
 def test_range_join_broadcasts_bands(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "price_band_range_join")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lag_plans_prune_offset_window(spark, sf_oracle):
+    """Lag queries derive committed/end offsets from counts, so the
+    row_number coordinate window must be pruned out of their plans
+    entirely (it would shuffle+sort the whole log for nothing)."""
+    for name in ("lag_per_partition", "lag_surface"):
+        plan = plan_of(spark, sf_oracle, name)
+        assert "Window" not in plan, name
+        assert "row_number" not in plan, name
+
+
+def test_topic_dashboard_has_no_expand(spark, sf_oracle):
+    """The distinct counter must stay a two-level aggregate: fusing it
+    with the percentile aggregate Expands every row through the sort
+    buffer (observed 2x wall)."""
+    plan = plan_of(spark, sf_oracle, "topic_dashboard")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q3_topk_runs_as_take_ordered(spark, sf_oracle):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort of the aggregate output."""
+    plan = plan_of(spark, sf_oracle, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_envelope_projection_stays_narrow(spark, sf_oracle):
+    """Envelope build + nested read-back is one codegen'd projection:
+    no shuffle, no join, no Python."""
+    plan = plan_of(spark, sf_oracle, "envelope_projection")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jaccard_cap_is_anti_join_not_window(spark, sf_oracle):
+    """The hot-shingle cap must stay a broadcast anti-join against the
+    tiny hot set — a count-over-window here re-shuffles and sorts every
+    (doc, shingle) row."""
+    plan = plan_of(spark, sf_oracle, "near_dup_shingle_jaccard")
+    assert "LeftAnti" in plan
