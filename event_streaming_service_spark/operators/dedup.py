@@ -222,6 +222,98 @@ def minhash_near_dups(docs: DataFrame, threshold: float,
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_rounds: int = 50) -> DataFrame:
+    """Connected components of the near-dup pair graph by min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns (node, component).
+
+    Each round is one distributed step — join the current labels across
+    the (symmetrized) edge list, take the min neighbor label, fold it
+    into the node's own label — so a round costs one shuffle on node
+    id and converges after O(graph diameter) rounds. Near-dup clusters
+    are short chains (a duplicate of a duplicate), so the diameter is
+    small in practice; for adversarially long path graphs the
+    alternating large-star/small-star contraction halves path lengths
+    per round (O(log d)) with the same join shape — this operator keeps
+    the simpler propagation and caps rounds at `max_rounds`.
+
+    Iterative-plan hygiene: every round ends in `localCheckpoint`,
+    truncating the lineage so round N's plan does not embed rounds
+    1..N-1 (unbounded plan growth is the classic iterative-Spark
+    failure); the early-exit check piggybacks on the checkpoint
+    materialization instead of a separate action. The driver loop only
+    carries COUNTS, never rows.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct().cache())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.min("component").alias("neighbor_component")))
+        stepped = (
+            labels.join(neighbor_min.withColumnRenamed("src", "node"),
+                        "node", "left")
+            .select("node", "component",
+                    F.least("component",
+                            F.coalesce("neighbor_component", "component"))
+                    .alias("next_component"))
+            .localCheckpoint())
+        changed = stepped.filter(
+            F.col("next_component") != F.col("component")).count()
+        labels = stepped.select(
+            "node", F.col("next_component").alias("component"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """The dedup endgame: MinHash+LSH near-dup pairs -> connected
+    components -> one canonical survivor per cluster. Output has one
+    row per INPUT doc: (doc_id, cluster_id, cluster_size,
+    is_canonical), cluster_id = smallest doc_id in the component
+    (singleton docs are their own cluster). Filtering
+    `is_canonical` yields the deduplicated corpus; `cluster_size`
+    feeds duplication-rate stats.
+
+    Scale: pair generation is the sub-quadratic LSH path; component
+    labels exist only for docs that appear in some pair (a tiny
+    fraction of the corpus), so the final assignment is a broadcast
+    left join against the full corpus — the corpus itself is scanned
+    once and never shuffled.
+    """
+    pairs = minhash_near_dups(docs, threshold, id_col, text_col, n)
+    comp = connected_components(pairs).cache()
+    # cluster sizes > 1 exist only inside the (tiny) component frame,
+    # so derive them there and broadcast — a count-over-window on the
+    # full corpus would shuffle every doc row just to label singletons 1
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("__cluster_size"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")),
+              "doc_id", "left")
+        .withColumn("cluster_id",
+                    F.coalesce("component", F.col("doc_id")))
+        .join(F.broadcast(sizes.withColumnRenamed("component", "cluster_id")),
+              "cluster_id", "left")
+        .select("doc_id", "cluster_id",
+                F.coalesce("__cluster_size", F.lit(1).cast("bigint"))
+                 .alias("cluster_size"),
+                (F.col("doc_id") == F.col("cluster_id"))
+                .alias("is_canonical")))
+
+
 def simhash63(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """63-bit SimHash over token xxhash64 values: per bit, sum +/-1

@@ -67,7 +67,9 @@ PRIORITY: tuple[str, ...] = (
     "nation_presence_full_outer",
     # LLM-data-pipeline operator families
     "dedup_exact_canonical", "near_dup_shingle_jaccard",
-    "minhash_lsh_pairs", "simhash_fingerprints", "tfidf_top_terms",
+    # near_dup_clusters subsumes minhash_lsh_pairs (it runs the full
+    # LSH pair pipeline, then components + canonical survivors on top)
+    "near_dup_clusters", "simhash_fingerprints", "tfidf_top_terms",
     "embedding_near_dup_pairs", "cosine_topk_bruteforce",
     "ann_lsh_cosine", "multimodal_binary_metadata",
     "multimodal_frame_sample",

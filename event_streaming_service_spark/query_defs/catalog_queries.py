@@ -60,6 +60,17 @@ _ORACLE = (
 )
 
 
+def _ordinal(*order_cols) -> F.Column:
+    """Global row_number over a CATALOG-sized frame (distinct topics /
+    groups — bounded by admin metadata cardinality, never event grain).
+    Partitioning on a constant makes the deliberate single-partition
+    explicit and keeps WindowExec from warning about an empty partition
+    spec; a few thousand catalog rows in one task is the correct plan
+    at any data scale."""
+    return F.row_number().over(
+        Window.partitionBy(F.lit("catalog")).orderBy(*order_cols))
+
+
 @register(
     "catalog_surface",
     oracle=_ORACLE,
@@ -83,13 +94,13 @@ def q_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(~F.col("name").startswith("_")))
     topic_rows = topic_rows.select(
         F.lit("topic").alias("kind"), "name", "detail",
-        F.row_number().over(Window.orderBy("name", "detail")).alias("rank"))
+        _ordinal("name", "detail").alias("rank"))
 
     group_rows = (co.select("group_id").distinct().select(
         F.lit("group").alias("kind"),
         F.col("group_id").alias("name"),
         F.lit("").alias("detail"),
-        F.row_number().over(Window.orderBy("group_id")).alias("rank")))
+        _ordinal("group_id").alias("rank")))
 
     sub_rows = (co.filter(F.col("committed_offset") > 0)
                 .select("group_id", "topic").distinct()
@@ -97,7 +108,6 @@ def q_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("subscription").alias("kind"),
                     F.col("group_id").alias("name"),
                     F.col("topic").alias("detail"),
-                    F.row_number().over(Window.orderBy("group_id", "topic"))
-                     .alias("rank")))
+                    _ordinal("group_id", "topic").alias("rank")))
 
     return topic_rows.unionByName(group_rows).unionByName(sub_rows)

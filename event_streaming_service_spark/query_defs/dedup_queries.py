@@ -164,6 +164,55 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters",
+    oracle="WITH RECURSIVE " + _JACCARD + _minhash_sql_body() + _bands_sql()
+    + f""",
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM candidates c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    -- transitive closure: every (node, reachable) pair; near-dup
+    -- components are tiny so the closure stays small
+    walk(node, reach) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comp AS (
+        SELECT node, LEAST(node, MIN(reach)) AS component
+        FROM walk GROUP BY node
+    ),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM assigned
+    """,
+    tags=("dedup-minhash-lsh", "dedup-clusters"),
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: LSH near-dup pairs -> connected components
+    (min-label propagation) -> canonical survivor per cluster, one row
+    per corpus doc. The oracle computes the identical components via a
+    recursive transitive-closure CTE."""
+    return dedup.near_dup_clusters(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+@register(
     "simhash_fingerprints",
     oracle=None,  # xxhash64 has no portable SQL twin; pytest covers invariants
     tags=("dedup-simhash",),

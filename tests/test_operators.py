@@ -284,3 +284,57 @@ def test_latency_percentiles_approx_sandwich(spark):
     for col in ("p50", "p95", "p99"):
         assert abs(approx[col] - exact[col]) <= 2.0, (
             col, approx[col], exact[col])
+
+
+# ---- connected components / near-dup clusters ----
+
+def test_connected_components_chain_and_merge(spark):
+    """A 6-node path graph needs several propagation rounds (diameter
+    5); labels must converge to the smallest reachable id. Separate
+    components must not merge."""
+    from event_streaming_service_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc_a long, doc_b long")
+    got = {r.node: r.component
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_reversed_edge_direction(spark):
+    """Min label propagates regardless of which side of the pair the
+    smaller id is on (edges symmetrized)."""
+    from event_streaming_service_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(9, 3), (3, 7), (8, 7)], "doc_a long, doc_b long")
+    got = {r.node: r.component
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {3: 3, 7: 3, 8: 3, 9: 3}
+
+
+def test_near_dup_clusters_partition_invariants(spark):
+    """Cluster assignment is a partition of the corpus: every doc
+    appears once, every cluster has exactly one canonical doc (= its
+    min id), sizes agree with membership counts."""
+    from event_streaming_service_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + (
+            "" if i % 3 else "epsilon")) for i in range(9)]
+        + [(100, "completely unrelated text about spark engines and "
+                 "distributed joins")],
+        "doc_id long, text string")
+    rows = dedup.near_dup_clusters(docs, 0.5).collect()
+    assert len(rows) == 10
+    assert {r.doc_id for r in rows} == set(range(9)) | {100}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.doc_id for m in members)
+        assert sum(m.is_canonical for m in members) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+    # the planted near-dups must actually cluster together
+    assert not all(r.cluster_size == 1 for r in rows)
