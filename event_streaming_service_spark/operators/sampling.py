@@ -1,0 +1,100 @@
+"""Deterministic sampling for training-data pipelines (SURVEY.md
+section 2.12 extension surface): uniform hash sampling, per-stratum
+rate sampling, and per-stratum quota (top-n) sampling.
+
+Why not `DataFrame.sample`: its Bernoulli draw is seeded per
+PARTITION, so the selected set changes whenever partitioning changes
+(repartition, AQE coalesce, task retry) — unacceptable for a corpus
+that must be reproducible across runs and clusters. Hash sampling
+derives the draw from row CONTENT (`md5(key)`), so the sample is a
+pure function of the data: stable under retries, identical on any
+engine, and consistent across tables (sampling `documents` and a
+sidecar table by the same key keeps them joinable).
+
+Scale:
+  * rate sampling is a stateless filter — no shuffle, fully pushed
+    into the scan stage, and composes with partition pruning;
+  * stratum rates come from a broadcast map (strata are low-cardinality
+    metadata like language/source — never event-grain);
+  * quota sampling ranks within strata, shuffling only on the stratum
+    key. A mega-stratum skews that shuffle; the standard fix is a
+    two-phase pick (approx-quantile the hash to a per-stratum threshold
+    that over-selects slightly, filter map-side, exact-rank the small
+    survivor set). The cutover is a corpus-size decision, not a
+    semantic one, so this module keeps the one-phase exact form.
+
+The 28-bit md5-prefix hash reuses the portable construction from
+operators/dedup.py (`portable_token_hash`) so Spark and any ANSI-SQL
+engine agree bit-for-bit; production can swap xxhash64 for speed at
+the cost of SQL portability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators.dedup import (
+    portable_token_hash,
+    portable_token_hash_sql,
+)
+
+# hash values are uniform over [0, 2^28); rates map to a threshold on
+# that range. DENOM as a power of two keeps the threshold arithmetic
+# exact for rates expressed in 1/2^28 units.
+HASH_SPACE = 1 << 28
+
+
+def sample_hash(key: Column) -> Column:
+    """Uniform 28-bit content hash of the (stringified) sampling key."""
+    return portable_token_hash(key.cast("string"))
+
+
+def sample_hash_sql(key_expr: str) -> str:
+    return portable_token_hash_sql(f"CAST({key_expr} AS VARCHAR)")
+
+
+def deterministic_sample(df: DataFrame, rate: float,
+                         key_col: str = "doc_id") -> DataFrame:
+    """Keep rows whose key hashes below rate * 2^28 — a content-stable
+    Bernoulli(rate) sample."""
+    thr = int(rate * HASH_SPACE)
+    return df.filter(sample_hash(F.col(key_col)) < thr)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str, key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum rate sampling (e.g. keep 100% of rare languages, 5%
+    of English): each row keeps iff hash(key) < rate[stratum] * 2^28.
+    The stratum->threshold map rides a broadcast join; rows in strata
+    absent from `rates` use `default_rate`."""
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        [(s, int(r * HASH_SPACE)) for s, r in sorted(rates.items())],
+        f"{stratum_col} string, __thr bigint")
+    default_thr = int(default_rate * HASH_SPACE)
+    return (df.join(F.broadcast(thr), stratum_col, "left")
+            .filter(sample_hash(F.col(key_col))
+                    < F.coalesce("__thr", F.lit(default_thr)))
+            .drop("__thr"))
+
+
+def quota_sample(df: DataFrame, quotas: dict[str, int],
+                 stratum_col: str, key_col: str = "doc_id",
+                 default_quota: int = 0) -> DataFrame:
+    """Exactly-n per stratum (when the stratum has >= n rows): rank by
+    the content hash (ties on key) within each stratum and keep
+    rank <= quota — a deterministic 'random n' that never oversamples
+    small strata the way independent Bernoulli draws can."""
+    spark = df.sparkSession
+    q = spark.createDataFrame(
+        [(s, n) for s, n in sorted(quotas.items())],
+        f"{stratum_col} string, __quota int")
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(key_col)), F.col(key_col))
+    return (df.join(F.broadcast(q), stratum_col, "left")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk")
+                    <= F.coalesce("__quota", F.lit(default_quota)))
+            .drop("__quota", "__rk"))

@@ -135,3 +135,44 @@ def fingerprint_token_set(text: Column) -> Column:
     """Order-insensitive fingerprint: md5 of the sorted distinct token
     set — catches reorderings/shuffles of the same content."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+# ---- PII / boilerplate scrubbing ----------------------------------
+# Patterns restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs, ASCII
+# classes only. Order matters: URLs are scrubbed BEFORE emails so a
+# credentialed URL (user@host inside https://) is consumed whole by
+# the URL pass rather than half-eaten by the email pass.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+[0-9][0-9 -]{6,14}[0-9]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact PII spans in order, each replaced by a typed tag
+    (`<URL>`, `<EMAIL>`, ...). Pure chained regexp_replace — one
+    codegen'd projection, no Python, no shuffle; the standard first
+    pass of any web-corpus cleaning pipeline."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts BEFORE redaction (the scrub-rate stats a
+    pipeline reports). regexp_extract_all with group 0 so Spark and
+    SQL count the same full-match spans; counts are computed on the
+    same pass order as scrub_pii (each kind counted on text already
+    scrubbed of the kinds before it) so a span is attributed to
+    exactly one kind."""
+    counts = {}
+    cur = text
+    for name, pat in PII_PATTERNS:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return counts

@@ -10,9 +10,11 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     envelope_queries,
     join_queries,
     multimodal_queries,
+    pii_queries,
     pipeline_queries,
     replay_queries,
     routing_queries,
+    sampling_queries,
     scale_queries,
     scalar_queries,
     similarity_queries,

@@ -1,0 +1,79 @@
+"""Deterministic-sampling queries over `documents` (SURVEY.md
+section 2.12): the training-data-mixture surface — downsample dominant
+languages, keep rare ones, and draw fixed per-source quotas — with the
+identical content-hash draw verified in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import sampling
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+# language-mixture reweighting: downsample the dominant language hard,
+# keep rare languages in full; strata absent from the map (es, zh) use
+# the default — exercising map hit, map miss, and the 1.0 edge
+LANG_RATES = {"en": 0.25, "fr": 1.0}
+LANG_DEFAULT_RATE = 0.5
+
+# fixed per-source quotas: under-subscribed (25-row sources vs quota
+# 40) and over-subscribed (quota 8) strata plus the default
+SOURCE_QUOTAS = {"src0": 8, "src1": 40}
+SOURCE_DEFAULT_QUOTA = 3
+
+_HASH = sampling.sample_hash_sql("doc_id")
+
+
+def _rate_case(col: str, rates: dict[str, float], default: float) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * sampling.HASH_SPACE)}"
+        for s, r in sorted(rates.items()))
+    return (f"CASE {col} {whens} "
+            f"ELSE {int(default * sampling.HASH_SPACE)} END")
+
+
+def _quota_case(col: str, quotas: dict[str, int], default: int) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {n}" for s, n in sorted(quotas.items()))
+    return f"CASE {col} {whens} ELSE {default} END"
+
+
+@register(
+    "sampling_surface",
+    oracle=f"""
+    SELECT 'rate' AS kind, doc_id, lang AS stratum
+    FROM documents
+    WHERE {_HASH} < {_rate_case("lang", LANG_RATES, LANG_DEFAULT_RATE)}
+    UNION ALL
+    SELECT 'quota', doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_HASH}, doc_id) AS rk
+        FROM documents)
+    WHERE rk <= {_quota_case("source", SOURCE_QUOTAS, SOURCE_DEFAULT_QUOTA)}
+    """,
+    tags=("sampling", "2.12-sampling"),
+)
+def q_sampling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling, both modes in one result:
+    `rate` rows — per-language mixture reweighting (hash-threshold
+    Bernoulli, stateless filter); `quota` rows — fixed per-source draw
+    (rank-by-hash within stratum). Content-derived hashes make the
+    sample reproducible across runs, partitionings, and engines —
+    which is exactly what `DataFrame.sample` cannot promise."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rate_leg = (
+        sampling.stratified_sample(docs, LANG_RATES, "lang",
+                                   default_rate=LANG_DEFAULT_RATE)
+        .select(F.lit("rate").alias("kind"), "doc_id",
+                F.col("lang").alias("stratum")))
+    quota_leg = (
+        sampling.quota_sample(docs, SOURCE_QUOTAS, "source",
+                              default_quota=SOURCE_DEFAULT_QUOTA)
+        .select(F.lit("quota").alias("kind"), "doc_id",
+                F.col("source").alias("stratum")))
+    return rate_leg.unionByName(quota_leg)

@@ -338,3 +338,93 @@ def test_near_dup_clusters_partition_invariants(spark):
         assert all(m.cluster_size == len(members) for m in members)
     # the planted near-dups must actually cluster together
     assert not all(r.cluster_size == 1 for r in rows)
+
+
+# ---- deterministic sampling ----
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    """The same rows are selected no matter how the input is
+    partitioned — the property DataFrame.sample cannot provide."""
+    from event_streaming_service_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sampling.deterministic_sample(df, 0.3).collect()}
+    b = {r.doc_id for r in sampling.deterministic_sample(
+        df.repartition(13), 0.3).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_stratified_sample_rates_and_default(spark):
+    from event_streaming_service_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en")
+                      .when(F.col("doc_id") % 3 == 1, "fr")
+                      .otherwise("zh")))
+    out = sampling.stratified_sample(
+        df, {"en": 1.0, "fr": 0.0}, "lang", default_rate=0.5).toPandas()
+    by_lang = out.groupby("lang").size().to_dict()
+    assert by_lang.get("en") == 1000        # rate 1.0 keeps everything
+    assert "fr" not in by_lang              # rate 0.0 keeps nothing
+    assert 300 < by_lang.get("zh", 0) < 700  # default 0.5
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    from event_streaming_service_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 500).withColumnRenamed("id", "doc_id")
+          .withColumn("source",
+                      F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))))
+    out = sampling.quota_sample(
+        df, {"s0": 10, "s1": 500}, "source", default_quota=2).toPandas()
+    sizes = out.groupby("source").size().to_dict()
+    # s1 has 125 rows < quota 500 -> all kept; default quota 2 for s2/s3
+    assert sizes == {"s0": 10, "s1": 125, "s2": 2, "s3": 2}
+    again = sampling.quota_sample(
+        df.repartition(7), {"s0": 10, "s1": 500}, "source",
+        default_quota=2).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+# ---- PII scrubbing ----
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from event_streaming_service_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@foo.co.uk or visit https://u:p@x.io/q?a=1 "
+             "call +44 20 7946 0958 from 192.168.0.1 done"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    counts = T.pii_counts(F.col("text"))
+    out = df.select(
+        "doc_id", T.scrub_pii(F.col("text")).alias("clean"),
+        *[v.alias(k) for k, v in counts.items()]).collect()
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert r1.n_url == 1 and r1.n_email == 1
+    assert r1.n_phone == 1 and r1.n_ipv4 == 1
+    assert r1.clean == ("mail <EMAIL> or visit <URL> "
+                        "call <PHONE> from <IPV4> done")
+    r2 = next(r for r in out if r.doc_id == 2)
+    assert (r2.n_url, r2.n_email, r2.n_phone, r2.n_ipv4) == (0, 0, 0, 0)
+    assert r2.clean == "no pii here at all"
+
+
+def test_scrub_pii_url_pass_consumes_embedded_email(spark):
+    """A credentialed URL must be consumed whole by the URL pass, not
+    half-eaten by the email pass (pass-order contract)."""
+    from event_streaming_service_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "x https://user@example.com/path y")], "doc_id long, text string")
+    row = df.select(T.scrub_pii(F.col("text")).alias("c"),
+                    *[v.alias(k)
+                      for k, v in T.pii_counts(F.col("text")).items()]
+                    ).first()
+    assert row.c == "x <URL> y"
+    assert row.n_url == 1 and row.n_email == 0
