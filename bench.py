@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "envelope_projection",          # nested envelope build + project
     "catalog_surface",              # topics/groups/subscriptions
     "doc_text_metrics",             # token/langid/quality, one pass
+    # corpus-pipeline operators (round 2)
+    "near_dup_clusters",            # LSH pairs -> components -> canonical
+    "sampling_surface",             # hash-rate + quota sampling
+    "pii_scrub_stats",              # regex scrub + span counts
+    "seq_packing",                  # token-budget bin packing
 ]
 
 

@@ -53,7 +53,9 @@ PRIORITY: tuple[str, ...] = (
     "sampling_surface", "pii_scrub_stats",
     "moving_window_frames", "orders_by_month",
     "event_types_per_tenant_listagg", "tumbling_daily_by_type",
-    "sliding_hourly_counts", "session_windows_30m", "per_key_ordering",
+    # sliding_hourly_counts stays locally verified; W8 keeps two
+    # driver rows (tumbling + session) and packing gets its only one
+    "seq_packing", "session_windows_30m", "per_key_ordering",
     "doc_text_metrics", "doc_fingerprints",
     "streaming_tumbling_counts", "streaming_dedup",
     "streaming_continuous_rollup",

@@ -10,6 +10,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     envelope_queries,
     join_queries,
     multimodal_queries,
+    packing_queries,
     pii_queries,
     pipeline_queries,
     replay_queries,

@@ -428,3 +428,48 @@ def test_scrub_pii_url_pass_consumes_embedded_email(spark):
                     ).first()
     assert row.c == "x <URL> y"
     assert row.n_url == 1 and row.n_email == 0
+
+
+# ---- sequence packing ----
+
+def test_pack_sequences_invariants(spark):
+    """No bin over budget (except a lone oversize doc), bins dense per
+    shard, fill maximal (next doc in shard would not have fit in the
+    previous bin), assignment deterministic under repartition."""
+    from event_streaming_service_spark.operators import packing
+    from pyspark.sql import functions as F
+
+    budget = 100
+    df = spark.createDataFrame(
+        [(i, "tok " * (7 * i % 140)) for i in range(1, 200)],
+        "doc_id long, text string")
+    out = packing.pack_sequences(df, budget, n_shards=4).toPandas()
+    assert len(out) == 199
+    for (shard, bin_id), grp in out.groupby(["shard", "bin_id"]):
+        total = grp.n_tokens.sum()
+        assert total <= budget or (len(grp) == 1 and grp.oversize.all())
+    for shard, grp in out.groupby("shard"):
+        bins = sorted(grp.bin_id.unique())
+        assert bins == list(range(len(bins)))  # dense
+        grp = grp.sort_values("doc_id")
+        fills = grp.groupby("bin_id").n_tokens.sum()
+        firsts = grp.drop_duplicates("bin_id", keep="first")
+        for b in bins[1:]:
+            opener = firsts[firsts.bin_id == b].n_tokens.iloc[0]
+            assert fills[b - 1] + opener > budget  # greedy: had to split
+    again = packing.pack_sequences(
+        df.repartition(11), budget, n_shards=4).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("", "_2"))
+    assert (merged.bin_id == merged.bin_id_2).all()
+
+
+def test_pack_sequences_oversize_isolated(spark):
+    from event_streaming_service_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(1, "a " * 10), (2, "b " * 500), (3, "c " * 10)],
+        "doc_id long, text string")
+    out = packing.pack_sequences(df, 100, n_shards=1).toPandas()
+    big = out[out.doc_id == 2]
+    assert big.oversize.all()
+    assert (out.groupby("bin_id").size()[big.bin_id.iloc[0]] == 1)
