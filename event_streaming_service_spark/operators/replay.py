@@ -38,6 +38,20 @@ def nanos_range(from_ts: str, to_ts: str, nanos_col: str = "__ts_nanos") -> Colu
     return F.col(nanos_col).between(lo, hi)
 
 
+def time_range_predicate(df: DataFrame, from_ts: str, to_ts: str) -> Column:
+    """`ts BETWEEN from AND to` in whichever form reaches the parquet
+    scan for this frame's storage layout: the raw-nanos twin when the
+    fixture stores TIMESTAMP(NANOS) (surfaced as a long + __ts_nanos,
+    where a predicate on the converted expression could NOT push down),
+    else a plain column predicate on the natively-read ts (Spark casts
+    the literal, not the column, so pushdown survives either timezone
+    flavor)."""
+    if "__ts_nanos" in df.columns:
+        return nanos_range(from_ts, to_ts)
+    return (F.col("ts") >= F.lit(from_ts).cast("timestamp")) & (
+        F.col("ts") <= F.lit(to_ts).cast("timestamp"))
+
+
 def with_provenance(df: DataFrame, replay_ts: str,
                     target_topic: Column | None = None) -> DataFrame:
     """Replay provenance headers (EventReplayService.java:249-253)."""
@@ -62,12 +76,8 @@ def replay_time_range(events_coords: DataFrame, from_ts: str, to_ts: str,
     (exact equivalent) so it reaches the parquet scan — predicates on
     the converted timestamp expression cannot push down.
     """
-    if "__ts_nanos" in events_coords.columns:
-        out = events_coords.filter(nanos_range(from_ts, to_ts))
-    else:
-        out = events_coords.filter(
-            (F.col("ts") >= F.lit(from_ts).cast("timestamp"))
-            & (F.col("ts") <= F.lit(to_ts).cast("timestamp")))
+    out = events_coords.filter(
+        time_range_predicate(events_coords, from_ts, to_ts))
     if filter_expr is not None:
         out = out.filter(filter_expr)
     return with_provenance(out, replay_ts)

@@ -32,13 +32,17 @@ def test_q5_broadcasts_dimensions(spark, sf_oracle):
 
 
 def test_raw_time_filter_pushes_down_via_nanos(spark, sf_oracle):
-    """Predicates on the converted timestamp expression cannot reach the
-    scan; the raw-nanos twin (replay.nanos_range) must."""
-    from event_streaming_service_spark.operators.replay import nanos_range
+    """The replay range predicate must reach the parquet scan on EITHER
+    fixture layout: TIMESTAMP(NANOS) storage (surfaced as a long — the
+    raw-nanos twin replay.nanos_range applies) or native micros storage
+    (plain column predicate pushes down directly)."""
+    from event_streaming_service_spark.operators import replay
     from event_streaming_service_spark.sources import tables
 
-    df = tables.load_table(spark, sf_oracle, "events").filter(
-        nanos_range("2024-01-10 00:00:00", "2024-01-15 00:00:00"))
+    events = tables.load_table(spark, sf_oracle, "events")
+    df = events.filter(
+        replay.time_range_predicate(
+            events, "2024-01-10 00:00:00", "2024-01-15 00:00:00"))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
