@@ -181,12 +181,35 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
-                            text_col: str = "text", n: int = 3) -> DataFrame:
+                            text_col: str = "text", n: int = 3,
+                            bucket_cap: int | None = None) -> DataFrame:
     """Distinct candidate pairs from LSH banding (doc_a < doc_b) —
     the sub-quadratic candidate generation step; join is on band_key,
-    never all-pairs."""
+    never all-pairs.
+
+    `bucket_cap`: skip band buckets holding more than cap docs. A
+    bucket of d docs emits d*(d-1)/2 candidate rows, so one boilerplate
+    cluster (near-identical template pages hashing to the same band
+    key) quadratically floods the join on a web-scale corpus — the same
+    hazard the shingle join's hot_shingle_cap closes. Oversized buckets
+    are near-exact duplicate families, which `exact_canonical` (one
+    hash aggregate, no pair join) already collapses; routing them there
+    first and capping here is the standard LSH practice. Bucket sizes
+    aggregate on (band, band_key) — the key the self-join hashes on, so
+    the capping exchange is reused — and the surviving-buckets set is
+    small by construction (df > cap buckets are FEW), removed with a
+    broadcast anti-join, never a second full shuffle.
+    """
     keys = minhash_band_keys(
         minhash_signatures(docs, id_col, text_col, n), id_col)
+    if bucket_cap is not None:
+        keys = keys.cache()
+        big = (keys.groupBy("band", "band_key")
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") > bucket_cap)
+               .select("band", "band_key"))
+        keys = keys.join(F.broadcast(big), ["band", "band_key"],
+                         "left_anti")
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -200,16 +223,19 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_dups(docs: DataFrame, threshold: float,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Full MinHash+LSH dedup: bucketed candidates, then exact Jaccard
     verification restricted to candidate documents ONLY — the whole
     point of LSH is that the expensive pair computation never touches
     non-candidate docs, so the shingle self-join runs on the (small)
-    semi-joined subset, not the corpus."""
+    semi-joined subset, not the corpus. `bucket_cap` is threaded to
+    the candidate generation (see minhash_candidate_pairs)."""
     # cache: the candidate set is tiny but feeds TWO consumers (the doc
     # filter and the final join) — uncached, Spark re-runs the whole
     # signature+banding pipeline per consumer (observed 3x wall time)
-    cands = minhash_candidate_pairs(docs, id_col, text_col, n).cache()
+    cands = minhash_candidate_pairs(docs, id_col, text_col, n,
+                                    bucket_cap).cache()
     cand_docs = (cands.select(F.col("doc_a").alias(id_col))
                  .union(cands.select(F.col("doc_b").alias(id_col)))
                  .distinct())
@@ -314,20 +340,14 @@ def near_dup_clusters(docs: DataFrame, threshold: float,
                 .alias("is_canonical")))
 
 
-def simhash63(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """63-bit SimHash over token xxhash64 values: per bit, sum +/-1
-    votes across tokens; the sign vector packs into one non-negative
-    BIGINT (63 bits so the packed value never touches the sign bit).
-
-    xxhash64 is JVM-native (no portable SQL twin), so this operator is
-    verified by pytest invariants (identity / small-perturbation
-    hamming distance) rather than the DuckDB oracle.
-    """
-    bits = 63
+def _simhash(docs: DataFrame, id_col: str, text_col: str,
+             hash_fn, bits: int) -> DataFrame:
+    """Shared SimHash kernel: per bit of the token hash, sum +/-1 votes
+    across tokens (term-frequency weighted — duplicates vote again);
+    the sign vector packs into one non-negative BIGINT."""
     tok = fan_out(docs).select(
         id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
+    tok = tok.withColumn("h", hash_fn(F.col("tok")))
     votes = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
               .otherwise(-1)).alias(f"v{i}")
@@ -339,6 +359,34 @@ def simhash63(docs: DataFrame, id_col: str = "doc_id",
         sim = sim + F.when(F.col(f"v{i}") > 0,
                            F.lit(1 << i).cast("bigint")).otherwise(0)
     return per_doc.select(id_col, sim.alias("simhash"))
+
+
+def simhash63(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """63-bit SimHash over token xxhash64 values (63 bits so the packed
+    value never touches the sign bit).
+
+    xxhash64 is JVM-native (no portable SQL twin), so this operator is
+    verified by pytest invariants (identity / small-perturbation
+    hamming distance) rather than the DuckDB oracle; simhash_portable
+    below is the oracle-checked twin of the same kernel.
+    """
+    return _simhash(docs, id_col, text_col, F.xxhash64, 63)
+
+
+SIMHASH_PORTABLE_BITS = 28
+
+
+def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """SimHash over the 28-bit portable md5 token hash — identical
+    arithmetic in Spark and ANSI SQL, so the whole kernel (tokenize,
+    per-bit votes, sign packing) is DuckDB-oracle-checkable. Production
+    path stays simhash63 (xxhash64 is ~10x cheaper than md5 and twice
+    the bits); this twin exists to pin the kernel's semantics with an
+    exact cross-engine hash, per VERDICT r2 item #4."""
+    return _simhash(docs, id_col, text_col, portable_token_hash,
+                    SIMHASH_PORTABLE_BITS)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

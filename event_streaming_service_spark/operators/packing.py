@@ -27,11 +27,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.operators.dedup import portable_token_hash
 from event_streaming_service_spark.operators.text import tokens
 
 
 def whitespace_token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
+
+
+def shard_of(id_col: Column, n_shards: int) -> Column:
+    """Content-hash shard assignment: works for string ids and is
+    pattern-free (pmod(doc_id, n) correlates with any id-assignment
+    scheme — e.g. ids striped by source would pile one source onto one
+    shard). The 28-bit md5 prefix hash keeps it expressible in the
+    DuckDB oracle, unlike xxhash64."""
+    return F.pmod(portable_token_hash(id_col.cast("string")),
+                  F.lit(n_shards)).cast("int")
 
 
 def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 8,
@@ -45,7 +56,7 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 8,
 
     counted = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        shard_of(F.col(id_col), n_shards).alias("shard"),
         whitespace_token_count(F.col(text_col)).alias("n_tokens"))
 
     def pack(pdf):

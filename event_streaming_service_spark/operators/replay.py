@@ -38,18 +38,22 @@ def nanos_range(from_ts: str, to_ts: str, nanos_col: str = "__ts_nanos") -> Colu
     return F.col(nanos_col).between(lo, hi)
 
 
-def time_range_predicate(df: DataFrame, from_ts: str, to_ts: str) -> Column:
+def time_range_predicate(df: DataFrame, from_ts: str, to_ts: str,
+                         nanos_col: str = "__ts_nanos",
+                         ts_col: str = "ts") -> Column:
     """`ts BETWEEN from AND to` in whichever form reaches the parquet
     scan for this frame's storage layout: the raw-nanos twin when the
-    fixture stores TIMESTAMP(NANOS) (surfaced as a long + __ts_nanos,
+    fixture stores TIMESTAMP(NANOS) (surfaced as a long + `nanos_col`,
     where a predicate on the converted expression could NOT push down),
-    else a plain column predicate on the natively-read ts (Spark casts
-    the literal, not the column, so pushdown survives either timezone
-    flavor)."""
-    if "__ts_nanos" in df.columns:
-        return nanos_range(from_ts, to_ts)
-    return (F.col("ts") >= F.lit(from_ts).cast("timestamp")) & (
-        F.col("ts") <= F.lit(to_ts).cast("timestamp"))
+    else a plain column predicate on the natively-read `ts_col` (Spark
+    casts the literal, not the column, so pushdown survives either
+    timezone flavor). Both column names are parameters so frames with
+    non-default layouts dispatch on THEIR nanos column instead of
+    silently falling through to the non-pushdown branch."""
+    if nanos_col in df.columns:
+        return nanos_range(from_ts, to_ts, nanos_col)
+    return (F.col(ts_col) >= F.lit(from_ts).cast("timestamp")) & (
+        F.col(ts_col) <= F.lit(to_ts).cast("timestamp"))
 
 
 def with_provenance(df: DataFrame, replay_ts: str,

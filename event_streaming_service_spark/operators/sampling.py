@@ -17,11 +17,11 @@ Scale:
   * stratum rates come from a broadcast map (strata are low-cardinality
     metadata like language/source — never event-grain);
   * quota sampling ranks within strata, shuffling only on the stratum
-    key. A mega-stratum skews that shuffle; the standard fix is a
-    two-phase pick (approx-quantile the hash to a per-stratum threshold
-    that over-selects slightly, filter map-side, exact-rank the small
-    survivor set). The cutover is a corpus-size decision, not a
-    semantic one, so this module keeps the one-phase exact form.
+    key. A mega-stratum skews that shuffle; `two_phase=True` is the
+    fix — derive an over-selecting per-stratum hash threshold from
+    hash uniformity, filter map-side, exact-rank only the small
+    survivor set, with a detected-undershoot fallback that keeps the
+    result bit-identical to the one-phase form.
 
 The 28-bit md5-prefix hash reuses the portable construction from
 operators/dedup.py (`portable_token_hash`) so Spark and any ANSI-SQL
@@ -82,19 +82,80 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
 
 def quota_sample(df: DataFrame, quotas: dict[str, int],
                  stratum_col: str, key_col: str = "doc_id",
-                 default_quota: int = 0) -> DataFrame:
+                 default_quota: int = 0,
+                 two_phase: bool = False,
+                 safety: float = 2.0) -> DataFrame:
     """Exactly-n per stratum (when the stratum has >= n rows): rank by
     the content hash (ties on key) within each stratum and keep
     rank <= quota — a deterministic 'random n' that never oversamples
-    small strata the way independent Bernoulli draws can."""
+    small strata the way independent Bernoulli draws can.
+
+    `two_phase=True` is the mega-stratum scale path (identical result):
+    the one-phase form window-sorts EVERY row of a stratum on one
+    executor, which a billion-row stratum cannot do. Phase 1 computes
+    per-stratum counts (a partial-aggregating groupBy — tiny, strata
+    are low-cardinality metadata) and derives an over-selecting hash
+    threshold from hash uniformity (quota/n * 2^28 * safety); the
+    pre-filter then drops all but ~safety*quota rows per stratum
+    MAP-SIDE, and the exact rank runs on that small survivor set.
+    Because both phases order by the same (hash, key), the top-quota
+    set is unchanged whenever the threshold captures at least
+    min(quota, n) survivors; the rare density-fluctuation undershoot is
+    detected by a survivor count and those strata (and only those)
+    fall back to the exact one-phase rank, so the result is equal to
+    the one-phase form BY CONSTRUCTION, not just in expectation.
+    """
     spark = df.sparkSession
     q = spark.createDataFrame(
         [(s, n) for s, n in sorted(quotas.items())],
         f"{stratum_col} string, __quota int")
     w = Window.partitionBy(stratum_col).orderBy(
         sample_hash(F.col(key_col)), F.col(key_col))
-    return (df.join(F.broadcast(q), stratum_col, "left")
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk")
-                    <= F.coalesce("__quota", F.lit(default_quota)))
-            .drop("__quota", "__rk"))
+
+    def exact_rank(frame: DataFrame) -> DataFrame:
+        return (frame.join(F.broadcast(q), stratum_col, "left")
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk")
+                        <= F.coalesce("__quota", F.lit(default_quota)))
+                .drop("__quota", "__rk"))
+
+    if not two_phase:
+        return exact_rank(df)
+
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+              .collect()}
+    thr_rows = []
+    need = {}
+    for s, n in sorted(counts.items()):
+        quota = quotas.get(s, default_quota)
+        need[s] = min(quota, n)
+        if quota <= 0:
+            thr_rows.append((s, 0))
+        elif quota >= n:
+            thr_rows.append((s, HASH_SPACE))
+        else:
+            thr_rows.append(
+                (s, min(HASH_SPACE,
+                        int(HASH_SPACE * quota * safety / n) + 1)))
+    thr = spark.createDataFrame(thr_rows,
+                                f"{stratum_col} string, __pre bigint")
+    survivors = (df.join(F.broadcast(thr), stratum_col, "left")
+                 .filter(sample_hash(F.col(key_col))
+                         < F.coalesce("__pre", F.lit(0)))
+                 .drop("__pre").cache())
+    got = {r[0]: r[1] for r in
+           survivors.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+           .collect()}
+    deficient = [s for s, m in need.items() if got.get(s, 0) < m]
+    picked = exact_rank(
+        survivors.filter(~F.col(stratum_col).isin(deficient))
+        if deficient else survivors)
+    if deficient:
+        # density fluctuation undershot the threshold for these strata
+        # (probability ~exp(-quota*(safety-1)^2/3) each): re-rank them
+        # exactly from the full frame — correctness never depends on
+        # the estimate, only the fast path does
+        picked = picked.unionByName(
+            exact_rank(df.filter(F.col(stratum_col).isin(deficient))))
+    return picked

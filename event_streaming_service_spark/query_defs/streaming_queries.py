@@ -2,10 +2,24 @@
 
 Each runs a real Structured Streaming query synchronously
 (trigger(availableNow) + memory sink) over a file-stream copy of the
-events fixture and returns the materialized result. Streaming output
-depends on watermark-closed state (append mode emits only finalized
-windows), which no batch SQL can replicate — so these are rows-only
-checks; the batch twins (window_queries.py) carry the value oracles.
+events fixture and returns the materialized result.
+
+On a STATIC fixture the watermark semantics are deterministic, so each
+query carries an exact DuckDB batch-twin oracle (VERDICT r2 item #3):
+
+* append-mode windowed aggs emit exactly the windows finalized by the
+  last watermark, i.e. window_end <= max(event time) - delay, with the
+  watermark tracked at millisecond granularity (so the oracle compares
+  in epoch_ms, exactly like the engine);
+* dropDuplicatesWithinWatermark emits every first-seen row immediately
+  (the watermark only bounds STATE, not emission), and fixture
+  event_ids are unique, so the emitted set is the whole table;
+* the continuous rollup folds per-batch partials whose count/cents
+  sums are associative, so the fold equals the one-shot batch rollup.
+
+The stream-vs-batch equality these oracles rely on is additionally
+property-tested in tests/test_stream_batch_equivalence.py and
+tests/test_rollup.py (including multi-batch incremental state).
 """
 
 from __future__ import annotations
@@ -14,17 +28,32 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
 from event_streaming_service_spark.streaming import pipeline as sp
 
 
+def _stream_src(spark: SparkSession, sf_dir: str, tmp: str) -> str:
+    """Write the fixture copy the file stream reads. The loader surfaces
+    fixture timestamps as NTZ wall-clock; the stream schema declares
+    TimestampType, and reading NTZ parquet through a TZ schema would
+    re-interpret the naive value as a UTC instant — shifting every
+    wall-clock by the session offset (invisible under a UTC container,
+    wrong under any other). Casting NTZ -> timestamp pins the session
+    wall-clock into the instant, so the stream renders the same
+    wall-clock the loader (and the DuckDB oracle) sees."""
+    src = f"{tmp}/src"
+    (tables.load_table(spark, sf_dir, "events")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(2).write.mode("overwrite").parquet(src))
+    return src
+
+
 def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix=f"ess-{name}-")
-    src = f"{tmp}/src"
-    tables.load_table(spark, sf_dir, "events").coalesce(2) \
-        .write.mode("overwrite").parquet(src)
+    src = _stream_src(spark, sf_dir, tmp)
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (transform(sp.read_event_stream(spark, src))
          .writeStream.outputMode("append").format("memory")
@@ -33,23 +62,62 @@ def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataF
     return spark.table(sink)
 
 
-@register("streaming_tumbling_counts", oracle=None,
-          tags=("W1", "W8", "streaming"))
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+@register(
+    "streaming_tumbling_counts",
+    oracle=f"""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 1800000 AS wm_ms FROM events),
+         w AS (
+           SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS ws_ms,
+                  event_type, value
+           FROM events)
+    SELECT make_timestamp(ws_ms * 1000) AS window_start,
+           make_timestamp((ws_ms + {HOUR_MS}) * 1000) AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+    FROM w, wm
+    WHERE ws_ms + {HOUR_MS} <= wm_ms
+    GROUP BY 1, 2, 3
+    """,
+    tags=("W1", "W8", "streaming"))
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8 native tumbling windows + watermark, driven as micro-batches."""
+    """W8 native tumbling windows + watermark, driven as micro-batches.
+    Append mode emits exactly the watermark-finalized windows
+    (window_end <= max event time - 30 min, at ms granularity) — the
+    oracle reproduces that rule in batch SQL."""
     return _run_stream(spark, sf_dir,
                        lambda s: sp.tumbling_counts(s, "1 hour", "30 minutes"),
                        "tumbling")
 
 
-@register("streaming_dedup", oracle=None, tags=("D1", "W4", "streaming"))
+@register(
+    "streaming_dedup",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props"
+           " FROM events",
+    tags=("D1", "W4", "streaming"))
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 dropDuplicatesWithinWatermark over the event stream."""
+    """W4 dropDuplicatesWithinWatermark over the event stream. Emission
+    is immediate (the watermark bounds dedup STATE, not output) and
+    fixture event_ids are unique, so the emitted rows are exactly the
+    input table — which is what the oracle asserts. The duplicate-
+    collapsing behavior itself is pytest-covered with crafted dup
+    streams (tests/test_streaming.py)."""
     return _run_stream(spark, sf_dir, sp.dedup_stream, "dedup")
 
 
-@register("streaming_continuous_rollup", oracle=None,
-          tags=("W8", "W9", "rollup", "streaming"))
+@register(
+    "streaming_continuous_rollup",
+    oracle=f"""
+    SELECT make_timestamp((epoch_ms(ts) // {DAY_MS}) * {DAY_MS} * 1000)
+               AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("W8", "W9", "rollup", "streaming"))
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained daily rollup (hypertable-style
     continuous aggregate): per-batch partial aggregation + per-window
@@ -60,9 +128,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_service_spark.streaming import rollup
 
     tmp = tempfile.mkdtemp(prefix="ess-rollup-q-")
-    src = f"{tmp}/src"
-    tables.load_table(spark, sf_dir, "events").coalesce(2) \
-        .write.mode("overwrite").parquet(src)
+    src = _stream_src(spark, sf_dir, tmp)
     q = rollup.start_continuous_rollup(
         sp.read_event_stream(spark, src, max_files_per_trigger=1),
         f"{tmp}/rollup", f"{tmp}/ckpt")

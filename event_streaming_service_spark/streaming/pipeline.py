@@ -75,10 +75,16 @@ def dedup_stream(stream: DataFrame,
 
 def tumbling_counts(stream: DataFrame, width: str = "10 minutes",
                     watermark: str = "30 minutes") -> DataFrame:
-    """W8: native tumbling window agg with watermarked state eviction."""
+    """W8: native tumbling window agg with watermarked state eviction.
+    The value sum goes through an exact decimal accumulator so the
+    result is independent of micro-batch arrival order (a plain double
+    sum varies in the last ulps with batching, which would make the
+    stream unequal to its batch twin)."""
     return (stream.withWatermark("ts", watermark)
             .groupBy(F.window("ts", width), F.col("event_type"))
-            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(24,4)")).cast("double")
+                  .alias("sum_value"))
             .select(F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"),
                     "event_type", "n", "sum_value"))

@@ -167,6 +167,34 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
 
 
+def test_minhash_bucket_cap_skips_boilerplate_cluster(spark):
+    """A boilerplate family (identical docs) floods one band bucket
+    with d docs -> d*(d-1)/2 candidate rows; with bucket_cap below d
+    the bucket is skipped entirely while genuinely-near pairs in small
+    buckets survive."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("kappa", "kappa2")
+    boiler = [(100 + i, "copyright footer terms privacy contact " * 4)
+              for i in range(8)]
+    df = spark.createDataFrame([(1, base), (2, near)] + boiler,
+                               "doc_id long, text string")
+    uncapped = {(p.doc_a, p.doc_b)
+                for p in dedup.minhash_candidate_pairs(df).collect()}
+    capped = {(p.doc_a, p.doc_b)
+              for p in dedup.minhash_candidate_pairs(
+                  df, bucket_cap=4).collect()}
+    assert (1, 2) in uncapped and (1, 2) in capped
+    # all 28 boilerplate pairs generated uncapped, none after the cap
+    assert {p for p in uncapped if p[0] >= 100} == {
+        (a, b) for a in range(100, 108) for b in range(a + 1, 108)}
+    assert not {p for p in capped if p[0] >= 100}
+    # the boilerplate family is exact-dup territory: the hash-aggregate
+    # path collapses it without any pair join
+    canon = dedup.exact_canonical(df).filter("doc_id >= 100").collect()
+    assert all(r.canonical_id == 100 for r in canon)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_oracle):
     from event_streaming_service_spark.sources import tables
 
@@ -387,6 +415,26 @@ def test_quota_sample_exact_counts_and_determinism(spark):
         df.repartition(7), {"s0": 10, "s1": 500}, "source",
         default_quota=2).toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_quota_sample_two_phase_equals_one_phase(spark):
+    """The mega-stratum scale path (threshold pre-filter + exact rank
+    on survivors) must select the identical rows as the one-phase rank
+    — including when the over-selection threshold undershoots and the
+    per-stratum fallback kicks in (forced here with safety < 1)."""
+    from event_streaming_service_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+          .withColumn("source",
+                      F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))))
+    quotas = {"s0": 25, "s1": 2000}
+    one = sampling.quota_sample(df, quotas, "source", default_quota=5)
+    for safety in (2.0, 0.2):  # fast path / forced-undershoot fallback
+        two = sampling.quota_sample(df, quotas, "source", default_quota=5,
+                                    two_phase=True, safety=safety)
+        assert (sorted(r.doc_id for r in one.collect())
+                == sorted(r.doc_id for r in two.collect())), safety
 
 
 # ---- PII scrubbing ----
