@@ -98,6 +98,10 @@ def main() -> None:
             SF_DIR, os.path.join(repo_root, ".bench_cache"))
         prep_sec = round(time.perf_counter() - t0, 3)
 
+    # 39 cache-heavy queries share this session; on the default 8g heap
+    # late queries time GC pressure, not their plans (observed 3-5x
+    # per-query noise). The host has 128 GiB — use a real slice of it.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1,6 +1,14 @@
 """Regenerate the BENCH_NOTES.md comparison table: every bench.py
-headline query timed in Spark (noop sink, best-of-2, shared session)
-and in DuckDB against the oracle SQL (fetchall, best-of-2).
+headline query timed in Spark (noop sink) and in DuckDB against the
+oracle SQL (fetchall) — per-query warmup then best-of-2, one shared
+session per engine.
+
+Both engines read the SAME splittable multi-file fixture copy that
+bench.py measures (sources/fixtures.py): single-row-group fixture files
+serialize Spark scans by construction while DuckDB parallelizes inside
+the row group, so pairing on the rewritten copy is the apples-to-apples
+comparison. Opt out with SPARK_GRAFT_NO_SPLIT=1 to measure the raw
+driver fixtures.
 
 Usage: python tools/gen_bench_notes.py [> table.md]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -24,32 +32,41 @@ from event_streaming_service_spark.sources.tables import TABLE_NAMES
 
 def main() -> None:
     _load_all()
+    bench_dir = SF_DIR
+    if os.environ.get("SPARK_GRAFT_NO_SPLIT", "0") != "1":
+        from event_streaming_service_spark.sources.fixtures import (
+            prepare_splittable)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bench_dir = prepare_splittable(
+            SF_DIR, os.path.join(repo_root, ".bench_cache"))
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")  # see bench.py
     spark = get_spark("bench-notes", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-
-    # warmup both engines
-    REGISTRY["topic_statistics"].builder(spark, SF_DIR) \
-        .write.format("noop").mode("overwrite").save()
-    con.execute("SELECT COUNT(*) FROM events").fetchall()
+        path = f"{bench_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     rows = []
     total_s = total_d = 0.0
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
         best_s = float("inf")
-        for _ in range(2):
-            df = spec.builder(spark, SF_DIR)
+        for i in range(3):  # first run = untimed warmup
+            df = spec.builder(spark, bench_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best_s = min(best_s, time.perf_counter() - t0)
+            if i > 0:
+                best_s = min(best_s, time.perf_counter() - t0)
+        spark.catalog.clearCache()
         if spec.oracle:
             best_d = float("inf")
-            for _ in range(2):
+            for i in range(3):
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
-                best_d = min(best_d, time.perf_counter() - t0)
+                if i > 0:
+                    best_d = min(best_d, time.perf_counter() - t0)
             ratio = f"{best_s / best_d:.1f}x"
             dtxt = f"{best_d:.2f}"
             total_s += best_s
