@@ -392,3 +392,39 @@ def simhash_portable(docs: DataFrame, id_col: str = "doc_id",
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of xor — SimHash distance."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def contamination_flags(corpus: DataFrame, eval_docs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation set (the train/test-overlap check
+    every serious LLM data pipeline runs before training — n-gram
+    collision against held-out benchmarks, the standard published
+    method).
+
+    Returns one row per corpus doc: (doc_id, n_contaminated_ngrams =
+    #distinct corpus-doc n-grams that appear anywhere in the eval set,
+    contaminated = any hit).
+
+    Scale shape: the eval n-gram set is SMALL (benchmarks are a few
+    thousand documents) — distinct it once and BROADCAST; the corpus
+    side is one shingle explode + broadcast hash semi-join + one
+    aggregate keyed on doc id. The 100 TB corpus is scanned once and
+    never shuffled on the n-gram key; no join can fan out because hits
+    are counted per (corpus doc, distinct n-gram).
+    """
+    eval_grams = (shingle_sets(eval_docs, id_col, text_col, n)
+                  .select("shingle").distinct())
+    corpus_grams = shingle_sets(corpus, id_col, text_col, n)
+    hits = (corpus_grams.join(F.broadcast(eval_grams), "shingle")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated_ngrams")))
+    return (corpus.select(F.col(id_col).alias("doc_id"))
+            .join(hits.withColumnRenamed(id_col, "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_contaminated_ngrams", F.lit(0).cast("bigint"))
+                 .alias("n_contaminated_ngrams"))
+            .withColumn("contaminated",
+                        F.col("n_contaminated_ngrams") > 0))

@@ -162,6 +162,62 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher-family quality
+    filters): duplicate 2-/3-gram fractions and the most-common-token
+    share. Highly repetitive documents (boilerplate, keyword stuffing,
+    generation loops) score high and get filtered before training.
+
+    Shapes chosen for 100 TB: the n-gram ratios are per-row array
+    arithmetic inside one codegen'd projection (no shuffle at all);
+    the top-token share needs a per-(doc, token) count, which is an
+    explode + two hash aggregates keyed on id — an in-array
+    count-per-distinct-token would be O(len^2) per row on long
+    documents, while the aggregate form is linear and spills.
+    """
+    toks = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
+
+    def gram_cols(n: int) -> tuple[Column, Column]:
+        total = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        # guard: sequence(1, 0) DESCENDS in Spark, so an unguarded
+        # transform would hit element_at(t, 0) on docs shorter than n
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(t, i + k)
+                                             for k in range(n)]))
+        ).otherwise(F.array().cast("array<string>"))
+        distinct = F.size(F.array_distinct(grams))
+        ratio = F.when(total > 0,
+                       (total - distinct) / total).otherwise(F.lit(0.0))
+        return total, ratio
+
+    total2, dup2 = gram_cols(2)
+    total3, dup3 = gram_cols(3)
+    per_doc = toks.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.round(dup2, 6).alias("dup_2gram_ratio"),
+        F.round(dup3, 6).alias("dup_3gram_ratio"),
+        "__toks")
+    top = (per_doc.select("doc_id", F.explode("__toks").alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count("*").alias("__c"))
+           .groupBy("doc_id").agg(F.max("__c").alias("__top")))
+    return (per_doc.drop("__toks")
+            .join(top, "doc_id", "left")
+            .withColumn(
+                "top_token_ratio",
+                F.round(F.when(F.col("n_tokens") > 0,
+                               F.col("__top") / F.col("n_tokens"))
+                        .otherwise(F.lit(0.0)), 6))
+            .drop("__top"))
+
+
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-kind match counts BEFORE redaction (the scrub-rate stats a
     pipeline reports). regexp_extract_all with group 0 so Spark and

@@ -253,3 +253,39 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-oracle twin pinning the tokenize/vote/pack semantics that
     the xxhash64 production fingerprint shares (VERDICT r2 item #4)."""
     return dedup.simhash_portable(_docs(spark, sf_dir))
+
+
+EVAL_DOC_CUTOFF = 25  # doc_id < 25 plays the held-out benchmark set
+
+
+@register(
+    "contamination_flags",
+    oracle="WITH " + _SHINGLES + f""",
+    eval_grams AS (
+        SELECT DISTINCT shingle FROM shingle_sets
+        WHERE doc_id < {EVAL_DOC_CUTOFF}),
+    hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+        FROM shingle_sets JOIN eval_grams USING (shingle)
+        WHERE doc_id >= {EVAL_DOC_CUTOFF}
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_contaminated_ngrams, 0) AS BIGINT)
+               AS n_contaminated_ngrams,
+           COALESCE(h.n_contaminated_ngrams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {EVAL_DOC_CUTOFF}) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("dedup-jaccard", "decontamination"),
+)
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= cutoff) flagged
+    by distinct word-trigram overlap with a held-out eval set
+    (doc_id < cutoff) — the train/test-overlap sweep run before
+    training. Eval n-grams broadcast; the corpus is scanned once and
+    never shuffled on the n-gram key."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+    return dedup.contamination_flags(
+        docs.filter(F.col("doc_id") >= EVAL_DOC_CUTOFF),
+        docs.filter(F.col("doc_id") < EVAL_DOC_CUTOFF))

@@ -252,3 +252,52 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.fingerprint_exact(t).alias("fp_exact"),
         text.fingerprint_token_set(t).alias("fp_token_set"))
+
+
+@register(
+    "repetition_stats",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+        FROM documents),
+    grams AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               greatest(len(toks) - 1, 0) AS total2,
+               CASE WHEN len(toks) >= 2 THEN
+                   len(list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])))
+               ELSE 0 END AS distinct2,
+               greatest(len(toks) - 2, 0) AS total3,
+               CASE WHEN len(toks) >= 3 THEN
+                   len(list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               ELSE 0 END AS distinct3,
+               toks
+        FROM base),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_count FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+            GROUP BY doc_id, tok)
+        GROUP BY doc_id)
+    SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN total2 > 0
+                      THEN (total2 - distinct2) * 1.0 / total2
+                      ELSE 0.0 END, 6) AS dup_2gram_ratio,
+           ROUND(CASE WHEN total3 > 0
+                      THEN (total3 - distinct3) * 1.0 / total3
+                      ELSE 0.0 END, 6) AS dup_3gram_ratio,
+           ROUND(CASE WHEN g.n_tokens > 0
+                      THEN t.top_count * 1.0 / g.n_tokens
+                      ELSE 0.0 END, 6) AS top_token_ratio
+    FROM grams g LEFT JOIN top t USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters: duplicate 2-/3-gram fractions
+    (per-row array arithmetic, zero shuffle) and most-common-token
+    share (explode + two hash aggregates — linear in doc length where
+    an in-array count would be quadratic)."""
+    return text.repetition_stats(_docs(spark, sf_dir))

@@ -167,6 +167,39 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
 
 
+def test_repetition_stats_ratios(spark):
+    from event_streaming_service_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"),          # 3 bigrams all "a a" -> dup2 = 2/3
+         (2, "a b c d"),          # all distinct
+         (3, "x"),                # shorter than any gram
+         (4, "")],                # empty
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert abs(rows[1].dup_2gram_ratio - 2 / 3) < 1e-6
+    assert rows[1].top_token_ratio == 1.0
+    assert rows[2].dup_2gram_ratio == 0.0
+    assert rows[2].top_token_ratio == 0.25
+    assert rows[3].n_tokens == 1 and rows[3].dup_2gram_ratio == 0.0
+    assert rows[4].n_tokens == 0 and rows[4].top_token_ratio == 0.0
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    eval_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over lazy dogs")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "he saw the quick brown fox run away fast"),  # shares 2 trigrams
+         (11, "completely unrelated sentence with other words here")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.contamination_flags(corpus, eval_docs).collect()}
+    assert rows[10].contaminated and rows[10].n_contaminated_ngrams == 2
+    assert not rows[11].contaminated and rows[11].n_contaminated_ngrams == 0
+
+
 def test_minhash_bucket_cap_skips_boilerplate_cluster(spark):
     """A boilerplate family (identical docs) floods one band bucket
     with d docs -> d*(d-1)/2 candidate rows; with bucket_cap below d
