@@ -172,6 +172,24 @@ def test_topic_dashboard_has_no_expand(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contamination_broadcasts_eval_grams(spark, sf_oracle):
+    """The eval n-gram set must ride broadcast joins end to end — a
+    sort-merge join here would shuffle the whole corpus on the n-gram
+    key, the exact thing the operator's scale design avoids."""
+    plan = plan_of(spark, sf_oracle, "contamination_flags")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_no_smj_no_python(spark, sf_oracle):
+    """Gram ratios are per-row array arithmetic; the only joins are the
+    doc-keyed top-token merge (broadcast at fixture scale, hash either
+    way) — never a sort-merge on exploded tokens, never Python."""
+    plan = plan_of(spark, sf_oracle, "repetition_stats")
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q3_topk_runs_as_take_ordered(spark, sf_oracle):
     """orderBy+limit must compile to TakeOrderedAndProject (per-partition
     heap + merge), never a global sort of the aggregate output."""
