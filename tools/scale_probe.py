@@ -1,0 +1,152 @@
+"""Scale probes: run the operators whose 100 TB behavior is least
+obvious from their sf0.1 numbers against 10-50M-row synthetic inputs
+(generated with spark.range — no fixture files involved), and print
+wall times. This is the local stand-in for a cluster soak: it cannot
+prove 1000-executor behavior, but it catches the failure classes that
+already show at 10^7 rows on 32 cores — quadratic fan-out, per-row
+Python, driver collects, unbounded iterative lineage.
+
+Usage: python tools/scale_probe.py [probe ...]
+Probes: components packing quota simhash window
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.session import get_spark
+
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
+
+def probe_components(spark):
+    """1M-node graph of 100k 10-node chains + 100k singleton pairs:
+    min-label propagation must converge in ~chain-diameter rounds with
+    one shuffle per round and bounded lineage (localCheckpoint)."""
+    from event_streaming_service_spark.operators.dedup import (
+        connected_components)
+    edges = (spark.range(0, 900_000)
+             .select(F.col("id").alias("doc_a"),
+                     # chains of 10: link i -> i+1 except every 10th
+                     (F.col("id") + 1).alias("doc_b"))
+             .filter((F.col("id") % 10) != 9))
+    t0 = time.perf_counter()
+    comp = connected_components(edges)
+    n = comp.count()
+    ncomp = comp.select("component").distinct().count()
+    return time.perf_counter() - t0, f"nodes={n} components={ncomp}"
+
+
+def probe_packing(spark):
+    """20M docs through the sharded greedy packer (256 shards): the
+    walk is O(1) state per shard; wall time must stay linear."""
+    from event_streaming_service_spark.operators.packing import pack_sequences
+    docs = (spark.range(0, 20_000_000)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit("t").alias("text")))
+    # bypass tokenization cost: patch token counts deterministically
+    from event_streaming_service_spark.operators import packing as P
+    counted = docs.select(
+        "doc_id", P.shard_of(F.col("doc_id"), 256).alias("shard"),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(900)) + 1).alias("n_tokens"))
+    import pandas as pd
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > 1000:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += n
+        out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+        out["bin_id"] = pd.Series(bins, dtype="int64")
+        out["oversize"] = out["n_tokens"] > 1000
+        return out
+
+    t0 = time.perf_counter()
+    packed = counted.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id long, shard int, n_tokens long, bin_id long, oversize boolean")
+    n = packed.count()
+    return time.perf_counter() - t0, f"rows={n}"
+
+
+def probe_quota(spark):
+    """50M rows, one 49M-row mega-stratum with quota 100k: the
+    two-phase path must pre-filter map-side (the one-phase rank would
+    sort 49M rows in one window partition)."""
+    from event_streaming_service_spark.operators.sampling import quota_sample
+    df = (spark.range(0, 50_000_000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 50 == 0, F.concat(
+                      F.lit("rare-"), (F.col("id") % 7).cast("string")))
+                  .otherwise(F.lit("web")).alias("source")))
+    t0 = time.perf_counter()
+    out = quota_sample(df, {"web": 100_000, "rare-0": 10_000}, "source",
+                       default_quota=1000, two_phase=True)
+    counts = {r[0]: r[1] for r in
+              out.groupBy("source").count().collect()}
+    return time.perf_counter() - t0, f"picked={counts}"
+
+
+def probe_simhash(spark):
+    """10M short docs through the 63-bit SimHash kernel (explode +
+    63 conditional sums): pure JVM aggregation, must scale linearly."""
+    from event_streaming_service_spark.operators.dedup import simhash63
+    docs = (spark.range(0, 10_000_000)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(" ",
+                                (F.col("id") % 997).cast("string"),
+                                (F.col("id") % 89).cast("string"),
+                                (F.col("id") % 13).cast("string"))
+                    .alias("text")))
+    t0 = time.perf_counter()
+    n = simhash63(docs).count()
+    return time.perf_counter() - t0, f"rows={n}"
+
+
+def probe_window(spark):
+    """50M events through the tumbling-window aggregate (the streaming
+    rollup's batch shape): hash agg with partial combine, no sort."""
+    ev = (spark.range(0, 50_000_000)
+          .select((F.col("id") % 1000).alias("k"),
+                  F.timestamp_micros(
+                      (F.lit(1_700_000_000_000_000)
+                       + F.col("id") * 1_000_000)).alias("ts"),
+                  (F.col("id") % 97).cast("double").alias("value")))
+    t0 = time.perf_counter()
+    out = (ev.groupBy(F.window("ts", "1 hour"), "k")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(24,4)")).alias("s")))
+    n = out.count()
+    return time.perf_counter() - t0, f"groups={n}"
+
+
+PROBES = {
+    "components": probe_components,
+    "packing": probe_packing,
+    "quota": probe_quota,
+    "simhash": probe_simhash,
+    "window": probe_window,
+}
+
+
+def main() -> None:
+    spark = get_spark("scale-probe", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[1:] or list(PROBES)
+    for name in names:
+        sec, detail = PROBES[name](spark)
+        print(f"{name:12s} {sec:7.1f} s  {detail}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
