@@ -109,7 +109,7 @@ def main() -> None:
     except ValueError:
         sf_num = -1.0
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # untimed warmup: JIT/codegen, Arrow python workers, shuffle dirs

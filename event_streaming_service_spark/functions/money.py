@@ -25,7 +25,12 @@ def cents(col: str | Column) -> Column:
     one IEEE multiply (identical in every engine) landing within 1e-9
     of an integer for 2-decimal inputs, so the +0.5/floor never sees a
     half-way case and matches ROUND in any engine exactly, for either
-    sign. Spark's round(double) routes every row through a BigDecimal
+    sign. CONTRACT: inputs must be 2-decimal values (all fixture money
+    columns are) — at a genuine half-way point like -1.005 floor
+    rounds toward +inf where ROUND rounds away from zero, so feeding
+    finer-precision intermediates through cents() would diverge from
+    the SQL twin by one cent. Spark's round(double) routes every row
+    through a BigDecimal
     setScale (allocation + slow path inside the codegen'd partial
     aggregate — measured 2.8 s -> 0.5 s on TPC-H Q1 at sf0.1); floor
     is a single fused double op that stays in registers.

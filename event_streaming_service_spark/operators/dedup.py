@@ -198,7 +198,10 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     aggregate on (band, band_key) — the key the self-join hashes on, so
     the capping exchange is reused — and the surviving-buckets set is
     small by construction (df > cap buckets are FEW), removed with a
-    broadcast anti-join, never a second full shuffle.
+    broadcast anti-join, never a second full shuffle. The capped key
+    frame is cached for its two consumers (size agg + self-join) and
+    freed with the session; callers looping many corpora per session
+    should clearCache between them.
     """
     keys = minhash_band_keys(
         minhash_signatures(docs, id_col, text_col, n), id_col)

@@ -122,13 +122,21 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
     if not two_phase:
         return exact_rank(df)
 
+    # NULL strata are a real group (missing source/language metadata):
+    # the one-phase window partitions them together and the left join
+    # gives them default_quota, so the two-phase plumbing must too.
+    # All driver-side bookkeeping and the threshold join key go through
+    # a non-null sentinel (join keys never match on NULL); the sentinel
+    # column is internal and dropped before ranking.
+    _NULL_KEY = "\x00__null_stratum__"
+    skey = F.coalesce(F.col(stratum_col), F.lit(_NULL_KEY))
     counts = {r[0]: r[1] for r in
-              df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
-              .collect()}
+              df.groupBy(skey.alias("__sk"))
+              .agg(F.count("*").alias("__n")).collect()}
     thr_rows = []
     need = {}
     for s, n in sorted(counts.items()):
-        quota = quotas.get(s, default_quota)
+        quota = default_quota if s == _NULL_KEY else quotas.get(s, default_quota)
         need[s] = min(quota, n)
         if quota <= 0:
             thr_rows.append((s, 0))
@@ -138,24 +146,28 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
             thr_rows.append(
                 (s, min(HASH_SPACE,
                         int(HASH_SPACE * quota * safety / n) + 1)))
-    thr = spark.createDataFrame(thr_rows,
-                                f"{stratum_col} string, __pre bigint")
-    survivors = (df.join(F.broadcast(thr), stratum_col, "left")
+    thr = spark.createDataFrame(thr_rows, "__sk string, __pre bigint")
+    survivors = (df.withColumn("__sk", skey)
+                 .join(F.broadcast(thr), "__sk", "left")
                  .filter(sample_hash(F.col(key_col))
                          < F.coalesce("__pre", F.lit(0)))
-                 .drop("__pre").cache())
+                 .drop("__pre")
+                 # consumed by the count below AND the final rank; freed
+                 # by the session (callers running many samples per
+                 # session should clearCache between them)
+                 .cache())
     got = {r[0]: r[1] for r in
-           survivors.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+           survivors.groupBy("__sk").agg(F.count("*").alias("__n"))
            .collect()}
     deficient = [s for s, m in need.items() if got.get(s, 0) < m]
     picked = exact_rank(
-        survivors.filter(~F.col(stratum_col).isin(deficient))
-        if deficient else survivors)
+        (survivors.filter(~F.col("__sk").isin(deficient))
+         if deficient else survivors).drop("__sk"))
     if deficient:
         # density fluctuation undershot the threshold for these strata
         # (probability ~exp(-quota*(safety-1)^2/3) each): re-rank them
         # exactly from the full frame — correctness never depends on
         # the estimate, only the fast path does
         picked = picked.unionByName(
-            exact_rank(df.filter(F.col(stratum_col).isin(deficient))))
+            exact_rank(df.filter(skey.isin(deficient))))
     return picked

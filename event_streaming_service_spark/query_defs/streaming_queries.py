@@ -43,10 +43,20 @@ def _stream_src(spark: SparkSession, sf_dir: str, tmp: str) -> str:
     wall-clock by the session offset (invisible under a UTC container,
     wrong under any other). Casting NTZ -> timestamp pins the session
     wall-clock into the instant, so the stream renders the same
-    wall-clock the loader (and the DuckDB oracle) sees."""
+    wall-clock the loader (and the DuckDB oracle) sees.
+
+    The copy is written TIME-SORTED (global orderBy, then coalesce —
+    ordered range partitions concatenate in part-file name order, which
+    is the file stream's processing order). This guarantees no event
+    arrives behind the watermark, which the batch-twin oracles REQUIRE:
+    a late row in a later micro-batch would be dropped by the stateful
+    operator but still counted by the oracle. Without the sort the
+    oracles would only match while the driver fixture happens to be
+    time-ordered."""
     src = f"{tmp}/src"
     (tables.load_table(spark, sf_dir, "events")
      .withColumn("ts", F.col("ts").cast("timestamp"))
+     .orderBy("ts")
      .coalesce(2).write.mode("overwrite").parquet(src))
     return src
 

@@ -33,7 +33,7 @@ def _source_fingerprint(sf_dir: str) -> dict:
     out = {}
     for f in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         st = os.stat(f)
-        out[os.path.basename(f)] = [int(st.st_mtime), st.st_size]
+        out[os.path.basename(f)] = [st.st_mtime_ns, st.st_size]
     return out
 
 

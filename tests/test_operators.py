@@ -470,6 +470,28 @@ def test_quota_sample_two_phase_equals_one_phase(spark):
                 == sorted(r.doc_id for r in two.collect())), safety
 
 
+def test_quota_sample_two_phase_null_stratum(spark):
+    """Rows whose stratum is NULL are a real group (missing metadata):
+    both phases must give them default_quota, not crash the driver-side
+    count sort or silently drop them through a null isin filter."""
+    from event_streaming_service_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 300).withColumnRenamed("id", "doc_id")
+          .withColumn("source",
+                      F.when(F.col("doc_id") % 3 == 0, F.lit(None))
+                      .otherwise(F.concat(
+                          F.lit("s"), (F.col("doc_id") % 2).cast("string")))))
+    one = sampling.quota_sample(df, {"s0": 7}, "source", default_quota=4)
+    for safety in (2.0, 0.2):
+        two = sampling.quota_sample(df, {"s0": 7}, "source", default_quota=4,
+                                    two_phase=True, safety=safety)
+        assert (sorted(r.doc_id for r in one.collect())
+                == sorted(r.doc_id for r in two.collect())), safety
+    null_rows = [r for r in one.collect() if r.source is None]
+    assert len(null_rows) == 4  # default_quota applied to the NULL group
+
+
 # ---- PII scrubbing ----
 
 def test_scrub_pii_redacts_and_counts(spark):

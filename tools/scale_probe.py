@@ -26,9 +26,11 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 
 
 def probe_components(spark):
-    """1M-node graph of 100k 10-node chains + 100k singleton pairs:
-    min-label propagation must converge in ~chain-diameter rounds with
-    one shuffle per round and bounded lineage (localCheckpoint)."""
+    """900k-node graph of 90k 10-node chains: min-label propagation
+    must converge in ~chain-diameter rounds with one shuffle per round
+    and bounded lineage (localCheckpoint). Asserts the exact component
+    count so a propagation regression fails loudly instead of just
+    printing a different wall time."""
     from event_streaming_service_spark.operators.dedup import (
         connected_components)
     edges = (spark.range(0, 900_000)
@@ -40,6 +42,7 @@ def probe_components(spark):
     comp = connected_components(edges)
     n = comp.count()
     ncomp = comp.select("component").distinct().count()
+    assert n == 900_000 and ncomp == 90_000, (n, ncomp)
     return time.perf_counter() - t0, f"nodes={n} components={ncomp}"
 
 
