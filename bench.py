@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "sampling_surface",             # hash-rate + quota sampling
     "pii_scrub_stats",              # regex scrub + span counts
     "seq_packing",                  # token-budget bin packing
+    # round-3 corpus operators
+    "contamination_flags",          # eval-set n-gram overlap sweep
+    "repetition_stats",             # Gopher dup-gram / top-token filters
 ]
 
 
