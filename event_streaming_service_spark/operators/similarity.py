@@ -407,12 +407,15 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     cents = F.broadcast(cents)
 
     for _ in range(lloyd_rounds):
-        av = corpus.select(as_double(F.col(vec_col)).alias("v"))
+        # the row key for the per-vector argmax is the corpus id itself
+        # (stringifying the 64-dim array per row per round, as an
+        # earlier version did, costs more than the cosine it keys)
+        av = corpus.select(F.col(id_col).alias("__rid"),
+                           as_double(F.col(vec_col)).alias("v"))
         w_assign = Window.partitionBy("__rid").orderBy(
             F.col("sim").desc(), F.col("cell"))
         assigned = (
-            av.withColumn("__rid", F.xxhash64(F.col("v").cast("string")))
-            .crossJoin(cents)
+            av.crossJoin(cents)
             .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
             .withColumn("rnk", F.row_number().over(w_assign))
             .filter(F.col("rnk") == 1)
