@@ -400,9 +400,21 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     which is what recall rides on.
     Probe cost at scale: n_probe/n_cells of the corpus per query, as an
     equi-join on cell id — no cross product.
+
+    Every data-dependent float is pinned for cross-engine determinism:
+    refined centroid means round to 9 dp and assignment similarities to
+    9 dp before the argmax (sum order varies between engines by ~1e-16;
+    rounding far above that and far below any real similarity gap makes
+    the whole pipeline — init, Lloyd refinement, cell assignment,
+    probing, rerank — reproducible bit-for-bit in ANSI SQL, so even
+    this 'approximate' index is DuckDB-oracle-checked).
     """
+    # cell id = rank of the seed vector by id (explicit row_number, not
+    # monotonically_increasing_id whose values are partition-layout
+    # dependent; the global window runs over n_cells rows only)
     cents = (corpus.orderBy(id_col).limit(n_cells)
-             .select(F.monotonically_increasing_id().alias("cell"),
+             .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+                     .cast("long").alias("cell"),
                      as_double(F.col(vec_col)).alias("centroid")))
     cents = F.broadcast(cents)
 
@@ -416,13 +428,15 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
             F.col("sim").desc(), F.col("cell"))
         assigned = (
             av.crossJoin(cents)
-            .withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+            .withColumn("sim",
+                        F.round(cosine(F.col("v"), F.col("centroid")), 9))
             .withColumn("rnk", F.row_number().over(w_assign))
             .filter(F.col("rnk") == 1)
             .select("cell", "v"))
         per_dim = (assigned
                    .select("cell", F.posexplode("v").alias("pos", "x"))
-                   .groupBy("cell", "pos").agg(F.avg("x").alias("m")))
+                   .groupBy("cell", "pos")
+                   .agg(F.round(F.avg("x"), 9).alias("m")))
         cents = (per_dim.groupBy("cell")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                       .alias("pm"))
@@ -432,7 +446,8 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     def assign(df, vec, keep, n_cells_kept):
         scored = (df.crossJoin(cents)
-                  .withColumn("sim", cosine(vec, F.col("centroid")))
+                  .withColumn("sim",
+                              F.round(cosine(vec, F.col("centroid")), 9))
                   .withColumn("rnk", F.row_number().over(
                       Window.partitionBy(*keep).orderBy(
                           F.col("sim").desc(), F.col("cell"))))

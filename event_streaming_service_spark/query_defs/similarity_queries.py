@@ -154,10 +154,78 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_path=f"{sf_dir}/embeddings.parquet")
 
 
-@register("ivf_cosine_topk", oracle=None, tags=("similarity", "ann-ivf"))
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    """IVF end to end in SQL: same seed cells (rank by vec_id), one
+    Lloyd refinement (argmax assign on 9dp-rounded cosine, per-dim
+    means rounded to 9dp), same probing and 6dp rerank. Possible
+    because the operator pins every data-dependent float (see
+    similarity.ivf_cosine_topk docstring)."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    sim_vc = "ROUND(" + cos.format(a="v.vec", b="c.centroid") + ", 9)"
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    cents0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cell, vec AS centroid
+        FROM v ORDER BY vec_id LIMIT {IVF_CELLS}),
+    assign0 AS (
+        SELECT vec_id, cell, vec FROM (
+            SELECT v.vec_id, c.cell, v.vec,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {sim_vc} DESC, c.cell) AS rnk
+            FROM v, cents0 c) WHERE rnk = 1),
+    per_dim AS (
+        SELECT cell, pos, ROUND(AVG(vec[pos]), 9) AS m
+        FROM assign0, range(1, {EMBEDDING_DIM + 1}) AS r(pos)
+        GROUP BY cell, pos),
+    cents AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid
+        FROM per_dim GROUP BY cell),
+    c_cells AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {sim_vc} DESC, c.cell) AS rnk
+            FROM v, cents c) WHERE rnk = 1),
+    q_cells AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {sim_vc} DESC, c.cell) AS rnk
+            FROM v, cents c WHERE v.vec_id < {N_QUERY_VECS})
+        WHERE rnk <= {IVF_PROBE}),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM q_cells JOIN c_cells USING (cell)
+        WHERE query_id <> neighbor_id),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({cos.format(a="a.vec", b="n.vec")}, 6) AS cosine
+        FROM cand
+        JOIN v a ON a.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+    """
+
+
+@register("ivf_cosine_topk", oracle=_ivf_oracle(),
+          tags=("similarity", "ann-ivf"))
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (probe nearest cells, exact rerank inside);
-    recall vs brute force is pytest-checked."""
+    """IVF approximate top-k (probe nearest cells after one Lloyd
+    refinement, exact rerank inside); recall vs brute force is
+    pytest-checked, and the deterministic float pinning gives the full
+    pipeline an exact SQL oracle (see _ivf_oracle)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.ivf_cosine_topk(queries, emb, K)
+    return similarity.ivf_cosine_topk(queries, emb, K, n_cells=IVF_CELLS,
+                                      n_probe=IVF_PROBE)

@@ -16,9 +16,9 @@ _load_all()
 DRIVER_BUDGET = 50
 
 # Every kebab-case operator-family tag that must have a driver row.
-# (ann-ivf and decode-stub are deliberately just past the budget at
-# positions 51-52: both are rows-only checks whose round-1 driver rows
-# and pytest invariants already carry the verification weight.)
+# (ann-ivf sits just past the budget in _NEXT — oracle-backed since
+# round 3 and covered by the in-repo gate replica; the similarity
+# family's budget rows are ann-baseline + ann-lsh.)
 REQUIRED_FAMILY_TAGS = {
     "dedup-exact", "dedup-jaccard", "dedup-minhash-lsh", "dedup-simhash",
     "dedup-embedding", "ann-baseline", "ann-lsh", "similarity",
