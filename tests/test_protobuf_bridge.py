@@ -105,3 +105,37 @@ def test_from_protobuf_decode_parity(spark):
     assert by_id["evt-1"].version == 2
     assert by_id["evt-1"].priority == 3
     assert by_id["evt-2"].retry_count == 0  # proto3 default materializes
+
+
+def test_pure_python_decode_roundtrip():
+    """encode -> decode_event_metadata is the identity up to proto3
+    default semantics (absent == '' / 0)."""
+    for row in ROWS:
+        wire = proto_wire.encode_event_metadata(row)
+        assert proto_wire.decode_event_metadata(wire) == row
+
+
+def test_decode_skips_unknown_fields_forward_compat():
+    """Bytes from a NEWER writer (extra field numbers) must decode,
+    ignoring the unknown fields by wire type — the compatibility
+    property protobuf exists for."""
+    wire = proto_wire.encode_event_metadata(ROWS[0])
+    extra = (proto_wire._str_field(50, "future-string-field")
+             + proto_wire._int_field(51, 99))
+    assert proto_wire.decode_event_metadata(wire + extra) == ROWS[0]
+
+
+def test_decode_metadata_column_spark(spark):
+    """The jar-free Spark decode path: wire bytes column -> metadata
+    struct columns via Arrow-batched mapInPandas, passthrough intact."""
+    rows = [(i, proto_wire.encode_event_metadata(r))
+            for i, r in enumerate(ROWS)]
+    df = spark.createDataFrame(rows, "k long, wire binary")
+    out = {r.k: r for r in
+           proto_wire.decode_metadata_column(df, "wire").collect()}
+    assert len(out) == len(ROWS)
+    for i, want in enumerate(ROWS):
+        got = out[i]
+        assert got.k == i
+        for name, _num, ftype in proto_wire.EVENT_METADATA_FIELDS:
+            assert getattr(got, name) == want[name], name
