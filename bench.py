@@ -112,7 +112,10 @@ def main() -> None:
     except ValueError:
         sf_num = -1.0
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # best-of-3 by default: the host shows occasional multi-second load
+    # spikes, and with only 2 timed runs a spike during both lands in
+    # the recorded JSON (+~1 min wall for the whole 41-query set)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # untimed warmup: JIT/codegen, Arrow python workers, shuffle dirs
