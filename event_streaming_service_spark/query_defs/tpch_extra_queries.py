@@ -163,3 +163,219 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(cond)
             .agg((F.sum(_disc_units()) / 10000.0).alias("revenue"),
                  F.count("*").alias("n_items")))
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "J3"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-like: order-priority checking via EXISTS — a left-semi join
+    with a non-equi conjunct (late-shipped line exists; the fixture has
+    no commitdate, so lateness is shipdate > orderdate + 60 days).
+    Catalyst plans the equi part as the join key and the date gap as a
+    join-side filter — no cartesian."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li, (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT SUM({cents_sql('l_extendedprice')} * {pct_sql('l_discount')})
+               / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND {pct_sql('l_discount')} BETWEEN 2 AND 4
+      AND l_quantity < 24
+    """,
+    tags=("tpch",),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-like: forecasting-revenue-change — the canonical fully-pushed
+    scan: every predicate reaches the parquet reader, the aggregate is
+    a single partial+final sum, no shuffle beyond the 1-row exchange.
+    Discounts compare in exact percent units (integer), never raw
+    doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & pct("l_discount").between(2, 4)
+        & (F.col("l_quantity") < 24))
+        .agg((F.sum(cents("l_extendedprice") * pct("l_discount"))
+              / 10000.0).alias("revenue"),
+             F.count("*").alias("n_lines")))
+
+
+@register(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    tags=("tpch", "2.6"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-like: customer order-count distribution — outer join
+    preserving order-less customers, then a two-level aggregation
+    (count per customer, histogram of counts). The second groupBy keys
+    on the tiny count domain, so AQE coalesces it to a handful of
+    partitions."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy(c.c_custkey)
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH avg_qty AS (
+        SELECT l_partkey,
+               {cents_sql('l_quantity')} AS qty_c
+        FROM lineitem),
+    thresholds AS (
+        SELECT l_partkey,
+               CAST(FLOOR(0.4 * AVG(qty_c)) AS BIGINT) AS thr_c
+        FROM avg_qty GROUP BY l_partkey)
+    SELECT SUM({cents_sql('l.l_extendedprice')}) / 100.0 / 7.0
+               AS avg_yearly
+    FROM lineitem l JOIN thresholds t ON l.l_partkey = t.l_partkey
+    WHERE {cents_sql('l.l_quantity')} < t.thr_c
+    """,
+    tags=("tpch", "J5"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-like: small-quantity-order revenue — the correlated scalar
+    subquery (per-part average quantity) decorrelated into a grouped
+    aggregate joined back on partkey. The threshold floors to integer
+    cents on BOTH sides so the comparison is exact in either engine
+    (comparing raw double averages would hash-drift). The per-part agg
+    and the probe join share the l_partkey shuffle key, so the
+    exchange is reused."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = cents("l_quantity")
+    thr = (li.groupBy("l_partkey")
+           .agg(F.floor(F.avg(qty_c) * 0.4).cast("bigint").alias("thr_c")))
+    return (li.join(thr, "l_partkey")
+            .filter(qty_c < F.col("thr_c"))
+            .agg((F.sum(cents("l_extendedprice")) / 100.0 / 7.0)
+                 .alias("avg_yearly")))
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM({cents_sql('l_quantity')}) > 22000)
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           SUM({cents_sql('l.l_quantity')}) / 100.0 AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch", "O4"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-like: large-volume customers — HAVING over a grouped sum
+    feeding a semi-filtering join (the classic 'filter by aggregate'
+    shape), then top-20 with deterministic tiebreak. The HAVING side
+    reduces lineitem to a handful of keys FIRST, so the enrichment
+    joins run on a tiny frame and broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty_c = cents("l_quantity")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qty_c).alias("__sum_qty"))
+           .filter(F.col("__sum_qty") > 22000)
+           # alias the key: `big` derives from `li`, and the later
+           # o⋈big⋈li chain would otherwise be an ambiguous self-join
+           .select(F.col("l_orderkey").alias("__big_orderkey")))
+    return (o.join(F.broadcast(big),
+                   o.o_orderkey == F.col("__big_orderkey"))
+            .drop("__big_orderkey")
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+            .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate")
+            .agg((F.sum(qty_c) / 100.0).alias("total_qty"))
+            .orderBy(F.col("total_qty").desc(), "o_orderkey")
+            .limit(20))
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS ab
+        FROM customer WHERE c_acctbal > 0),
+    rich_idle AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        FROM customer c, avg_bal
+        WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '2000-01-01 00:00:00'))
+    SELECT n.n_name, COUNT(*) AS numcust,
+           CAST(SUM(bal_c) AS BIGINT) AS total_bal_cents
+    FROM rich_idle r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("tpch", "J3"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-like: above-average-balance customers idle since 2000 — a
+    scalar aggregate threshold (cross-joined 1-row frame, broadcast by
+    AQE) feeding an anti join whose probe side is pre-filtered (the
+    date predicate pushes into the orders scan BEFORE the anti join,
+    not evaluated per joined row), grouped by nation. Balances
+    aggregate in exact integer cents."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    n = _t(spark, sf_dir, "nation")
+    bal_c = cents("c_acctbal")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg(bal_c).alias("ab")))
+    rich = (c.withColumn("bal_c", bal_c)
+            .crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("bal_c") > F.col("ab")))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (idle.join(F.broadcast(n),
+                      idle.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum("bal_c").cast("bigint").alias("total_bal_cents")))
