@@ -379,3 +379,79 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(F.count("*").alias("numcust"),
                  F.sum("bal_c").cast("bigint").alias("total_bal_cents")))
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+           SUM({_DISC_SQL}) / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "J5"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-like: product-type profit by nation and year — the widest
+    join tree in the set (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+    orders) with a LIKE filter reducing the part side before its join.
+    All dimensions broadcast; the fixture has no partsupp/supplycost,
+    so profit is the discounted revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg((F.sum(_disc_units()) / 10000.0).alias("profit")))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({_DISC_SQL}) AS total_revenue_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           r.total_revenue_u / 10000.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_u = (SELECT MAX(total_revenue_u) FROM revenue)
+    """,
+    tags=("tpch", "O4"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-like: top supplier by quarterly revenue — argmax via scalar
+    subquery (revenue == global max, ALL ties kept, unlike a LIMIT 1).
+    The max rides a 1-row broadcast cross join; revenue sums stay in
+    exact integer units until the final division so the equality
+    comparison cannot ulp-miss."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_units()).alias("total_revenue_u")))
+    top = revenue.agg(F.max("total_revenue_u").alias("__max_u"))
+    return (revenue.crossJoin(F.broadcast(top))
+            .filter(F.col("total_revenue_u") == F.col("__max_u"))
+            .join(F.broadcast(s),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("total_revenue_u") / 10000.0)
+                    .alias("total_revenue")))
