@@ -91,3 +91,42 @@ def per_key_order(df: DataFrame, key_col: str, ts_col: str,
     return (df
             .withColumn("seq", F.row_number().over(w).cast("bigint"))
             .withColumn("prev_event_id", F.lag(tiebreak_col).over(w)))
+
+
+def gapfill_locf(aggregated: DataFrame, key_col: str, bucket_col: str,
+                 step_ms: int, value_cols: list[str]) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + locf: densify a per-key
+    bucketed aggregate to EVERY step in that key's [min, max] bucket
+    range, carrying the last observed value forward into the generated
+    gaps. Output: one row per (key, bucket) with `is_gap` marking
+    synthesized rows.
+
+    Plan shape for 100 TB: the spine (per-key bucket sequence) comes
+    from ONE tiny aggregate (min/max per key — key cardinality rows)
+    exploded JVM-side; the left join back to the data hashes on
+    (key, bucket) — the aggregate's own grain, so no wider shuffle than
+    the input already had; the carry-forward is last(ignorenulls) over
+    the per-key bucket order, one window pass. Nothing is quadratic in
+    the time range: a key's cost is its own bucket count. A pathological
+    key spanning years at second granularity fans out exactly like any
+    sparse-to-dense densification must — cap it upstream by bucketing
+    coarser, not here.
+    """
+    ms = wall_clock_millis(F.col(bucket_col))
+    spine = (aggregated
+             .groupBy(key_col)
+             .agg(F.min(ms).alias("__lo"), F.max(ms).alias("__hi"))
+             .select(key_col,
+                     F.explode(F.sequence(
+                         F.col("__lo"), F.col("__hi"),
+                         F.lit(step_ms).cast("bigint"))).alias("__ms"))
+             .select(key_col, millis_to_ts(F.col("__ms")).alias(bucket_col)))
+    joined = spine.join(aggregated, [key_col, bucket_col], "left")
+    w = (Window.partitionBy(key_col)
+         .orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = joined.withColumn(
+        "is_gap", F.col(value_cols[0]).isNull())
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

@@ -112,3 +112,51 @@ def q_per_key_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: per-key ordering guarantee materialized as (seq, prev pointer)."""
     df = windows.per_key_order(_events(spark, sf_dir), "user_id", "ts", "event_id")
     return df.select("event_id", "user_id", "seq", "prev_event_id")
+
+
+@register(
+    "gapfill_hourly_locf",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type,
+               make_timestamp((epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} * 1000)
+                   AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM agg GROUP BY event_type),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds),
+    joined AS (
+        SELECT s.event_type, s.bucket, a.n, a.sum_value,
+               a.n IS NULL AS is_gap
+        FROM spine s LEFT JOIN agg a
+          ON a.event_type = s.event_type AND a.bucket = s.bucket)
+    SELECT event_type, bucket,
+           LAST_VALUE(n IGNORE NULLS) OVER w AS n,
+           LAST_VALUE(sum_value IGNORE NULLS) OVER w AS sum_value,
+           is_gap
+    FROM joined
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W8", "gapfill", "rollup"),
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + locf: hourly per-type
+    aggregates densified to every hour in each type's observed range,
+    gaps carrying the last value forward (is_gap marks synthesized
+    rows). Spine = one tiny min/max aggregate exploded JVM-side; the
+    back-join hashes on the aggregate's own grain; the carry-forward is
+    a single window pass."""
+    agg = (windows.tumbling(_events(spark, sf_dir), "ts", HOUR_MS)
+           .groupBy(F.col("event_type"),
+                    F.col("window_start").alias("bucket"))
+           .agg(F.count("*").alias("n"), dsum("value").alias("sum_value")))
+    out = windows.gapfill_locf(agg, "event_type", "bucket", HOUR_MS,
+                               ["n", "sum_value"])
+    return out.select("event_type", "bucket", "n", "sum_value", "is_gap")

@@ -576,3 +576,25 @@ def test_pack_sequences_oversize_isolated(spark):
     big = out[out.doc_id == 2]
     assert big.oversize.all()
     assert (out.groupby("bin_id").size()[big.bin_id.iloc[0]] == 1)
+
+
+def test_gapfill_locf_carries_last_value(spark):
+    from event_streaming_service_spark.operators import windows
+    from pyspark.sql import functions as F
+
+    agg = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 5, 1.5),
+         ("a", "2024-01-01 03:00:00", 2, 0.5),   # 2 missing hours before
+         ("b", "2024-01-01 01:00:00", 7, 9.0)],  # single bucket, no gaps
+        "k string, bucket string, n long, v double") \
+        .withColumn("bucket", F.col("bucket").cast("timestamp"))
+    out = windows.gapfill_locf(agg, "k", "bucket", 3_600_000, ["n", "v"])
+    rows = {(r.k, str(r.bucket)): r for r in out.collect()}
+    assert len(rows) == 5  # a: 4 hourly buckets, b: 1
+    gap1 = rows[("a", "2024-01-01 01:00:00")]
+    gap2 = rows[("a", "2024-01-01 02:00:00")]
+    assert gap1.is_gap and gap2.is_gap
+    assert gap1.n == 5 and gap1.v == 1.5  # carried forward
+    assert not rows[("a", "2024-01-01 03:00:00")].is_gap
+    assert rows[("a", "2024-01-01 03:00:00")].n == 2
+    assert not rows[("b", "2024-01-01 01:00:00")].is_gap
