@@ -130,3 +130,44 @@ def gapfill_locf(aggregated: DataFrame, key_col: str, bucket_col: str,
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+         alpha: float, order_tiebreak: str | None = None) -> DataFrame:
+    """Per-key exponentially weighted moving average, recursive form
+    s_t = alpha*x_t + (1-alpha)*s_{t-1} (s_0 = x_0) — the smoothing
+    primitive behind anomaly baselines and rate estimators. Inherently
+    sequential per key (each state folds ALL history), so it cannot be
+    a frame expression; the closed-form window-sum rewrite needs
+    alpha^(-i) terms that overflow doubles after ~1000 rows.
+
+    Shape: one shuffle on the key, then a linear Arrow-batched pass per
+    group (pandas ewm(adjust=False) — C-speed) carrying O(1) state.
+    Keys are the parallelism unit, identical to sessionization; a
+    pathological single-key stream falls back to the same
+    applyInPandasWithState shape the streaming layer uses.
+
+    Values are rounded to 6dp so results are reproducible against a
+    sequential SQL evaluation (float fold order inside a group is
+    already fixed by the sort; rounding guards the cross-engine ulps).
+    """
+    import pandas as pd
+
+    sort_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    out_schema = (f"{key_col} {df.schema[key_col].dataType.simpleString()},"
+                  f" {ts_col} {df.schema[ts_col].dataType.simpleString()},"
+                  f" {value_col} double, ewma double")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        s = pdf[value_col].astype("float64").ewm(
+            alpha=alpha, adjust=False).mean()
+        out = pdf[[key_col, ts_col]].copy()
+        out[value_col] = pdf[value_col].astype("float64")
+        out["ewma"] = s.round(6)
+        return out
+
+    cols = list(dict.fromkeys([key_col, ts_col, value_col]
+                              + ([order_tiebreak] if order_tiebreak else [])))
+    return df.select(*cols).groupBy(key_col).applyInPandas(
+        smooth, out_schema)

@@ -160,3 +160,36 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = windows.gapfill_locf(agg, "event_type", "bucket", HOUR_MS,
                                ["n", "sum_value"])
     return out.select("event_type", "bucket", "n", "sum_value", "is_gap")
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "ewma_value_per_user",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events),
+    walk(user_id, seq, ts, value, s) AS (
+        SELECT user_id, seq, ts, value, value FROM ordered WHERE seq = 1
+        UNION ALL
+        SELECT o.user_id, o.seq, o.ts, o.value,
+               {EWMA_ALPHA} * o.value + {1 - EWMA_ALPHA} * w.s
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.seq = w.seq + 1)
+    SELECT user_id, ts, value, ROUND(s, 6) AS ewma FROM walk
+    """,
+    tags=("W8", "ewma", "2.11"),
+)
+def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.3), ties broken on
+    event_id — the sequential-state smoothing primitive, one shuffle on
+    the key + a linear Arrow pass per group. The oracle recurses the
+    identical fold; both engines compute the same two IEEE products and
+    one sum per step, so the 6dp rounding is a guard, not a fudge."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return windows.ewma(ev, "user_id", "ts", "value", EWMA_ALPHA,
+                        order_tiebreak="event_id")
