@@ -171,3 +171,32 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
         picked = picked.unionByName(
             exact_rank(df.filter(skey.isin(deficient))))
     return picked
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis A-Res scheme): each row draws u = uniform(0,1)
+    from its content hash and scores key = u^(1/weight); the top-n keys
+    are the sample. Inclusion probability is proportional to weight —
+    the standard primitive for mixture reweighting (sample long docs /
+    underrepresented sources more often) — and, because u comes from
+    the content hash, the selected set is a pure function of the data:
+    stable under repartition, retries, and engines.
+
+    Scale: one projection + a global top-n (TakeOrdered — partial top-n
+    per partition, no full sort). The score rounds to 12 dp before
+    ranking: pow() implementations differ across engines in the last
+    ulp, and the rounding (12 orders above ulp noise, far below any
+    real score gap on a 2^28 hash domain) pins the order; remaining
+    exact ties break on the key column.
+    """
+    u = (sample_hash(F.col(key_col)) + 1.0) / float(HASH_SPACE)
+    score = F.round(
+        F.pow(u, 1.0 / F.col(weight_col).cast("double")), 12)
+    w = Window.orderBy(F.col("__samp_key").desc(), F.col(key_col))
+    return (df.withColumn("__samp_key", score)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk")
+            .withColumnRenamed("__samp_key", "samp_key"))

@@ -77,3 +77,36 @@ def q_sampling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("quota").alias("kind"), "doc_id",
                 F.col("source").alias("stratum")))
     return rate_leg.unionByName(quota_leg)
+
+
+WEIGHTED_N = 200
+
+
+@register(
+    "weighted_sample_by_length",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars, samp_key FROM (
+        SELECT doc_id, lang, source, n_chars,
+               ROUND(POW((CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 7) AS BIGINT) + 1.0)
+                         / 268435456.0,
+                         1.0 / CAST(n_chars AS DOUBLE)), 12) AS samp_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(POW((CAST('0x' ||
+                       SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                       AS BIGINT) + 1.0) / 268435456.0,
+                       1.0 / CAST(n_chars AS DOUBLE)), 12) DESC,
+                            doc_id) AS rk
+        FROM documents)
+    WHERE rk <= {WEIGHTED_N}
+    """,
+    tags=("sampling", "2.12-sampling", "weighted"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (Efraimidis-Spirakis A-Res,
+    content-hash randomness): longer documents are proportionally more
+    likely to be drawn — the mixture-reweighting primitive. Global
+    top-n runs as TakeOrdered (per-partition partial top-n), never a
+    full sort."""
+    docs = tables.load_table(spark, sf_dir, "documents").drop("text")
+    return sampling.weighted_sample(docs, WEIGHTED_N, "n_chars")

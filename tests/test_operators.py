@@ -598,3 +598,21 @@ def test_gapfill_locf_carries_last_value(spark):
     assert not rows[("a", "2024-01-01 03:00:00")].is_gap
     assert rows[("a", "2024-01-01 03:00:00")].n == 2
     assert not rows[("b", "2024-01-01 01:00:00")].is_gap
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_stable(spark):
+    from event_streaming_service_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=50): the heavy half
+    # must dominate the sample, and the set must be repartition-stable
+    df = (spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+          .withColumn("w", F.when(F.col("doc_id") < 500, 1).otherwise(50)))
+    out = sampling.weighted_sample(df, 100, "w")
+    rows = out.collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r.doc_id >= 500)
+    assert heavy > 80  # w=50 rows ~50x as likely
+    again = {r.doc_id for r in
+             sampling.weighted_sample(df.repartition(13), 100, "w").collect()}
+    assert {r.doc_id for r in rows} == again

@@ -121,3 +121,19 @@ def test_proto_varint_roundtrip(n):
         val |= (b & 0x7F) << shift
         shift += 7
     assert (b & 0x80) == 0 and val == n
+
+
+@settings(**_SETTINGS)
+@given(st.fixed_dictionaries({
+    "event_id": keys, "correlation_id": keys, "source_service": keys,
+    "version": st.integers(min_value=0, max_value=2**31 - 1),
+    "tenant_id": keys, "user_id": keys,
+    "priority": st.integers(min_value=0, max_value=10),
+    "retry_count": st.integers(min_value=0, max_value=1000)}))
+def test_proto_wire_roundtrip_property(meta):
+    """encode -> decode is the identity for any field values, up to
+    proto3 default semantics (no Spark round trip — pure wire format)."""
+    from event_streaming_service_spark.sources import proto_wire
+
+    wire = proto_wire.encode_event_metadata(meta)
+    assert proto_wire.decode_event_metadata(wire) == meta
