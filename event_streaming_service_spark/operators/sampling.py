@@ -184,19 +184,31 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     the content hash, the selected set is a pure function of the data:
     stable under repartition, retries, and engines.
 
-    Scale: one projection + a global top-n (TakeOrdered — partial top-n
-    per partition, no full sort). The score rounds to 12 dp before
-    ranking: pow() implementations differ across engines in the last
-    ulp, and the rounding (12 orders above ulp noise, far below any
-    real score gap on a 2^28 hash domain) pins the order; remaining
-    exact ties break on the key column.
+    Scale: one projection + a global top-n via orderBy(...).limit(n),
+    which plans as TakeOrderedAndProject — partial top-n per partition,
+    a tiny merge on the driver, no full sort and no single-partition
+    window. The score rounds to 12 dp before ranking: pow()
+    implementations differ across engines in the last ulp, and the
+    rounding (12 orders above ulp noise, far below any real score gap
+    on a 2^28 hash domain) pins the order; remaining exact ties break
+    on the key column.
+
+    Weights must be strictly positive and non-NULL: weight 0 would
+    divide to Infinity, NULL would silently drop the row from ranking,
+    and a negative weight inverts the preference — all semantically
+    wrong, so the score expression fails loudly instead (raise_error
+    inside the expression itself, so Catalyst cannot prune the check).
     """
+    wcol = F.col(weight_col).cast("double")
     u = (sample_hash(F.col(key_col)) + 1.0) / float(HASH_SPACE)
-    score = F.round(
-        F.pow(u, 1.0 / F.col(weight_col).cast("double")), 12)
-    w = Window.orderBy(F.col("__samp_key").desc(), F.col(key_col))
-    return (df.withColumn("__samp_key", score)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= n)
-            .drop("__rk")
-            .withColumnRenamed("__samp_key", "samp_key"))
+    score = F.when(
+        wcol.isNull() | (wcol <= 0),
+        F.raise_error(F.concat(
+            F.lit(f"weighted_sample: {weight_col} must be > 0 and"
+                  " non-NULL, got "),
+            F.coalesce(wcol.cast("string"), F.lit("NULL")),
+        )).cast("double"),
+    ).otherwise(F.round(F.pow(u, 1.0 / wcol), 12))
+    return (df.withColumn("samp_key", score)
+            .orderBy(F.col("samp_key").desc(), F.col(key_col))
+            .limit(n))

@@ -121,15 +121,19 @@ def gapfill_locf(aggregated: DataFrame, key_col: str, bucket_col: str,
                          F.col("__lo"), F.col("__hi"),
                          F.lit(step_ms).cast("bigint"))).alias("__ms"))
              .select(key_col, millis_to_ts(F.col("__ms")).alias(bucket_col)))
-    joined = spine.join(aggregated, [key_col, bucket_col], "left")
+    # Presence is marked explicitly (not inferred from a value column):
+    # an observed bucket whose first value column is legitimately NULL
+    # (e.g. SUM over all-NULL inputs) must NOT be treated as a gap.
+    joined = spine.join(
+        aggregated.withColumn("__present", F.lit(1)),
+        [key_col, bucket_col], "left")
     w = (Window.partitionBy(key_col)
          .orderBy(bucket_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = joined.withColumn(
-        "is_gap", F.col(value_cols[0]).isNull())
+    out = joined.withColumn("is_gap", F.col("__present").isNull())
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+    return out.drop("__present")
 
 
 def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,

@@ -46,18 +46,27 @@ def _stream_src(spark: SparkSession, sf_dir: str, tmp: str) -> str:
     wall-clock the loader (and the DuckDB oracle) sees.
 
     The copy is written TIME-SORTED (global orderBy, then coalesce —
-    ordered range partitions concatenate in part-file name order, which
-    is the file stream's processing order). This guarantees no event
-    arrives behind the watermark, which the batch-twin oracles REQUIRE:
-    a late row in a later micro-batch would be dropped by the stateful
-    operator but still counted by the oracle. Without the sort the
-    oracles would only match while the driver fixture happens to be
-    time-ordered."""
+    ordered range partitions concatenate in part-file name order).
+    FileStreamSource orders files by MODIFICATION TIME (path only
+    breaks exact ties), so name order alone is not a processing-order
+    guarantee: two parts flushed within the same mtime tick could be
+    picked up inverted, putting earlier-time rows behind the watermark
+    and silently dropping them while the oracle still counts them. The
+    part files therefore get strictly increasing mtimes stamped in name
+    order, making processing order provably match time order — which
+    the batch-twin oracles REQUIRE."""
+    import os
+
     src = f"{tmp}/src"
     (tables.load_table(spark, sf_dir, "events")
      .withColumn("ts", F.col("ts").cast("timestamp"))
      .orderBy("ts")
      .coalesce(2).write.mode("overwrite").parquet(src))
+    parts = [os.path.join(src, f) for f in sorted(os.listdir(src))
+             if f.startswith("part-") and not f.endswith(".crc")]
+    base = max(os.stat(p).st_mtime for p in parts)
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i + 1, base + i + 1))
     return src
 
 

@@ -158,6 +158,23 @@ def _read_varint(data: bytes, i: int) -> tuple[int, int]:
             raise ValueError("varint too long")
 
 
+_INT32_MIN, _INT32_MAX = -(1 << 31), (1 << 31) - 1
+
+
+def _as_int32(value: int) -> int:
+    """Interpret a decoded 64-bit varint as a proto int32 field value.
+
+    proto3 writers encode negative int32s as 10-byte two's-complement
+    varints, so first re-sign the 64-bit value; anything outside the
+    int32 range after that is a malformed or incompatible write — fail
+    loudly instead of letting a later astype() silently wrap."""
+    if value >= (1 << 63):
+        value -= 1 << 64
+    if not (_INT32_MIN <= value <= _INT32_MAX):
+        raise ValueError(f"int32 field value {value} overflows int32")
+    return value
+
+
 def decode_event_metadata(data: bytes) -> dict:
     """Decode EventMetadata wire bytes back to a dict — the pure-Python
     twin of the spark-protobuf connector's from_protobuf for this
@@ -178,7 +195,7 @@ def decode_event_metadata(data: bytes) -> dict:
             if number in _FIELD_BY_NUMBER:
                 name, ftype = _FIELD_BY_NUMBER[number]
                 if ftype != TYPE_STRING:
-                    out[name] = value
+                    out[name] = _as_int32(value)
         elif wire == _WIRE_LEN:
             ln, i = _read_varint(data, i)
             if i + ln > len(data):
@@ -217,14 +234,29 @@ def decode_metadata_column(df, bytes_col: str):
         # nested, self-contained closure: pickles by value (the grading
         # driver's workers cannot import this repo)
         def read_varint(data, i):
+            # mirrors the module-level decoder's bounds checks: clear
+            # ValueErrors on truncation / overlong varints instead of
+            # IndexError or an unbounded shift spin
             shift = value = 0
             while True:
+                if i >= len(data):
+                    raise ValueError("truncated varint")
                 b = data[i]
                 i += 1
                 value |= (b & 0x7F) << shift
                 if not b & 0x80:
                     return value, i
                 shift += 7
+                if shift > 63:
+                    raise ValueError("varint too long")
+
+        def as_int32(value):
+            if value >= (1 << 63):
+                value -= 1 << 64
+            if not (-(1 << 31) <= value <= (1 << 31) - 1):
+                raise ValueError(
+                    f"int32 field value {value} overflows int32")
+            return value
 
         by_num = {num: (name, ftype) for name, num, ftype in fields}
 
@@ -239,9 +271,12 @@ def decode_metadata_column(df, bytes_col: str):
                 if wire == 0:
                     value, i = read_varint(data, i)
                     if number in by_num and by_num[number][1] != 9:
-                        out[by_num[number][0]] = value
+                        out[by_num[number][0]] = as_int32(value)
                 elif wire == 2:
                     ln, i = read_varint(data, i)
+                    if i + ln > len(data):
+                        raise ValueError(
+                            "truncated length-delimited field")
                     payload = data[i:i + ln]
                     i += ln
                     if number in by_num and by_num[number][1] == 9:

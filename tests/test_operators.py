@@ -616,3 +616,51 @@ def test_weighted_sample_prefers_heavy_rows_and_is_stable(spark):
     again = {r.doc_id for r in
              sampling.weighted_sample(df.repartition(13), 100, "w").collect()}
     assert {r.doc_id for r in rows} == again
+
+
+def test_gapfill_observed_null_value_is_not_a_gap(spark):
+    # ADVICE r3: an observed bucket whose FIRST value column is
+    # legitimately NULL (e.g. SUM over all-NULL inputs) must not be
+    # flagged as a gap — presence is marked explicitly now.
+    from event_streaming_service_spark.operators import windows
+
+    agg = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 3.0),
+         ("a", "2024-01-01 01:00:00", None),   # observed, NULL value
+         ("a", "2024-01-01 03:00:00", 7.0)],   # hour 2 is a real gap
+        "k string, bucket string, v double") \
+        .withColumn("bucket", F.col("bucket").cast("timestamp"))
+    out = windows.gapfill_locf(agg, "k", "bucket", 3_600_000, ["v"])
+    rows = {str(r.bucket): r for r in out.collect()}
+    assert len(rows) == 4
+    assert not rows["2024-01-01 01:00:00"].is_gap   # observed
+    assert rows["2024-01-01 02:00:00"].is_gap       # synthesized
+    # locf semantics still carry across the NULL observation
+    assert rows["2024-01-01 02:00:00"].v == 3.0
+    assert "__present" not in out.columns
+
+
+def test_weighted_sample_rejects_nonpositive_or_null_weights(spark):
+    import pytest
+
+    from event_streaming_service_spark.operators import sampling
+
+    df = (spark.range(0, 10).withColumnRenamed("id", "doc_id")
+          .withColumn("w", F.when(F.col("doc_id") == 3, 0).otherwise(5)))
+    with pytest.raises(Exception, match="must be > 0"):
+        sampling.weighted_sample(df, 5, "w").collect()
+    df_null = (spark.range(0, 10).withColumnRenamed("id", "doc_id")
+               .withColumn("w", F.when(F.col("doc_id") == 3, None)
+                           .otherwise(F.lit(5))))
+    with pytest.raises(Exception, match="must be > 0"):
+        sampling.weighted_sample(df_null, 5, "w").collect()
+
+
+def test_weighted_sample_plans_as_take_ordered(spark):
+    from event_streaming_service_spark.operators import sampling
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id") \
+        .withColumn("w", F.lit(2))
+    plan = sampling.weighted_sample(df, 5, "w") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

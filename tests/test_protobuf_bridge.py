@@ -139,3 +139,39 @@ def test_decode_metadata_column_spark(spark):
         assert got.k == i
         for name, _num, ftype in proto_wire.EVENT_METADATA_FIELDS:
             assert getattr(got, name) == want[name], name
+
+
+def test_decode_int32_overflow_raises_and_negative_resigns():
+    # ADVICE r3: a varint above 2^31-1 from a newer writer must fail
+    # loudly, not wrap in a later astype('int32'); proto3 negatives
+    # (10-byte two's-complement varints) must re-sign correctly.
+    import pytest
+
+    from event_streaming_service_spark.sources import proto_wire as pw
+
+    def raw_varint(n):  # encoder rejects negatives; build bytes by hand
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | (0x80 if n else 0))
+            if not n:
+                return bytes(out)
+
+    too_big = pw._tag(5, 0) + raw_varint(1 << 31)  # version field
+    with pytest.raises(ValueError, match="overflows int32"):
+        pw.decode_event_metadata(too_big)
+
+    neg = pw._tag(9, 0) + raw_varint((1 << 64) - 3)  # retry_count = -3
+    assert pw.decode_event_metadata(neg)["retry_count"] == -3
+
+
+def test_decode_truncated_varint_raises_value_error():
+    import pytest
+
+    from event_streaming_service_spark.sources import proto_wire as pw
+
+    with pytest.raises(ValueError, match="truncated varint"):
+        pw.decode_event_metadata(b"\x08\xff")  # continuation bit, no next byte
+    with pytest.raises(ValueError, match="varint too long"):
+        pw.decode_event_metadata(b"\x08" + b"\xff" * 10 + b"\x01")
