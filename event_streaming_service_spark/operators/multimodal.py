@@ -2,17 +2,22 @@
 
 Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched Pandas UDFs over `mapInPandas`. The decode step needs
-codec libraries that are not in this container, so it is STUBBED
-behind `decode_stub` (clearly marked NotImplementedError for real
-codecs, deterministic byte-level features otherwise) — the Spark-side
-plumbing (schema, batching, partitioning, UDF signatures) is real and
-tested.
+as Arrow-batched Pandas UDFs over `mapInPandas`.
+
+PNG decode is REAL (round-4): functions/png_codec.py implements the
+full container — chunk CRCs, zlib inflate, all five scanline filters —
+with nothing but the stdlib, so `attach_png_payload` /
+`extract_features_png` / `resize_png` below are byte-exact operators
+whose channel statistics an independent SQL oracle reproduces. Only
+formats that genuinely need external codec libraries absent from this
+container (JPEG, audio, video frames) remain STUBBED behind
+`codec_libs_available` (clearly marked NotImplementedError).
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary + Arrow batches); mapInPandas processes whole record batches so
-per-row Python overhead is amortized; frame sampling explodes rows
-*after* the filter so only sampled frames materialize.
+per-row Python overhead is amortized; one image-decode is the unit of
+parallel work; frame sampling explodes rows *after* the filter so only
+sampled frames materialize.
 """
 
 from __future__ import annotations
@@ -139,6 +144,130 @@ def resize_stub(media_df: DataFrame, max_w: int = 224, max_h: int = 224,
             })
 
     return planned.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ---- real PNG path (functions/png_codec.py) -------------------------
+
+# Deterministic synthetic image: pixel(x, y, c) =
+#   (doc_id % 128) + (x % 32) + (y % 32) + 10*c     (max 209, fits u8)
+# Every term is integer arithmetic an ANSI-SQL oracle reproduces
+# exactly, and the x/y gradients + per-channel offset make the image
+# non-constant so the PNG filters do real work.
+PNG_PIXEL_BASE_MOD = 128
+PNG_GRADIENT_MOD = 32
+PNG_CHANNEL_STEP = 10
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return int(doc_id) % 64 + 16, int(doc_id) % 48 + 16  # (w, h)
+
+
+def _png_pixels(doc_id: int) -> "np.ndarray":
+    import numpy as np
+
+    w, h = _png_dims(doc_id)
+    base = int(doc_id) % PNG_PIXEL_BASE_MOD
+    xg = np.arange(w) % PNG_GRADIENT_MOD
+    yg = np.arange(h) % PNG_GRADIENT_MOD
+    plane = base + np.add.outer(yg, xg)          # (h, w)
+    chans = np.arange(3) * PNG_CHANNEL_STEP
+    return (plane[:, :, None] + chans[None, None, :]).astype("uint8")
+
+
+def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the real-decode path: one genuine PNG per
+    document (encoded by the pure-stdlib codec, deterministic gradient
+    pixels derived from the doc id) plus the typed metadata struct.
+    Production replaces this with a parquet binary column scan; the
+    schema contract downstream is identical."""
+    from event_streaming_service_spark.functions import png_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            rows = []
+            for doc_id in ids:
+                w, h = _png_dims(doc_id)
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": png_codec.encode_png(_png_pixels(doc_id)),
+                    "media": {"media_type": "image", "codec": "png",
+                              "width": w, "height": h, "n_frames": 1},
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(batches, out_schema)
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, "
+    "px_min int, px_max int"
+)
+
+
+def extract_features_png(media_df: DataFrame) -> DataFrame:
+    """REAL image feature extraction: decode the PNG payload (CRC
+    checks, inflate, unfilter) and emit exact per-channel integer sums
+    and the pixel range — numbers an independent SQL oracle recomputes
+    from the pixel formula, proving the decode is byte-exact end to
+    end. Dimensions come from the DECODED header, not the metadata
+    struct, so a payload/metadata mismatch surfaces as a hash break."""
+    from event_streaming_service_spark.functions import png_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_codec.decode_png(bytes(payload))
+                h, w, _ = arr.shape
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows.append((int(doc_id), w, h,
+                             int(sums[0]), int(sums[1]), int(sums[2]),
+                             int(arr.min()), int(arr.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "ch0_sum", "ch1_sum",
+                "ch2_sum", "px_min", "px_max"])
+
+    return media_df.mapInPandas(batches, PNG_FEATURE_SCHEMA)
+
+
+PNG_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, target_w int, target_h int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, out_bytes int"
+)
+
+
+def resize_png(media_df: DataFrame, target_w: int, target_h: int
+               ) -> DataFrame:
+    """REAL resample: decode, nearest-neighbor resize to
+    (target_w, target_h) — integer index math `src = (dst*size)//target`
+    an SQL oracle reproduces — re-encode, and emit the resized
+    channel sums plus the re-encoded size. The decode→resample→encode
+    chain exercises the whole codec both directions per row."""
+    from event_streaming_service_spark.functions import png_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_codec.decode_png(bytes(payload))
+                h, w, _ = arr.shape
+                small = png_codec.resize_nearest(arr, target_w, target_h)
+                sums = small.reshape(-1, 3).sum(axis=0, dtype="int64")
+                out = png_codec.encode_png(small)
+                rows.append((int(doc_id), w, h, target_w, target_h,
+                             int(sums[0]), int(sums[1]), int(sums[2]),
+                             len(out)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "target_w", "target_h",
+                "ch0_sum", "ch1_sum", "ch2_sum", "out_bytes"])
+
+    return media_df.mapInPandas(batches, PNG_RESIZE_SCHEMA)
 
 
 def sample_frames(media_df: DataFrame, every_nth: int = 10) -> DataFrame:

@@ -105,6 +105,80 @@ def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(_media(spark, sf_dir))
 
 
+# The synthetic PNG pixel formula (operators/multimodal.py:_png_pixels):
+#   v(x, y, c) = (doc_id % 128) + (x % 32) + (y % 32) + 10*c
+# so an independent SQL oracle can regenerate every pixel and aggregate
+# the same exact integers the real decoder produces.
+_PNG_DIMS = """
+    dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 64 + 16 AS INTEGER) AS w,
+               CAST(doc_id % 48 + 16 AS INTEGER) AS h
+        FROM documents)
+"""
+
+
+@register(
+    "multimodal_features_png",
+    oracle=f"""
+    WITH {_PNG_DIMS},
+    xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+    xys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+    px AS (SELECT doc_id, w, h, c,
+                  (doc_id % 128) + (x % 32) + (y % 32) + 10 * c AS v
+           FROM (SELECT *, unnest([0, 1, 2]) AS c FROM xys))
+    SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS ch0_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS ch1_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS ch2_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-png"),
+)
+def q_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + feature extraction: each document carries a
+    genuine PNG (stdlib codec — CRC-checked chunks, zlib, all five
+    scanline filters) and the kernel decodes it and emits exact
+    per-channel sums + pixel range. The oracle regenerates the pixels
+    arithmetically, so a single flipped byte anywhere in the
+    encode→inflate→unfilter chain breaks the hash."""
+    media = multimodal.attach_png_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features_png(media)
+
+
+@register(
+    "multimodal_resize_png",
+    oracle=f"""
+    WITH {_PNG_DIMS},
+    xs AS (SELECT doc_id, w, h, unnest(range(0, 24)) AS tx FROM dims),
+    xys AS (SELECT doc_id, w, h, tx, unnest(range(0, 24)) AS ty FROM xs),
+    px AS (SELECT doc_id, w, h, c,
+                  (doc_id % 128) + (((tx * w) // 24) % 32)
+                  + (((ty * h) // 24) % 32) + 10 * c AS v
+           FROM (SELECT *, unnest([0, 1, 2]) AS c FROM xys))
+    SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+           CAST(24 AS INTEGER) AS target_w, CAST(24 AS INTEGER) AS target_h,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS ch0_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS ch1_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS ch2_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-png"),
+)
+def q_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resample: decode the PNG, nearest-neighbor resize to 24x24
+    (integer index map src = (dst*size)//24, reproduced by the oracle),
+    re-encode, and emit the resized channel sums. The re-encoded byte
+    size rides along in the operator but is projected out here — zlib
+    output length is not SQL-expressible."""
+    media = multimodal.attach_png_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_png(media, 24, 24).drop("out_bytes")
+
+
 @register(
     "multimodal_resize_stub",
     oracle=None,  # mapInPandas resample plumbing; codec call stubbed
