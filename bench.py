@@ -20,6 +20,17 @@ Protocol (VERDICT r2 items #1c/#2):
     first-touch (JIT, Arrow worker spin-up, plan-cache state) posing as
     per-query regressions; warmed best-of-N makes BENCH_r*.json
     round-to-round comparable.
+  * the whole sweep runs in S separate Spark sessions
+    (S = $SPARK_GRAFT_BENCH_SESSIONS, default 2) with the session torn
+    down and rebuilt in between, and each query reports its MINIMUM
+    across sessions (VERDICT r3 item #2): the shared host shows
+    occasional multi-second load spikes, and a spike during one
+    session's best-of-N previously landed in the recorded JSON as a
+    fake per-query regression (round 3: sliding_hourly_counts 0.94 s
+    recorded vs 0.21 s warmed minimum on identical code). Minima over
+    time-separated sessions are the noise-resistant estimate the
+    BENCH_NOTES protocol already used; now the driver-visible JSON is
+    computed the same way.
 """
 
 from __future__ import annotations
@@ -84,6 +95,15 @@ BENCH_QUERIES = [
     # round-3 corpus operators
     "contamination_flags",          # eval-set n-gram overlap sweep
     "repetition_stats",             # Gopher dup-gram / top-token filters
+    # round-4 additions
+    "gapfill_hourly_locf",          # spine explode + LOCF window
+    "ewma_value_per_user",          # sequential per-key Arrow smoother
+    "weighted_sample_by_length",    # Efraimidis-Spirakis top-n
+    "multimodal_features_png",      # real PNG decode per document
+    "tpch_q9_product_type_profit",  # 6-way join, largest TPC-H shape
+    "tpch_q18_large_volume_customers",  # agg-in-join heavy hitter
+    "governance_surface",           # 6-leg union surface
+    "window_functions_profile",     # 6 window exprs, one sort pass
 ]
 
 
@@ -101,38 +121,40 @@ def main() -> None:
             SF_DIR, os.path.join(repo_root, ".bench_cache"))
         prep_sec = round(time.perf_counter() - t0, 3)
 
-    # 39 cache-heavy queries share this session; on the default 8g heap
+    # cache-heavy queries share each session; on the default 8g heap
     # late queries time GC pressure, not their plans (observed 3-5x
     # per-query noise). The host has 128 GiB — use a real slice of it.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
     except ValueError:
         sf_num = -1.0
 
-    # best-of-3 by default: the host shows occasional multi-second load
-    # spikes, and with only 2 timed runs a spike during both lands in
-    # the recorded JSON (+~1 min wall for the whole 41-query set)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2")))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # untimed warmup: JIT/codegen, Arrow python workers, shuffle dirs
-        REGISTRY[name].builder(spark, bench_dir) \
-            .write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(runs):
-            df = REGISTRY[name].builder(spark, bench_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # previous queries' cached frames (tf-idf term cache etc.) are
-        # dead weight for the next query — drop them so late-session
-        # numbers don't absorb GC pressure from earlier ones
-        spark.catalog.clearCache()
+    for _session in range(sessions):
+        spark = get_spark("bench", cpus=CPUS,
+                          shuffle_partitions=max(CPUS, 32))
+        for name in BENCH_QUERIES:
+            # untimed warmup: JIT/codegen, Arrow workers, shuffle dirs
+            REGISTRY[name].builder(spark, bench_dir) \
+                .write.format("noop").mode("overwrite").save()
+            best = timings.get(name, float("inf"))
+            for _ in range(runs):
+                df = REGISTRY[name].builder(spark, bench_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = best
+            # previous queries' cached frames (tf-idf term cache etc.)
+            # are dead weight for the next query — drop them so late-
+            # session numbers don't absorb GC pressure from earlier ones
+            spark.catalog.clearCache()
+        spark.stop()
 
+    timings = {name: round(sec, 3) for name, sec in timings.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -142,6 +164,7 @@ def main() -> None:
         "sf": sf_num,
         "fixture_prep_sec": prep_sec,
         "runs_per_query": runs,
+        "sessions": sessions,
     }))
 
 

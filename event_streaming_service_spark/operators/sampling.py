@@ -84,7 +84,9 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
                  stratum_col: str, key_col: str = "doc_id",
                  default_quota: int = 0,
                  two_phase: bool = False,
-                 safety: float = 2.0) -> DataFrame:
+                 safety: float = 2.0,
+                 stratum_counts: dict[str | None, int] | None = None,
+                 ) -> DataFrame:
     """Exactly-n per stratum (when the stratum has >= n rows): rank by
     the content hash (ties on key) within each stratum and keep
     rank <= quota — a deterministic 'random n' that never oversamples
@@ -104,6 +106,19 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
     detected by a survivor count and those strata (and only those)
     fall back to the exact one-phase rank, so the result is equal to
     the one-phase form BY CONSTRUCTION, not just in expectation.
+
+    `stratum_counts` (two-phase only): callers that already hold
+    per-stratum row counts — from profiling, table statistics, or a
+    prior aggregation — pass them here (keyed by stratum value, None
+    for the NULL stratum) and phase 1's full-scan count job is skipped
+    entirely, leaving ONE blocking action (the survivor count). The
+    counts feed only the over-selecting threshold estimate, and the
+    undershoot fallback re-ranks any stratum whose survivors come up
+    short, so a stale or approximate count can cost speed, never
+    correctness — EXCEPT an undercount that omits a stratum entirely
+    (treated as the map's own grain: missing strata count as 0 rows,
+    threshold 0 -> they fall to the exact-rank fallback via the
+    deficiency check, still correct).
     """
     spark = df.sparkSession
     q = spark.createDataFrame(
@@ -130,9 +145,13 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
     # column is internal and dropped before ranking.
     _NULL_KEY = "\x00__null_stratum__"
     skey = F.coalesce(F.col(stratum_col), F.lit(_NULL_KEY))
-    counts = {r[0]: r[1] for r in
-              df.groupBy(skey.alias("__sk"))
-              .agg(F.count("*").alias("__n")).collect()}
+    if stratum_counts is not None:
+        counts = {(_NULL_KEY if s is None else s): n
+                  for s, n in stratum_counts.items()}
+    else:
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(skey.alias("__sk"))
+                  .agg(F.count("*").alias("__n")).collect()}
     thr_rows = []
     need = {}
     for s, n in sorted(counts.items()):
@@ -147,10 +166,14 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
                 (s, min(HASH_SPACE,
                         int(HASH_SPACE * quota * safety / n) + 1)))
     thr = spark.createDataFrame(thr_rows, "__sk string, __pre bigint")
+    # a stratum absent from `counts` (possible only with caller-provided
+    # stratum_counts) keeps ALL its rows — no pre-filter — so the exact
+    # rank below still yields the correct quota for it; defaulting to 0
+    # would silently drop it without tripping the deficiency check
     survivors = (df.withColumn("__sk", skey)
                  .join(F.broadcast(thr), "__sk", "left")
                  .filter(sample_hash(F.col(key_col))
-                         < F.coalesce("__pre", F.lit(0)))
+                         < F.coalesce("__pre", F.lit(HASH_SPACE)))
                  .drop("__pre")
                  # consumed by the count below AND the final rank; freed
                  # by the session (callers running many samples per

@@ -8,6 +8,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     catalog_queries,
     dedup_queries,
     envelope_queries,
+    governance_queries,
     join_queries,
     multimodal_queries,
     packing_queries,

@@ -127,6 +127,53 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+    ord AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts) AS prev_us
+        FROM events),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1
+                    ELSE 0 END AS new_s
+        FROM ord),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+    agg AS (
+        SELECT user_id, sid, MIN(us) AS start_us,
+               MAX(us) + 1800000000 AS end_us,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid)
+    SELECT make_timestamp(start_us) AS session_start,
+           make_timestamp(end_us) AS session_end,
+           user_id, n_events
+    FROM agg, wm
+    WHERE end_us <= wm_ms * 1000
+    """,
+    tags=("W8", "session", "streaming"))
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 native session_window + watermark, driven as micro-batches.
+    Append mode emits exactly the sessions the final watermark
+    finalized: session_end (last event + 30 min gap) <= max event time
+    - 1 h, with the watermark at ms granularity and session bounds at
+    µs. Merge semantics pinned empirically and in
+    tests/test_streaming.py: events EXACTLY gap apart merge (new
+    session iff the consecutive-event delta strictly exceeds the gap),
+    so the gaps-and-islands oracle uses `> gap`, not `>=`."""
+    return _run_stream(spark, sf_dir,
+                       lambda s: sp.session_counts(
+                           s, "30 minutes", "1 hour"),
+                       "sessions")
+
+
+@register(
     "streaming_continuous_rollup",
     oracle=f"""
     SELECT make_timestamp((epoch_ms(ts) // {DAY_MS}) * {DAY_MS} * 1000)

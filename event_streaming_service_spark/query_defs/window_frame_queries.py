@@ -49,6 +49,53 @@ def q_moving_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_functions_profile",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS seq,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS window5_cents,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+               AS first_type,
+           LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_event_id
+    FROM events
+    """,
+    tags=("W2", "2.7", "window-frames"),
+)
+def q_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 per-key ordering (seq + prev pointer) and the 2.7 moving-frame
+    family (running/5-row cents, first_value, lead) over ONE shared
+    window spec — Catalyst evaluates all six expressions in a single
+    sort+Window pass, which is exactly the shape you want at 100 TB
+    (one shuffle on the key, one sort, no repeated passes). Coverage
+    twin of per_key_ordering + moving_window_frames for the driver
+    budget; those stay registered standalone."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    last5 = order.rowsBetween(-4, 0)
+    c = cents("value")
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(order).cast("bigint").alias("seq"),
+        F.lag("event_id").over(order).alias("prev_event_id"),
+        F.sum(c).over(running).cast("bigint").alias("running_cents"),
+        F.sum(c).over(last5).cast("bigint").alias("window5_cents"),
+        F.first("event_type").over(order).alias("first_type"),
+        F.lead("event_id").over(order).alias("next_event_id"))
+
+
+@register(
     "orders_by_month",
     oracle=f"""
     SELECT date_trunc('month', o_orderdate) AS order_month,

@@ -664,3 +664,30 @@ def test_weighted_sample_plans_as_take_ordered(spark):
     plan = sampling.weighted_sample(df, 5, "w") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quota_sample_caller_provided_counts_skip_phase1(spark):
+    """Two-phase quota sampling with caller-provided stratum counts must
+    equal the one-phase result even when the counts are stale (too low /
+    too high) or omit a stratum entirely — staleness may cost speed but
+    never rows."""
+    from event_streaming_service_spark.operators import sampling
+
+    df = (spark.range(0, 1200).withColumnRenamed("id", "doc_id")
+          .withColumn("source",
+                      F.when(F.col("doc_id") % 4 == 0, F.lit(None))
+                      .otherwise(F.concat(
+                          F.lit("s"), (F.col("doc_id") % 3).cast("string")))))
+    quotas = {"s0": 10, "s1": 500}
+    one = sampling.quota_sample(df, quotas, "source", default_quota=6)
+    expected = sorted(r.doc_id for r in one.collect())
+    for counts in (
+        {"s0": 300, "s1": 300, "s2": 300, None: 300},   # exact-ish
+        {"s0": 50, "s1": 5, "s2": 2, None: 1},          # badly stale low
+        {"s0": 10_000, "s1": 10_000},                   # high + missing strata
+        {},                                             # everything missing
+    ):
+        two = sampling.quota_sample(
+            df, quotas, "source", default_quota=6, two_phase=True,
+            stratum_counts=counts)
+        assert sorted(r.doc_id for r in two.collect()) == expected, counts

@@ -62,3 +62,31 @@ def test_budget_covers_every_operator_tag():
     missing_families = REQUIRED_FAMILY_TAGS - in_budget
     assert not missing_families, (
         f"LLM operator families outside driver budget: {missing_families}")
+
+
+def test_every_oracle_backed_query_is_driver_checked_or_was_green():
+    """VERDICT r3 item #7: the never-driver-checked tail must stay
+    empty. Every oracle-backed query either sits inside the 50-slot
+    driver budget (gets a row this round) or is already hash-green in
+    a prior round's CORRECTNESS file; only intrinsically rows-only
+    queries may live outside both sets."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior_green = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                prior_green.add(name)
+
+    in_budget = set(ordered_names()[:DRIVER_BUDGET])
+    stranded = [
+        name for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and name not in in_budget and name not in prior_green
+    ]
+    assert not stranded, (
+        f"oracle-backed queries that would never get a driver row: "
+        f"{stranded}")

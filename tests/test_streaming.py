@@ -126,3 +126,23 @@ def test_session_counts_stream_runs(spark, sf_smoke, tmpdir):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) c FROM sess_out").first().c
     assert n >= 0  # closed sessions only; state holds the tail
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    # pins the merge rule the streaming_session_windows oracle encodes:
+    # events EXACTLY gap apart merge; one microsecond past starts a new
+    # session (new session iff consecutive delta > gap, not >=)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"),
+         (1, "2024-01-01 00:30:00"),            # == gap -> merges
+         (1, "2024-01-01 01:00:00.000001")],    # gap + 1us -> new
+        "user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n"))
+           .select("session_window.end", "n")
+           .orderBy("end").collect())
+    assert [r.n for r in out] == [2, 1]
+    assert str(out[0].end) == "2024-01-01 01:00:00"  # last event + gap

@@ -133,12 +133,59 @@ def probe_window(spark):
     return time.perf_counter() - t0, f"groups={n}"
 
 
+def probe_ewma(spark):
+    """Hot-key hazard for the sequential smoother: ONE key holding 10M
+    rows (plus 1M spread over 1k normal keys). The whole hot group
+    materializes as a single pandas frame in one task — the documented
+    applyInPandasWithState fallback threshold; this probe measures
+    where that wall actually is (memory stays bounded: 10M rows x
+    ~24 B/col ~ a few hundred MB, linear C-speed ewm pass)."""
+    from event_streaming_service_spark.operators.windows import ewma
+    df = (spark.range(0, 11_000_000)
+          .select(F.when(F.col("id") < 10_000_000, F.lit("hot"))
+                  .otherwise((F.col("id") % 1000).cast("string"))
+                  .alias("user_id"),
+                  F.timestamp_micros(
+                      (F.lit(1_700_000_000_000_000)
+                       + F.col("id") * 1_000)).alias("ts"),
+                  (F.col("id") % 97).cast("double").alias("value")))
+    t0 = time.perf_counter()
+    out = ewma(df, "user_id", "ts", "value", alpha=0.2)
+    n = out.count()
+    assert n == 11_000_000, n
+    return time.perf_counter() - t0, f"rows={n} (one 10M-row key)"
+
+
+def probe_gapfill(spark):
+    """Sparse-key densification hazard: 100 keys whose [min, max]
+    bucket range spans 1M hourly buckets each but only ~1k observed —
+    the spine explode generates 100M rows from a 100-row aggregate.
+    Checks the fan-out stays JVM-side (sequence + explode, no Python)
+    and linear."""
+    from event_streaming_service_spark.operators.windows import gapfill_locf
+    agg = (spark.range(0, 100_000)
+           .select((F.col("id") % 100).alias("k"),
+                   # ~1k observations per key, stretched over 1M hours
+                   F.timestamp_micros(
+                       (F.lit(1_000_000_000_000_000)
+                        + (F.col("id") / 100).cast("bigint")
+                        * 3_600_000_000 * 1000)).alias("bucket"),
+                   (F.col("id") % 7).cast("double").alias("v")))
+    t0 = time.perf_counter()
+    out = gapfill_locf(agg, "k", "bucket", 3_600_000, ["v"])
+    n = out.count()
+    gaps = out.filter("is_gap").count()
+    return time.perf_counter() - t0, f"rows={n} gaps={gaps}"
+
+
 PROBES = {
     "components": probe_components,
     "packing": probe_packing,
     "quota": probe_quota,
     "simhash": probe_simhash,
     "window": probe_window,
+    "ewma": probe_ewma,
+    "gapfill": probe_gapfill,
 }
 
 
