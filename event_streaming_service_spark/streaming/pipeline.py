@@ -101,6 +101,37 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
                     "user_id", "n_events"))
 
 
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str,
+                  within: str = "1 hour",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner interval join: pair each right-side event
+    with the left-side events of the same key that precede it by at
+    most `within` (the funnel-attribution shape: view -> purchase).
+
+    Both sides carry watermarks and the time condition bounds state on
+    BOTH sides, so Spark evicts left rows once the right watermark
+    passes left_ts + within — bounded state at any stream length,
+    which is what makes this runnable forever on a real cluster.
+
+    Emission is deterministic on a static, time-ordered source: inner
+    joins emit each match when the later side arrives (the watermark
+    bounds STATE, not output), and with time-sorted input the earlier
+    side is always already in state — so the emitted set equals the
+    batch join, which is what the stream/batch equivalence test pins.
+    Columns are disambiguated by aliasing the two sides l/r.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}")),
+        "inner")
+
+
 def consume_to_tables(stream: DataFrame, main_dir: str, dlq_dir: str,
                       checkpoint_dir: str, now_fn: Callable[[], F.Column] | None = None,
                       process: Callable[[DataFrame], DataFrame] | None = None,

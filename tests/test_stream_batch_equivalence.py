@@ -71,3 +71,52 @@ def test_streaming_session_equals_batch_sessionize(spark, sf_smoke, tmpdir):
                  F.sum("n_events").alias("events")))
     want_map = {r.user_id: (r.sessions, r.events) for r in want.collect()}
     assert got_map == want_map
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_smoke, tmpdir):
+    """Stream-stream inner interval join (view -> purchase funnel) must
+    emit exactly the batch join's matches on a static, time-ordered
+    source: inner joins emit on arrival of the later side, and the
+    watermark only bounds state. Multi-file source so the two sides
+    really cross micro-batch boundaries (a view in batch 1 matched by a
+    purchase in batch 2 exercises buffered join state)."""
+    import os
+
+    src = f"{tmpdir}/src"
+    ev = tables.load_table(spark, sf_smoke, "events")
+    ev.orderBy("ts").coalesce(3).write.mode("overwrite").parquet(src)
+    parts = [os.path.join(src, f) for f in sorted(os.listdir(src))
+             if f.startswith("part-") and not f.endswith(".crc")]
+    base = max(os.stat(p).st_mtime for p in parts)
+    for i, p in enumerate(parts):  # pin processing order = time order
+        os.utime(p, (base + i + 1, base + i + 1))
+
+    def views(df):
+        return (df.filter(F.col("event_type") == "view")
+                .select(F.col("user_id"), F.col("event_id").alias("view_id"),
+                        F.col("ts").alias("view_ts")))
+
+    def purchases(df):
+        return (df.filter(F.col("event_type") == "purchase")
+                .select(F.col("user_id"), F.col("event_id").alias("buy_id"),
+                        F.col("ts").alias("buy_ts")))
+
+    stream = sp.read_event_stream(spark, src, max_files_per_trigger=1)
+    joined = sp.interval_join(
+        views(stream), purchases(stream), "user_id",
+        "view_ts", "buy_ts", within="1 hour")
+    out = joined.select("l.view_id", "r.buy_id")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("eq_join").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.view_id, r.buy_id)
+           for r in spark.sql("SELECT * FROM eq_join").collect()}
+
+    v, p = views(ev).alias("l"), purchases(ev).alias("r")
+    want = {(r.view_id, r.buy_id) for r in v.join(
+        p, (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.buy_ts") >= F.col("l.view_ts"))
+        & (F.col("r.buy_ts") <= F.col("l.view_ts") + F.expr("INTERVAL 1 hour")),
+        "inner").select("l.view_id", "r.buy_id").collect()}
+    assert len(want) > 0
+    assert got == want
