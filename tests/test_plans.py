@@ -212,3 +212,28 @@ def test_jaccard_cap_is_anti_join_not_window(spark, sf_oracle):
     (doc, shingle) row."""
     plan = plan_of(spark, sf_oracle, "near_dup_shingle_jaccard")
     assert "LeftAnti" in plan
+
+
+def test_window_profile_single_pass(spark, sf_oracle):
+    """All six window expressions (row_number, lag, lead, first, two
+    framed sums) share one (partition, order) spec and must fuse into
+    ONE Window operator over ONE sort and ONE exchange — the shape that
+    costs a single shuffle at any scale. A second Sort or Exchange here
+    means the specs drifted apart."""
+    import re
+
+    plan = plan_of(spark, sf_oracle, "window_functions_profile")
+    # formatted explain lists each node once in the tree and once in the
+    # detail section as "(n) NodeName" — count the detail entries
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.MULTILINE)
+    assert nodes.count("Exchange") == 1, nodes
+    assert nodes.count("Sort") == 1, nodes
+    assert nodes.count("Window") == 1, nodes
+
+
+def test_weighted_sample_take_ordered(spark, sf_oracle):
+    """The Efraimidis-Spirakis top-n must plan as TakeOrderedAndProject
+    (per-partition heap), never a single-partition window sort."""
+    plan = plan_of(spark, sf_oracle, "weighted_sample_by_length")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
