@@ -79,10 +79,30 @@ PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_counts", "streaming_dedup",
     "streaming_continuous_rollup",
     "seq_packing", "pii_scrub_stats",
-    "dedup_exact_canonical", "near_dup_clusters", "simhash_portable",
-    "embedding_near_dup_pairs", "cosine_topk_bruteforce",
-    "ann_lsh_cosine", "multimodal_frame_sample",
-    "tfidf_top_terms", "language_id_heuristic", "doc_fingerprints",
+    "near_dup_clusters", "multimodal_frame_sample",
+    "tfidf_top_terms",
+    # -- second-wave consolidation (frees 4 slots for the TPC-H
+    #    completion below): corpus_fingerprint_surface folds
+    #    dedup_exact_canonical + simhash_portable + doc_fingerprints;
+    #    ann_cosine_surface folds cosine_topk_bruteforce +
+    #    ann_lsh_cosine + embedding_near_dup_pairs; doc_text_metrics
+    #    (r2-green, lang-id provider) replaces language_id_heuristic
+    #    (r3-green) --
+    "corpus_fingerprint_surface", "ann_cosine_surface",
+    "doc_text_metrics",
+    # -- TPC-H completion (never driver-verified, new this round) --
+    "tpch_q2_min_balance_supplier", "tpch_q8_market_share",
+    "tpch_q20_promotable_suppliers", "tpch_q21_waiting_supplier",
+)
+
+# Oracle-backed queries waiting for a driver slot: the budget is 50
+# and every current slot is either never-verified or a sole tag
+# provider, so these rotate into PRIORITY next round (displacing
+# whatever goes green this round). tests/test_priority.py bounds this
+# tail so it cannot silently grow.
+PENDING_ROTATION: tuple[str, ...] = (
+    "tpch_q11_important_parts", "tpch_q12_late_lines_by_flag",
+    "tpch_q16_supplier_part_spec_counts",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

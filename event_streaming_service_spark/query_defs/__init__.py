@@ -22,7 +22,9 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     similarity_queries,
     stats_queries,
     streaming_queries,
+    surface_queries,
     text_queries,
+    tpch_complete_queries,
     tpch_extra_queries,
     tpch_queries,
     window_frame_queries,

@@ -36,8 +36,8 @@ _DISC_SQL = f"{cents_sql('l_extendedprice')} * (100 - {pct_sql('l_discount')})"
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER)
@@ -62,8 +62,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
         .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
-        .filter(((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-                | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE")))
+        .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
     )
     return (joined
             .groupBy("supp_nation", "cust_nation",

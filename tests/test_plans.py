@@ -237,3 +237,39 @@ def test_weighted_sample_take_ordered(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "weighted_sample_by_length")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_q21_decorrelates_without_cartesian(spark, sf_oracle):
+    """The EXISTS/NOT-EXISTS pair must decorrelate into the per-order
+    profile aggregate: no nested-loop/cartesian product, no lineitem
+    self-join at full width (the only joins are the l_orderkey
+    equi-joins and the broadcast supplier dimension)."""
+    plan = plan_of(spark, sf_oracle, "tpch_q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier dim
+
+
+def test_q2_broadcasts_part_and_supplier_sides(spark, sf_oracle):
+    """Q2's candidate build must broadcast the filtered part and the
+    region-supplier frames; the decorrelated MIN probe joins back on
+    p_partkey without a cartesian."""
+    plan = plan_of(spark, sf_oracle, "tpch_q2_min_balance_supplier")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_single_big_join(spark, sf_oracle):
+    """Seven-way Q8: every dimension broadcasts; only lineitem⋈orders
+    may shuffle both sides."""
+    plan = plan_of(spark, sf_oracle, "tpch_q8_market_share")
+    assert plan.count("BroadcastExchange") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_oracle):
+    """The NOT-IN supplier exclusion must plan as a broadcast LEFT ANTI
+    hash join, not a nested loop."""
+    plan = plan_of(spark, sf_oracle, "tpch_q16_supplier_part_spec_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -8,7 +8,8 @@ from __future__ import annotations
 import re
 
 from event_streaming_service_spark.queries import (
-    PRIORITY, REGISTRY, _load_all, all_oracles, all_queries, ordered_names,
+    PENDING_ROTATION, PRIORITY, REGISTRY, _load_all, all_oracles,
+    all_queries, ordered_names,
 )
 
 _load_all()
@@ -86,7 +87,23 @@ def test_every_oracle_backed_query_is_driver_checked_or_was_green():
         name for name, spec in REGISTRY.items()
         if spec.oracle is not None
         and name not in in_budget and name not in prior_green
+        and name not in PENDING_ROTATION
     ]
     assert not stranded, (
         f"oracle-backed queries that would never get a driver row: "
         f"{stranded}")
+
+
+def test_pending_rotation_tail_is_bounded():
+    """PENDING_ROTATION is the explicit, bounded queue of oracle-backed
+    queries waiting for a driver slot (budget = 50, every slot taken by
+    a never-verified query or a sole tag provider). It must stay small
+    — next round's rotation drains it — and must not overlap the
+    budget (a name in both would double-count a slot)."""
+    assert len(PENDING_ROTATION) <= 6, (
+        "pending tail too long — consolidate surfaces or rotate")
+    assert not set(PENDING_ROTATION) & set(PRIORITY)
+    missing = [n for n in PENDING_ROTATION if n not in REGISTRY]
+    assert not missing, f"PENDING_ROTATION names not registered: {missing}"
+    unbacked = [n for n in PENDING_ROTATION if REGISTRY[n].oracle is None]
+    assert not unbacked, "rows-only queries belong in _NEXT, not here"
