@@ -280,3 +280,148 @@ def sample_frames(media_df: DataFrame, every_nth: int = 10) -> DataFrame:
         .withColumn("frame_idx", F.explode(idx))
         .select("doc_id", "frame_idx", "media.width", "media.height")
     )
+
+
+# ---------------------------------------------------------------- audio
+# Deterministic synthetic audio: sample(i, ch) =
+#   ((doc_id % 97) * 31 + i * 7 + ch * 13) % 2048 - 1024
+# — pure integer arithmetic an ANSI-SQL oracle reproduces exactly,
+# oscillating through the int16 range so zero-crossing and energy
+# statistics are non-trivial. Rate 8000 makes duration_ms = frames/8
+# an exact binary double (1000/8000 = 0.125).
+WAV_SAMPLE_RATE = 8000
+WAV_BASE_MOD = 97
+WAV_AMP_MOD = 2048
+
+
+def _wav_shape(doc_id: int) -> tuple[int, int]:
+    """(n_frames, n_channels) for a doc's synthetic clip."""
+    return int(doc_id) % 800 + 100, 1 + int(doc_id) % 2
+
+
+def _wav_samples(doc_id: int) -> "np.ndarray":
+    import numpy as np
+
+    n_frames, n_channels = _wav_shape(doc_id)
+    base = (int(doc_id) % WAV_BASE_MOD) * 31
+    i = np.arange(n_frames, dtype="int64") * 7
+    ch = np.arange(n_channels, dtype="int64") * 13
+    grid = base + i[:, None] + ch[None, :]
+    return ((grid % WAV_AMP_MOD) - WAV_AMP_MOD // 2).astype("int16")
+
+
+def attach_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the real audio path: one genuine RIFF/PCM16 WAV
+    per document (pure-stdlib encoder, deterministic samples derived
+    from the doc id) plus typed metadata. Production replaces this with
+    a parquet binary column scan; the downstream schema contract is
+    identical."""
+    from event_streaming_service_spark.functions import wav_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "sample_rate:int,n_channels:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                n_frames, n_channels = _wav_shape(doc_id)
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": wav_codec.encode_wav(
+                        _wav_samples(doc_id), WAV_SAMPLE_RATE),
+                    "media": {"media_type": "audio", "codec": "pcm16",
+                              "sample_rate": WAV_SAMPLE_RATE,
+                              "n_channels": n_channels,
+                              "n_frames": n_frames},
+                })
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(batches, out_schema)
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames bigint, "
+    "duration_ms double, ch0_sum bigint, ch1_sum bigint, "
+    "ch0_sumsq bigint, samp_min int, samp_max int, n_zero_cross bigint"
+)
+
+
+def extract_features_wav(media_df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: parse the RIFF container, decode
+    the PCM16 frames, and emit exact integer statistics — per-channel
+    sums, channel-0 energy (sum of squares; RMS's radicand, kept as an
+    exact integer instead of an engine-dependent sqrt), sample range,
+    and channel-0 zero crossings (sign flips between consecutive
+    frames). Stream shape (rate/channels/frames) comes from the DECODED
+    header and data-chunk length, not the metadata struct, so a
+    payload/metadata mismatch surfaces as a hash break. All numbers are
+    reproduced arithmetically by the SQL oracle in
+    query_defs/audio_queries.py."""
+    from event_streaming_service_spark.functions import wav_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr, rate = wav_codec.decode_wav(bytes(payload))
+                n_frames, n_channels = arr.shape
+                a64 = arr.astype("int64")
+                ch0 = a64[:, 0]
+                neg = ch0 < 0
+                rows.append((
+                    int(doc_id), rate, n_channels, n_frames,
+                    n_frames * 1000.0 / rate,
+                    int(ch0.sum()),
+                    int(a64[:, 1].sum()) if n_channels > 1 else None,
+                    int((ch0 * ch0).sum()),
+                    int(arr.min()), int(arr.max()),
+                    int((neg[1:] != neg[:-1]).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "ch0_sum", "ch1_sum", "ch0_sumsq",
+                "samp_min", "samp_max", "n_zero_cross"])
+
+    return media_df.mapInPandas(batches, WAV_FEATURE_SCHEMA)
+
+
+WAV_RESAMPLE_SCHEMA = (
+    "doc_id bigint, n_frames bigint, out_frames bigint, "
+    "out_rate int, ch0_sum bigint, ch1_sum bigint, out_bytes int"
+)
+
+
+def resample_wav(media_df: DataFrame, target_rate: int = 4000) -> DataFrame:
+    """REAL resample: decode, nearest-neighbor decimate to target_rate
+    (integer index map src = (dst * n_frames) // out_frames — the same
+    arithmetic the PNG resize and the SQL oracle use), re-encode, and
+    emit the resampled channel sums plus re-encoded size. The
+    decode→resample→encode chain exercises the codec both directions
+    per row."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import wav_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr, rate = wav_codec.decode_wav(bytes(payload))
+                n_frames, n_channels = arr.shape
+                out_n = max(1, (n_frames * target_rate) // rate)
+                src = (np.arange(out_n, dtype="int64") * n_frames) // out_n
+                small = arr[src]
+                out = wav_codec.encode_wav(small, target_rate)
+                s64 = small.astype("int64")
+                rows.append((
+                    int(doc_id), n_frames, out_n, target_rate,
+                    int(s64[:, 0].sum()),
+                    int(s64[:, 1].sum()) if n_channels > 1 else None,
+                    len(out)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "out_frames", "out_rate",
+                "ch0_sum", "ch1_sum", "out_bytes"])
+
+    return media_df.mapInPandas(batches, WAV_RESAMPLE_SCHEMA)
