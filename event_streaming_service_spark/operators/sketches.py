@@ -1,0 +1,115 @@
+"""Sketch-accelerated operators: candidate generation by a mergeable
+summary, then EXACT verification — approximate machinery, exact
+answers.
+
+The pattern (used across the repo: LSH pairs -> exact Jaccard, ANN
+buckets -> exact rerank) applied here to frequent items: a per-
+partition Misra-Gries summary proposes a bounded candidate set, then
+one semi-filtered exact count confirms. The result is bit-identical to
+the naive global GROUP BY, so it carries a plain SQL oracle — but at
+100 TB it never shuffles the full key domain:
+
+  naive:  shuffle |distinct keys| rows (billions for token domains)
+  here:   scan 1 emits <= k rows PER PARTITION (the MG summaries,
+          collected into a broadcast); scan 2 semi-joins against that
+          broadcast (map-side filter, no shuffle of misses) and
+          shuffles only the surviving candidate keys (<= k * P rows).
+
+Correctness of the candidate superset does not depend on sketch
+accuracy: if an item's GLOBAL count exceeds n/k then by pigeonhole its
+LOCAL count exceeds n_p/k in at least one partition, and Misra-Gries
+with k counters provably retains every item whose local count exceeds
+local_n/k. Every true heavy hitter therefore reaches verification;
+false candidates are discarded by the exact count. (Misra & Gries
+1982; mergeability per Agarwal et al., "Mergeable Summaries", PODS'12.)
+
+No reference counterpart (the reference's statistics are plain
+aggregates); this extends SURVEY.md section 2.12's text-analysis
+family with the sketch layer a 100 TB token-frequency job needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most k candidate values
+    per partition, each guaranteed to include every value whose local
+    frequency exceeds (partition size / k).
+
+    Arrow-batched: counting inside each batch is a C-speed
+    value_counts; the Python dict only ever holds <= 2k entries (the
+    decrement step runs when it overflows), so per-row Python work is
+    O(1) amortized regardless of partition size.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[object, int] = {}
+        for pdf in batches:
+            for value, cnt in pdf[col].value_counts().items():
+                cnt = int(cnt)
+                if value in counters:
+                    counters[value] += cnt
+                else:
+                    counters[value] = cnt
+                    if len(counters) > 2 * k:
+                        # batch decrement: drop the median count from
+                        # everyone; amortizes the classic one-at-a-time
+                        # MG step over Arrow batches while keeping the
+                        # "every local item > n_p/k survives" guarantee
+                        # (each survivor loses at most what a k-counter
+                        # MG would have decremented)
+                        dec = sorted(counters.values())[len(counters) - k - 1]
+                        counters = {v: c - dec for v, c in counters.items()
+                                    if c > dec}
+        yield pd.DataFrame({col: list(counters.keys())[: 2 * k]})
+
+    return items.mapInPandas(summarize, f"{col} string").distinct()
+
+
+def heavy_hitters_exact(items: DataFrame, col: str, k: int,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Values whose global frequency strictly exceeds count(*)/k, with
+    EXACT counts — identical to the naive global GROUP BY ... HAVING,
+    verified by a plain SQL oracle.
+
+    Plan: MG candidates (bounded, broadcast) -> semi-filtered exact
+    count (only candidate keys shuffle) -> integer threshold compare
+    (cnt * k > n; no division, so no engine can disagree on the
+    boundary). Two scans of `items`, no full-domain shuffle.
+    """
+    if candidates is None:
+        candidates = misra_gries_candidates(items, col, k)
+    total = items.agg(F.count("*").alias("__n"))
+    counts = (items.join(F.broadcast(candidates), col, "left_semi")
+              .groupBy(col).agg(F.count("*").alias("cnt")))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * k > F.col("__n"))
+            .select(col, "cnt",
+                    (F.col("cnt") * 1.0 / F.col("__n")).alias("share")))
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low `bits` bits of each
+    column expression — the multi-dimensional clustering key behind
+    parquet data skipping on more than one filter column.
+
+    Built as a JVM-side expression tree (shifts + masks composed in a
+    Python loop, evaluated entirely in codegen — no UDF): writing a
+    100 TB table with repartitionByRange(zorder_key(...)) followed by a
+    within-partition sort gives every file a tight min/max envelope in
+    EVERY interleaved dimension, so a selective filter on any of them
+    prunes row groups. Callers clamp/scale inputs into [0, 2^bits).
+    """
+    n = len(cols)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            acc = acc + F.shiftleft(bit, b * n + i)
+    return acc

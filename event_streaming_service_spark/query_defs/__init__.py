@@ -20,6 +20,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     sampling_queries,
     scale_queries,
     scalar_queries,
+    sketch_queries,
     similarity_queries,
     stats_queries,
     streaming_queries,

@@ -1,0 +1,90 @@
+"""Sketch-layer operators (operators/sketches.py): Misra-Gries
+candidate completeness, exact-verify equality with the naive plan, and
+Z-order envelope quality."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import sketches
+
+
+def _items(spark, values):
+    pdf = pd.DataFrame({"tok": values})
+    # many small partitions force cross-batch/cross-partition merging
+    return spark.createDataFrame(pdf).repartition(8)
+
+
+def test_heavy_hitters_equal_naive_groupby(spark):
+    # skewed synthetic stream: token "hot-i" appears (i+1)*50 times,
+    # plus a long tail of singletons drowning the counters
+    values = []
+    for i in range(5):
+        values += [f"hot-{i}"] * ((i + 1) * 50)
+    values += [f"tail-{j}" for j in range(3000)]
+    df = _items(spark, values)
+    k = 20
+    got = {r["tok"]: r["cnt"]
+           for r in sketches.heavy_hitters_exact(df, "tok", k).collect()}
+    n = len(values)
+    want = {f"hot-{i}": (i + 1) * 50 for i in range(5)
+            if (i + 1) * 50 * k > n}
+    assert got == want
+    # shares are exact counts over the exact total
+    out = sketches.heavy_hitters_exact(df, "tok", k).collect()
+    for r in out:
+        assert abs(r["share"] - r["cnt"] / n) < 1e-15
+
+
+def test_mg_candidates_are_bounded_and_complete(spark):
+    values = ["dominant"] * 5000 + [f"noise-{j}" for j in range(10000)]
+    df = _items(spark, values)
+    cand = sketches.misra_gries_candidates(df, "tok", 10).collect()
+    toks = {r["tok"] for r in cand}
+    assert "dominant" in toks            # pigeonhole guarantee
+    assert len(cand) <= 2 * 10 * 8       # <= 2k per partition
+
+
+def test_heavy_hitters_empty_and_uniform(spark):
+    # uniform stream: nothing exceeds n/k, result must be empty
+    df = _items(spark, [f"u-{j}" for j in range(500)])
+    assert sketches.heavy_hitters_exact(df, "tok", 50).count() == 0
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [0, 1, 255, 170, 85], "y": [0, 1, 255, 85, 170]}))
+    out = df.withColumn(
+        "z", sketches.zorder_key([F.col("x"), F.col("y")], 8)).collect()
+
+    def morton(x, y):
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"])
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The point of Z-order: every layout bucket's min/max envelope is
+    narrow in BOTH dimensions (a single-column sort leaves the second
+    dimension spanning the full range)."""
+    import itertools
+
+    pdf = pd.DataFrame(
+        [(x, y) for x, y in itertools.product(range(64), range(64))],
+        columns=["x", "y"])
+    df = spark.createDataFrame(pdf)
+    z = df.withColumn("z", sketches.zorder_key([F.col("x"), F.col("y")], 6))
+    stats = (z.groupBy(F.shiftright("z", 8).alias("bucket"))
+             .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                  F.min("y").alias("y0"), F.max("y").alias("y1"))
+             .collect())
+    assert len(stats) == 16
+    for r in stats:
+        assert r["x1"] - r["x0"] <= 31
+        assert r["y1"] - r["y0"] <= 15
