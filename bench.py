@@ -104,6 +104,13 @@ BENCH_QUERIES = [
     "tpch_q18_large_volume_customers",  # agg-in-join heavy hitter
     "governance_surface",           # 6-leg union surface
     "window_functions_profile",     # 6 window exprs, one sort pass
+    # round-4 TPC-H completion + sketch/audio operators
+    "tpch_q2_min_balance_supplier",  # correlated-MIN decorrelation
+    "tpch_q8_market_share",          # 7-way join share ratio
+    "tpch_q16_supplier_part_spec_counts",  # distinct-count + anti join
+    "tpch_q21_waiting_supplier",     # EXISTS/NOT-EXISTS decorrelated
+    "heavy_hitter_tokens",           # MG candidates + exact verify
+    "audio_features_wav",            # real RIFF/PCM16 decode per doc
 ]
 
 

@@ -200,3 +200,44 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{tmp}/rollup", f"{tmp}/ckpt")
     q.awaitTermination(300)
     return rollup.read_rollup(spark, f"{tmp}/rollup")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=f"""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 1800000 AS wm_ms FROM events),
+    w AS (
+        SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS ws_ms,
+               user_id % 5 AS tier
+        FROM events WHERE user_id % 5 < 3)
+    SELECT make_timestamp(ws_ms * 1000) AS window_start,
+           make_timestamp((ws_ms + {HOUR_MS}) * 1000) AS window_end,
+           CAST(tier AS BIGINT) AS tier, COUNT(*) AS n
+    FROM w, wm
+    WHERE ws_ms + {HOUR_MS} <= wm_ms
+    GROUP BY 1, 2, 3
+    """,
+    tags=("W8", "J5", "streaming", "stream-static"))
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    form: the event stream broadcast-joins a static dimension (user
+    tier, selective: tiers 3-4 drop) BEFORE the watermarked tumbling
+    aggregation. The static side needs no watermark and re-broadcasts
+    per micro-batch; append mode then emits the watermark-finalized
+    windows, which the batch-twin oracle reproduces with the identical
+    join predicate as a WHERE."""
+    dim = (tables.load_table(spark, sf_dir, "events")
+           .select("user_id").distinct()
+           .withColumn("tier", F.pmod("user_id", F.lit(5)))
+           .filter(F.col("tier") < 3))
+
+    def transform(s: DataFrame) -> DataFrame:
+        w = F.window("ts", "1 hour")
+        return (s.withWatermark("ts", "30 minutes")
+                .join(F.broadcast(dim), "user_id")
+                .groupBy(w.alias("w"), "tier")
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").alias("window_start"),
+                        F.col("w.end").alias("window_end"), "tier", "n"))
+
+    return _run_stream(spark, sf_dir, transform, "enrich")
