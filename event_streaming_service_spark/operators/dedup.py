@@ -431,3 +431,41 @@ def contamination_flags(corpus: DataFrame, eval_docs: DataFrame,
                  .alias("n_contaminated_ngrams"))
             .withColumn("contaminated",
                         F.col("n_contaminated_ngrams") > 0))
+
+
+def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8) -> DataFrame:
+    """Exact substring-level duplication profile (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, how many of its distinct n-token windows also occur
+    in at least one OTHER document. Where document-level dedup removes
+    whole near-copies, this surfaces boilerplate passages repeated
+    across otherwise-distinct documents — the signal substring dedup
+    pipelines cut on.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_ratio), zero-filled for
+    short documents.
+
+    Scale shape: one explode to distinct (doc, window) pairs — cached,
+    it feeds three consumers — one hash agg keyed on the window for
+    document frequency, a same-key join back (the exchange is reused:
+    both sides hash on the window), and two tiny per-doc aggregates. At
+    100 TB the window string would be replaced by xxhash64(window) to
+    shrink the shuffle payload ~10x; the fixture keeps the raw string
+    so the SQL oracle can reproduce it verbatim.
+    """
+    grams = shingle_sets(docs, id_col, text_col, n).cache()
+    df_per_gram = grams.groupBy("shingle").agg(F.count("*").alias("__df"))
+    shared = df_per_gram.filter(F.col("__df") >= 2).select("shingle")
+    per_doc = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    dup = (grams.join(shared, "shingle")
+           .groupBy(id_col).agg(F.count("*").alias("n_dup_grams")))
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("bigint")
+    n_dup = F.coalesce("n_dup_grams", F.lit(0)).cast("bigint")
+    return (docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .join(dup, id_col, "left")
+            .select(id_col, n_grams.alias("n_grams"),
+                    n_dup.alias("n_dup_grams"),
+                    F.when(n_grams == 0, F.lit(0.0))
+                     .otherwise(n_dup * 1.0 / n_grams).alias("dup_ratio")))

@@ -105,7 +105,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "tpch_q16_supplier_part_spec_counts",
     "audio_features_wav", "audio_resample_wav",
     "heavy_hitter_tokens", "zorder_layout_stats",
-    "streaming_static_enrich",
+    "streaming_static_enrich", "substring_dup_stats",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

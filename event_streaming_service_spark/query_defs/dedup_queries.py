@@ -289,3 +289,52 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_flags(
         docs.filter(F.col("doc_id") >= EVAL_DOC_CUTOFF),
         docs.filter(F.col("doc_id") < EVAL_DOC_CUTOFF))
+
+
+SUBSTR_N = 8
+
+
+def _ngram_sql(n: int) -> str:
+    """Distinct word n-gram CTE for arbitrary n (the trigram _SHINGLES
+    twin, generalized)."""
+    concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return rf"""
+    ngram_sets AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {n - 2}, 1)),
+                   i -> {concat}))) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= {n}
+    )
+    """
+
+
+@register(
+    "substring_dup_stats",
+    oracle="WITH " + _ngram_sql(SUBSTR_N) + """,
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ngram_sets GROUP BY shingle),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams
+                FROM ngram_sets GROUP BY doc_id),
+    dup AS (SELECT g.doc_id, COUNT(*) AS n_dup
+            FROM ngram_sets g JOIN freq USING (shingle)
+            WHERE freq.df >= 2 GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(u.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                ELSE COALESCE(u.n_dup, 0) * 1.0 / p.n_grams END AS dup_ratio
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN dup u USING (doc_id)
+    """,
+    tags=("dedup-jaccard", "dedup-substring"),
+)
+def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: distinct 8-token windows per doc
+    shared with any other doc (Lee et al. exact substring dedup,
+    profiled per document). See operators/dedup.substring_dup_stats
+    for the one-shuffle-per-stage shape."""
+    return dedup.substring_dup_stats(_docs(spark, sf_dir), n=SUBSTR_N)
