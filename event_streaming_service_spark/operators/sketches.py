@@ -37,10 +37,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries: at most k candidate values
-    per partition, each guaranteed to include every value whose local
-    frequency exceeds (partition size / k).
+def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most 2k candidate values
+    per partition — guaranteed to include every value whose local
+    frequency exceeds (partition size / k) — plus ONE null-valued row
+    carrying the partition's exact row count, so the caller gets the
+    global total from the same scan (a heavy-hitter query needs it for
+    the n/k threshold; without it the data would pay a third scan).
 
     Arrow-batched: counting inside each batch is a C-speed
     value_counts; the Python dict only ever holds <= 2k entries (the
@@ -50,7 +53,9 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[object, int] = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for value, cnt in pdf[col].value_counts().items():
                 cnt = int(cnt)
                 if value in counters:
@@ -58,34 +63,44 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
                 else:
                     counters[value] = cnt
                     if len(counters) > 2 * k:
-                        # batch decrement: drop the median count from
-                        # everyone; amortizes the classic one-at-a-time
-                        # MG step over Arrow batches while keeping the
-                        # "every local item > n_p/k survives" guarantee
-                        # (each survivor loses at most what a k-counter
-                        # MG would have decremented)
+                        # batch decrement: drop the (len-k)-th smallest
+                        # count from everyone; amortizes the classic
+                        # one-at-a-time MG step over Arrow batches while
+                        # keeping the "every local item > n_p/k
+                        # survives" guarantee (total decremented mass
+                        # stays <= n_p / (2k+1) per survivor)
                         dec = sorted(counters.values())[len(counters) - k - 1]
                         counters = {v: c - dec for v, c in counters.items()
                                     if c > dec}
-        yield pd.DataFrame({col: list(counters.keys())[: 2 * k]})
+        yield pd.DataFrame({col: list(counters.keys()) + [None],
+                            "n": [None] * len(counters) + [n_rows]})
 
-    return items.mapInPandas(summarize, f"{col} string").distinct()
+    return items.mapInPandas(summarize, f"{col} string, n bigint")
 
 
-def heavy_hitters_exact(items: DataFrame, col: str, k: int,
-                        candidates: DataFrame | None = None) -> DataFrame:
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Distinct MG candidate values across all partitions (see
+    mg_summaries) — a bounded superset of every value with global
+    frequency above count(*)/k."""
+    return (mg_summaries(items, col, k)
+            .filter(F.col(col).isNotNull()).select(col).distinct())
+
+
+def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
     """Values whose global frequency strictly exceeds count(*)/k, with
     EXACT counts — identical to the naive global GROUP BY ... HAVING,
     verified by a plain SQL oracle.
 
-    Plan: MG candidates (bounded, broadcast) -> semi-filtered exact
-    count (only candidate keys shuffle) -> integer threshold compare
+    Plan: ONE sketch scan emits the MG summaries AND the per-partition
+    row counts (cached — the frame is <= (2k+1) * P rows); the second
+    scan semi-joins the broadcast candidates (map-side filter) and
+    exact-counts only the surviving keys. Threshold compare is integer
     (cnt * k > n; no division, so no engine can disagree on the
     boundary). Two scans of `items`, no full-domain shuffle.
     """
-    if candidates is None:
-        candidates = misra_gries_candidates(items, col, k)
-    total = items.agg(F.count("*").alias("__n"))
+    summ = mg_summaries(items, col, k).cache()
+    candidates = summ.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summ.filter(F.col(col).isNull()).agg(F.sum("n").alias("__n"))
     counts = (items.join(F.broadcast(candidates), col, "left_semi")
               .groupBy(col).agg(F.count("*").alias("cnt")))
     return (counts.crossJoin(F.broadcast(total))

@@ -178,8 +178,37 @@ def probe_gapfill(spark):
     return time.perf_counter() - t0, f"rows={n} gaps={gaps}"
 
 
+def probe_heavy_hitters(spark):
+    """30M items, zipf-ish: 10 hot keys own ~30% of the stream, 3M
+    cold keys own the rest. The MG candidate pass must emit a bounded
+    candidate frame (<= 2k per partition) and the exact verify must
+    agree with the naive global GROUP BY computed on the same data —
+    at this size the naive plan shuffles ~3M distinct keys where the
+    sketch path shuffles only candidates."""
+    from event_streaming_service_spark.operators.sketches import (
+        heavy_hitters_exact)
+    n = 30_000_000
+    items = spark.range(0, n).select(
+        F.when(F.pmod("id", F.lit(10)) < 3,
+               F.concat(F.lit("hot-"),
+                        F.pmod("id", F.lit(10)).cast("string")))
+         .otherwise(F.concat(F.lit("cold-"),
+                             F.pmod(F.xxhash64("id"),
+                                    F.lit(3_000_000)).cast("string")))
+         .alias("tok"))
+    t0 = time.perf_counter()
+    out = heavy_hitters_exact(items, "tok", 20).collect()
+    sec = time.perf_counter() - t0
+    got = {r["tok"]: r["cnt"] for r in out}
+    # hot-0/1/2 each own ~10% > 1/20; nothing else can pass
+    assert set(got) == {"hot-0", "hot-1", "hot-2"}, got
+    assert all(c > n // 20 for c in got.values())
+    return sec, f"hitters={sorted(got)}"
+
+
 PROBES = {
     "components": probe_components,
+    "heavy_hitters": probe_heavy_hitters,
     "packing": probe_packing,
     "quota": probe_quota,
     "simhash": probe_simhash,
