@@ -16,7 +16,7 @@ Protocol (VERDICT r2 items #1c/#2):
     `fixture_prep_sec`, never inside query timings. Opt out with
     SPARK_GRAFT_NO_SPLIT=1.
   * every query gets ONE untimed warmup run, then best-of-N timed runs
-    (N = $SPARK_GRAFT_BENCH_RUNS, default 2). Round-2 showed cold
+    (N = $SPARK_GRAFT_BENCH_RUNS, default 3). Round-2 showed cold
     first-touch (JIT, Arrow worker spin-up, plan-cache state) posing as
     per-query regressions; warmed best-of-N makes BENCH_r*.json
     round-to-round comparable.
@@ -138,7 +138,7 @@ def main() -> None:
     except ValueError:
         sf_num = -1.0
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2")))
     timings: dict[str, float] = {}
     for _session in range(sessions):
