@@ -106,6 +106,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "audio_features_wav", "audio_resample_wav",
     "heavy_hitter_tokens", "zorder_layout_stats",
     "streaming_static_enrich", "substring_dup_stats",
+    "streaming_interval_join", "streaming_interval_join_outer",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

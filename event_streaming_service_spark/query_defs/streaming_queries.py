@@ -241,3 +241,84 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("w.end").alias("window_end"), "tier", "n"))
 
     return _run_stream(spark, sf_dir, transform, "enrich")
+
+
+def _funnel_sides(s: DataFrame):
+    views = (s.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    buys = (s.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    return views, buys
+
+
+def _funnel_select(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"))
+
+
+_FUNNEL_MATCH_SQL = """
+    SELECT l.event_id AS view_id, l.user_id, l.ts AS view_ts,
+           r.event_id AS purchase_id, r.ts AS purchase_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "streaming_interval_join",
+    oracle=_FUNNEL_MATCH_SQL,
+    tags=("W8", "J4", "streaming", "stream-stream"))
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join (funnel attribution:
+    view -> purchase by the same user within 1 h), both sides derived
+    from one event stream. Watermarks + the time-range conjunct bound
+    state on both sides; on the time-ordered source the emitted set
+    equals the batch join, which is the oracle."""
+    def transform(s: DataFrame) -> DataFrame:
+        views, buys = _funnel_sides(s)
+        return _funnel_select(sp.interval_join(
+            views, buys, "user_id", "ts", "ts",
+            within="1 hour", watermark="1 hour", how="inner"))
+
+    return _run_stream(spark, sf_dir, transform, "ivj")
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle=f"""
+    WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+    matched AS ({_FUNNEL_MATCH_SQL})
+    SELECT * FROM matched
+    UNION ALL
+    SELECT l.event_id, l.user_id, l.ts, NULL, NULL
+    FROM events l, wm
+    WHERE l.event_type = 'view'
+      AND NOT EXISTS (SELECT 1 FROM events r
+                      WHERE r.event_type = 'purchase'
+                        AND r.user_id = l.user_id
+                        AND r.ts >= l.ts
+                        AND r.ts <= l.ts + INTERVAL 1 HOUR)
+      AND epoch_ms(l.ts) + 3600000 < wm.wm_ms
+    """,
+    tags=("W8", "2.6", "streaming", "stream-stream"))
+def q_streaming_interval_join_outer(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matches emit as in the
+    inner form; unmatched views emit null-padded only once the final
+    watermark evicts their state (view_ts + 1 h < max event time - 1 h,
+    ms granularity) — views near the stream tail stay in state and are
+    not emitted. The oracle reproduces the match set plus exactly that
+    eviction rule."""
+    def transform(s: DataFrame) -> DataFrame:
+        views, buys = _funnel_sides(s)
+        return _funnel_select(sp.interval_join(
+            views, buys, "user_id", "ts", "ts",
+            within="1 hour", watermark="1 hour", how="leftOuter"))
+
+    return _run_stream(spark, sf_dir, transform, "ivjo")

@@ -104,21 +104,31 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
 def interval_join(left: DataFrame, right: DataFrame, key: str,
                   left_ts: str, right_ts: str,
                   within: str = "1 hour",
-                  watermark: str = "1 hour") -> DataFrame:
-    """Stream-stream inner interval join: pair each right-side event
-    with the left-side events of the same key that precede it by at
-    most `within` (the funnel-attribution shape: view -> purchase).
+                  watermark: str = "1 hour",
+                  how: str = "inner") -> DataFrame:
+    """Stream-stream interval join: pair each right-side event with the
+    left-side events of the same key that precede it by at most
+    `within` (the funnel-attribution shape: view -> purchase).
 
     Both sides carry watermarks and the time condition bounds state on
     BOTH sides, so Spark evicts left rows once the right watermark
     passes left_ts + within — bounded state at any stream length,
     which is what makes this runnable forever on a real cluster.
 
-    Emission is deterministic on a static, time-ordered source: inner
-    joins emit each match when the later side arrives (the watermark
-    bounds STATE, not output), and with time-sorted input the earlier
-    side is always already in state — so the emitted set equals the
-    batch join, which is what the stream/batch equivalence test pins.
+    Emission is deterministic on a static, time-ordered source:
+
+    * inner: matches emit when the later side arrives (the watermark
+      bounds STATE, not output), and with time-sorted input the
+      earlier side is always already in state — the emitted set equals
+      the batch join (pinned by the stream/batch equivalence test).
+    * leftOuter: additionally emits null-padded left rows once their
+      state is evicted, i.e. when the final watermark passes
+      left_ts + within — so unmatched rows near the stream tail
+      (left_ts + within >= final watermark) stay in state and are NOT
+      emitted. The batch-twin oracle reproduces exactly that rule
+      (empirically pinned at ms granularity, driver-verified by
+      streaming_interval_join_outer).
+
     Columns are disambiguated by aliasing the two sides l/r.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
@@ -129,7 +139,7 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {within}")),
-        "inner")
+        how)
 
 
 def consume_to_tables(stream: DataFrame, main_dir: str, dlq_dir: str,
