@@ -469,3 +469,97 @@ def substring_dup_stats(docs: DataFrame, id_col: str = "doc_id",
                     n_dup.alias("n_dup_grams"),
                     F.when(n_grams == 0, F.lit(0.0))
                      .otherwise(n_dup * 1.0 / n_grams).alias("dup_ratio")))
+
+
+def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
+                      threshold: float, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      bucket_cap: int | None = None) -> DataFrame:
+    """Incremental ingestion dedup: flag each NEW-batch document that
+    duplicates an already-indexed corpus — the production shape where
+    yesterday's corpus is a static MinHash/fingerprint index and only
+    the day's delta is probed against it (no new x new or index x
+    index pairs are ever generated; batch-internal dedup runs
+    separately, first).
+
+    Returns one row per new doc:
+      (doc_id, exact_dup, exact_match_id, near_dup, near_match_id,
+       near_jaccard)
+    with the near match being the argmax-Jaccard index doc (ties break
+    to the smallest index id — total order, engine-independent).
+
+    Scale shape: the exact leg is one fingerprint equi-join (the index
+    side pre-aggregated to min-id per fingerprint — at most one row
+    per distinct content). The near leg joins the DELTA's band keys
+    against the INDEX's band keys — in production the index keys are
+    precomputed and bucketed on (band, band_key), so the daily probe
+    shuffles only the delta; `bucket_cap` drops oversized boilerplate
+    buckets exactly as in minhash_candidate_pairs. Exact Jaccard
+    verification runs only on candidate docs from BOTH sides (semi-
+    joined), and the shingle join pairs across corpora only.
+    """
+    fp_idx = (index_docs
+              .groupBy(F.md5(F.col(text_col)).alias("__fp"))
+              .agg(F.min(id_col).alias("__exact_id")))
+    exact = (new_docs
+             .select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp"))
+             .join(fp_idx, "__fp", "left")
+             .select(id_col, F.col("__exact_id")))
+
+    keys_new = minhash_band_keys(
+        minhash_signatures(new_docs, id_col, text_col, n), id_col)
+    keys_idx = minhash_band_keys(
+        minhash_signatures(index_docs, id_col, text_col, n), id_col)
+    if bucket_cap is not None:
+        keys_idx = keys_idx.cache()
+        big = (keys_idx.groupBy("band", "band_key")
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") > bucket_cap)
+               .select("band", "band_key"))
+        keys_idx = keys_idx.join(F.broadcast(big), ["band", "band_key"],
+                                 "left_anti")
+    cands = (keys_new.alias("a")
+             .join(keys_idx.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key")))
+             .select(F.col(f"a.{id_col}").alias("__new_id"),
+                     F.col(f"b.{id_col}").alias("__idx_id"))
+             .distinct().cache())
+
+    new_surv = new_docs.join(
+        F.broadcast(cands.select(F.col("__new_id").alias(id_col)).distinct()),
+        id_col, "left_semi")
+    idx_surv = index_docs.join(
+        F.broadcast(cands.select(F.col("__idx_id").alias(id_col)).distinct()),
+        id_col, "left_semi")
+    sn = shingle_sets(new_surv, id_col, text_col, n)
+    si = shingle_sets(idx_surv, id_col, text_col, n)
+    size_n = sn.groupBy(id_col).agg(F.count("*").alias("__sz_n")) \
+        .withColumnRenamed(id_col, "__new_id")
+    size_i = si.groupBy(id_col).agg(F.count("*").alias("__sz_i")) \
+        .withColumnRenamed(id_col, "__idx_id")
+    inter = (sn.withColumnRenamed(id_col, "__new_id")
+             .join(si.withColumnRenamed(id_col, "__idx_id"), "shingle")
+             .groupBy("__new_id", "__idx_id")
+             .agg(F.count("*").alias("__inter")))
+    jac = (cands.join(inter, ["__new_id", "__idx_id"])
+           .join(size_n, "__new_id").join(size_i, "__idx_id")
+           .withColumn("__jac", F.col("__inter") * 1.0
+                       / (F.col("__sz_n") + F.col("__sz_i")
+                          - F.col("__inter")))
+           .filter(F.col("__jac") >= threshold))
+    w = Window.partitionBy("__new_id").orderBy(
+        F.col("__jac").desc(), F.col("__idx_id"))
+    best = (jac.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__new_id").alias(id_col),
+                    F.col("__idx_id").alias("__near_id"),
+                    F.col("__jac").alias("__near_jac")))
+
+    return (exact.join(best, id_col, "left")
+            .select(id_col,
+                    F.col("__exact_id").isNotNull().alias("exact_dup"),
+                    F.col("__exact_id").alias("exact_match_id"),
+                    F.col("__near_id").isNotNull().alias("near_dup"),
+                    F.col("__near_id").alias("near_match_id"),
+                    F.col("__near_jac").alias("near_jaccard")))

@@ -107,6 +107,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "heavy_hitter_tokens", "zorder_layout_stats",
     "streaming_static_enrich", "substring_dup_stats",
     "streaming_interval_join", "streaming_interval_join_outer",
+    "incremental_dedup_new_batch",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -338,3 +338,55 @@ def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled per document). See operators/dedup.substring_dup_stats
     for the one-shuffle-per-stage shape."""
     return dedup.substring_dup_stats(_docs(spark, sf_dir), n=SUBSTR_N)
+
+
+INDEX_CUTOFF = 250  # doc_id < 250 plays the already-indexed corpus
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle="WITH " + _JACCARD + _minhash_sql_body() + _bands_sql() + f""",
+    candidates AS (
+        SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS idx_id
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < {INDEX_CUTOFF} AND b.doc_id >= {INDEX_CUTOFF}),
+    near AS (
+        SELECT c.new_id, c.idx_id, j.jaccard
+        FROM candidates c
+        JOIN jac j ON j.doc_a = c.idx_id AND j.doc_b = c.new_id
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}),
+    best AS (
+        SELECT new_id, idx_id, jaccard FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                ORDER BY jaccard DESC, idx_id) AS rn
+            FROM near) WHERE rn = 1),
+    exact AS (
+        SELECT n.doc_id AS new_id, MIN(i.doc_id) AS exact_id
+        FROM documents n JOIN documents i ON md5(n.text) = md5(i.text)
+        WHERE n.doc_id >= {INDEX_CUTOFF} AND i.doc_id < {INDEX_CUTOFF}
+        GROUP BY n.doc_id)
+    SELECT d.doc_id,
+           e.exact_id IS NOT NULL AS exact_dup,
+           e.exact_id AS exact_match_id,
+           b.idx_id IS NOT NULL AS near_dup,
+           b.idx_id AS near_match_id,
+           b.jaccard AS near_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {INDEX_CUTOFF}) d
+    LEFT JOIN exact e ON d.doc_id = e.new_id
+    LEFT JOIN best b ON d.doc_id = b.new_id
+    """,
+    tags=("dedup-minhash-lsh", "dedup-incremental", "dedup-exact"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the new batch (doc_id >= cutoff)
+    probed against the indexed corpus (doc_id < cutoff) — exact
+    fingerprint matches plus the argmax-Jaccard LSH near match per new
+    doc, cross-corpus pairs only. See operators/dedup.incremental_dedup
+    for the delta-only probe shape."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") >= INDEX_CUTOFF),
+        docs.filter(F.col("doc_id") < INDEX_CUTOFF),
+        JACCARD_THRESHOLD)
