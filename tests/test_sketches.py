@@ -88,3 +88,54 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     for r in stats:
         assert r["x1"] - r["x0"] <= 31
         assert r["y1"] - r["y0"] <= 15
+
+
+def test_incremental_dedup_flags_cross_corpus_only(spark):
+    """incremental_dedup must flag new docs duplicating the INDEX, and
+    must NOT flag duplicates that exist only inside the new batch."""
+    import pandas as pd
+
+    from event_streaming_service_spark.operators import dedup
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    other_text = "completely different words nothing shared here at all today"
+    index = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [corpus_text, "unrelated index content row two entirely"]}))
+    new = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [corpus_text,          # exact + near dup of index doc 0
+                 other_text,           # unique
+                 other_text,           # dup of 11 only — batch-internal
+                 corpus_text + " x"],  # near dup of index doc 0
+    }))
+    out = {r["doc_id"]: r for r in
+           dedup.incremental_dedup(new, index, 0.5).collect()}
+    assert len(out) == 4
+    assert out[10]["exact_dup"] and out[10]["exact_match_id"] == 0
+    assert out[10]["near_dup"] and out[10]["near_match_id"] == 0
+    assert not out[11]["exact_dup"] and not out[11]["near_dup"]
+    # batch-internal duplicate is NOT an index duplicate
+    assert not out[12]["exact_dup"] and not out[12]["near_dup"]
+    assert not out[13]["exact_dup"]
+    assert out[13]["near_dup"] and out[13]["near_match_id"] == 0
+    assert out[13]["near_jaccard"] > 0.5
+
+
+def test_substring_dup_stats_zero_fills_short_docs(spark):
+    import pandas as pd
+
+    from event_streaming_service_spark.operators import dedup
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [shared + " tail-a extra words here",
+                 shared + " tail-b other words there",
+                 "too short"]}))
+    out = {r["doc_id"]: r for r in
+           dedup.substring_dup_stats(docs, n=8).collect()}
+    assert out[2]["n_grams"] == 0 and out[2]["dup_ratio"] == 0.0
+    # the 12 shared tokens give 5 shared 8-gram windows in each doc
+    assert out[0]["n_dup_grams"] == 5 and out[1]["n_dup_grams"] == 5
+    assert 0 < out[0]["dup_ratio"] < 1

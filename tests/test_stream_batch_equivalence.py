@@ -120,3 +120,62 @@ def test_streaming_interval_join_equals_batch(spark, sf_smoke, tmpdir):
         "inner").select("l.view_id", "r.buy_id").collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_interval_join_outer_emission_rule(spark, sf_smoke, tmpdir):
+    """Left-outer interval join: matched rows equal the batch join;
+    null-padded rows appear EXACTLY for unmatched left rows whose state
+    the final watermark evicted (left_ts + within < max event time -
+    delay) — rows near the stream tail stay buffered and must NOT
+    emit. Multi-batch source so eviction happens across batches."""
+    import os
+
+    src = f"{tmpdir}/srco"
+    ev = tables.load_table(spark, sf_smoke, "events")
+    ev.orderBy("ts").coalesce(3).write.mode("overwrite").parquet(src)
+    parts = [os.path.join(src, f) for f in sorted(os.listdir(src))
+             if f.startswith("part-") and not f.endswith(".crc")]
+    base = max(os.stat(p).st_mtime for p in parts)
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i + 1, base + i + 1))
+
+    def views(df):
+        return (df.filter(F.col("event_type") == "view")
+                .select("user_id", F.col("event_id").alias("view_id"),
+                        F.col("ts").alias("view_ts")))
+
+    def purchases(df):
+        return (df.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("event_id").alias("buy_id"),
+                        F.col("ts").alias("buy_ts")))
+
+    stream = sp.read_event_stream(spark, src, max_files_per_trigger=1)
+    joined = sp.interval_join(
+        views(stream), purchases(stream), "user_id",
+        "view_ts", "buy_ts", within="1 hour", how="leftOuter")
+    out = joined.select("l.view_id", "r.buy_id")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("eq_join_o").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM eq_join_o")
+    got_matched = {(r.view_id, r.buy_id)
+                   for r in got.filter("buy_id IS NOT NULL").collect()}
+    got_null = {r.view_id for r in got.filter("buy_id IS NULL").collect()}
+
+    v, p = views(ev).alias("l"), purchases(ev).alias("r")
+    cond = ((F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.buy_ts") >= F.col("l.view_ts"))
+            & (F.col("r.buy_ts") <= F.col("l.view_ts")
+               + F.expr("INTERVAL 1 HOUR")))
+    want_matched = {(r.view_id, r.buy_id)
+                    for r in v.join(p, cond).select("view_id", "buy_id")
+                    .collect()}
+    assert got_matched == want_matched
+
+    wm_ms = (ev.agg(F.max(F.unix_millis(F.col("ts").cast("timestamp"))))
+             .collect()[0][0] - 3_600_000)
+    unmatched = v.join(p, cond, "left_anti")
+    want_null = {r.view_id for r in unmatched.filter(
+        F.unix_millis(F.col("view_ts").cast("timestamp"))
+        + 3_600_000 < wm_ms).collect()}
+    assert got_null == want_null
