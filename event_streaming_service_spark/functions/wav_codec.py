@@ -62,6 +62,13 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= end:
         cid = buf[pos:pos + 4]
         size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if pos + 8 + size > len(buf):
+            # a declared size past the buffer means a cut-off file;
+            # silently decoding the partial body would yield a short
+            # clip with wrong statistics instead of a loud failure
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(buf) - pos - 8} available")
         body = buf[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             if size < 16:

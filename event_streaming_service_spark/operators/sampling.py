@@ -115,10 +115,10 @@ def quota_sample(df: DataFrame, quotas: dict[str, int],
     counts feed only the over-selecting threshold estimate, and the
     undershoot fallback re-ranks any stratum whose survivors come up
     short, so a stale or approximate count can cost speed, never
-    correctness — EXCEPT an undercount that omits a stratum entirely
-    (treated as the map's own grain: missing strata count as 0 rows,
-    threshold 0 -> they fall to the exact-rank fallback via the
-    deficiency check, still correct).
+    correctness — EXCEPT that a stratum omitted from the map gets NO
+    pre-filter at all (its threshold coalesces to the full hash space,
+    keeping every row for the exact rank — see the inline comment at
+    the coalesce), so omission costs speed, never rows.
     """
     spark = df.sparkSession
     q = spark.createDataFrame(

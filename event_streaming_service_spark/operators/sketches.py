@@ -67,15 +67,31 @@ def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
                         # count from everyone; amortizes the classic
                         # one-at-a-time MG step over Arrow batches while
                         # keeping the "every local item > n_p/k
-                        # survives" guarantee (total decremented mass
-                        # stays <= n_p / (2k+1) per survivor)
+                        # survives" guarantee: dec is the (k+1)-th
+                        # largest count, so >= k+1 counters lose dec
+                        # each — every decrement op removes >= (k+1)*dec
+                        # counted mass. Counted mass <= n_p, so any one
+                        # item's cumulative loss sum(dec) <= n_p/(k+1)
+                        # < n_p/k — strictly less than a true local
+                        # heavy hitter's count, which stays positive
                         dec = sorted(counters.values())[len(counters) - k - 1]
                         counters = {v: c - dec for v, c in counters.items()
                                     if c > dec}
-        yield pd.DataFrame({col: list(counters.keys()) + [None],
-                            "n": [None] * len(counters) + [n_rows]})
+        # dtype=object, not inference: a list of ints + None infers
+        # float64, silently rounding int64 keys above 2^53 — object
+        # passes Python ints to Arrow exactly
+        yield pd.DataFrame({
+            col: pd.Series(list(counters.keys()) + [None], dtype=object),
+            "n": pd.Series([None] * len(counters) + [n_rows],
+                           dtype="Int64"),
+        })
 
-    return items.mapInPandas(summarize, f"{col} string, n bigint")
+    # carry the column's OWN type through the summary: forcing string
+    # here would make the later semi-join compare e.g. bigint keys to
+    # strings through lossy double casts, silently missing hitters
+    # above 2^53
+    col_type = items.schema[col].dataType.simpleString()
+    return items.mapInPandas(summarize, f"{col} {col_type}, n bigint")
 
 
 def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
@@ -120,8 +136,17 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     within-partition sort gives every file a tight min/max envelope in
     EVERY interleaved dimension, so a selective filter on any of them
     prunes row groups. Callers clamp/scale inputs into [0, 2^bits).
+
+    len(cols) * bits must fit in the 63 non-sign bits of a long: bit 63
+    would flip the sign (breaking range ordering) and the JVM wraps
+    shift counts mod 64 above that (silently colliding bit positions),
+    so an oversized request fails loudly here instead.
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} interleaved bits "
+            f"exceeds a long's 63 value bits; lower `bits`")
     acc = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

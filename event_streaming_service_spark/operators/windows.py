@@ -174,7 +174,10 @@ def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,
         # cython groupby-ewm over the whole shard; groups are
         # consecutive after the sort, so dropping the group level of
         # the MultiIndex restores row order directly
-        s = (vals.groupby(pdf[key_col], sort=False)
+        # dropna=False: NULL is a real group (SQL PARTITION BY
+        # semantics, and what the per-key form computed) — pandas'
+        # default groupby silently drops NaN keys
+        s = (vals.groupby(pdf[key_col], sort=False, dropna=False)
              .ewm(alpha=alpha, adjust=False).mean()
              .reset_index(level=0, drop=True).sort_index())
         out = pdf[[key_col, ts_col]].copy()

@@ -691,3 +691,29 @@ def test_quota_sample_caller_provided_counts_skip_phase1(spark):
             df, quotas, "source", default_quota=6, two_phase=True,
             stratum_counts=counts)
         assert sorted(r.doc_id for r in two.collect()) == expected, counts
+
+
+def test_ewma_keeps_null_key_group(spark):
+    """NULL is a real group (SQL PARTITION BY semantics): the sharded
+    pandas kernel must pass dropna=False or null-key rows silently get
+    ewma=NULL (pandas' groupby default drops NaN keys)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from event_streaming_service_spark.operators import windows
+
+    pdf = pd.DataFrame({
+        "k": ["a", "a", None, None],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                              "2024-01-01", "2024-01-02"]),
+        "v": [1.0, 2.0, 10.0, 20.0]})
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType())])
+    df = spark.createDataFrame(pdf, schema)
+    out = windows.ewma(df, "k", "ts", "v", alpha=0.5)
+    rows = {(r["k"], r["v"]): r["ewma"] for r in out.collect()}
+    assert rows[("a", 2.0)] == 1.5
+    assert rows[(None, 10.0)] == 10.0
+    assert rows[(None, 20.0)] == 15.0

@@ -139,3 +139,29 @@ def test_substring_dup_stats_zero_fills_short_docs(spark):
     # the 12 shared tokens give 5 shared 8-gram windows in each doc
     assert out[0]["n_dup_grams"] == 5 and out[1]["n_dup_grams"] == 5
     assert 0 < out[0]["dup_ratio"] < 1
+
+
+def test_heavy_hitters_preserves_bigint_key_type(spark):
+    """mg_summaries must carry the key column's own type — forcing
+    string would route the exact-count semi-join through lossy casts
+    and miss hitters on int64 domains."""
+    from pyspark.sql import functions as F
+
+    big = 2**60 + 12345  # survives only if the type stays bigint
+    df = (spark.range(0, 3000)
+          .select(F.when(F.col("id") % 2 == 0, F.lit(big))
+                  .otherwise(F.col("id")).alias("k"))
+          .repartition(4))
+    out = {r["k"]: r["cnt"]
+           for r in sketches.heavy_hitters_exact(df, "k", 10).collect()}
+    assert out == {big: 1500}
+    cand = sketches.misra_gries_candidates(df, "k", 10)
+    assert cand.schema["k"].dataType.simpleString() == "bigint"
+
+
+def test_zorder_rejects_oversized_interleave(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63"):
+        sketches.zorder_key([F.col("a"), F.col("b"), F.col("c"),
+                             F.col("d")], 16)

@@ -100,3 +100,12 @@ def test_resample_wav_out_bytes_is_canonical(spark, sf_oracle):
         assert r["out_frames"] == (r["n_frames"] * 4000) // 8000
         n_ch = 1 + r["doc_id"] % 2
         assert r["out_bytes"] == 44 + r["out_frames"] * n_ch * 2
+
+
+def test_decoder_rejects_truncated_data_chunk():
+    """A data chunk declaring more bytes than the file holds must fail
+    loudly, not silently decode a short clip with wrong statistics."""
+    arr = np.arange(40, dtype=np.int16).reshape(20, 2)
+    good = wc.encode_wav(arr, 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        wc.decode_wav(good[:-10])
