@@ -43,19 +43,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 item #1): the 19 swapped-in names
-    # had no driver row in any round — the 8 round-3 TPC-H shapes,
-    # gapfill/ewma/weighted-sample/contamination/repetition, the
-    # carried-over IVF/BPE/resize-plan tail, and the 3 new round-4
-    # operators (PNG decode x2, streaming sessions). To fit them, the
-    # 8 single-tag anchors A5/A6/A8/A9/A11/listagg/calendar/2.9 fold
-    # into governance_surface and W2 + 2.7 fold into
-    # window_functions_profile; the 13 other displaced queries are all
-    # hash-green in CORRECTNESS_r03 and keep local-gate coverage.
-    # Every operator-family tag keeps a provider
-    # (tests/test_priority.py asserts the closure).
+    # Round-4 rotation (VERDICT r3 item #1) + third-wave consolidation:
+    # every oracle-backed query that has never received a driver row
+    # sits inside the 50-slot budget this round — the 16 round-3
+    # swap-ins, the 7 round-4 operators (PNG decode x2, streaming
+    # sessions, TPC-H completion), AND the 12 former PENDING_ROTATION
+    # entries. To fit the last 12, seventeen multi-round hash-green
+    # anchors fold into five third-wave union surfaces
+    # (surface_queries3) that keep every operator-family tag inside
+    # the budget; the displaced anchors are all hash-green in
+    # CORRECTNESS_r03 and keep local-gate coverage.
+    # tests/test_priority.py asserts the tag closure.
     #
-    # -- never-driver-verified swap-ins (the point of this rotation) --
+    # -- never-driver-verified round-3 swap-ins --
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q9_product_type_profit", "tpch_q13_order_count_distribution",
     "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
@@ -67,40 +67,30 @@ PRIORITY: tuple[str, ...] = (
     # -- new round-4 operators --
     "multimodal_features_png", "multimodal_resize_png",
     "streaming_session_windows",
-    # -- consolidated coverage surfaces (new this round) --
+    # -- consolidated coverage surfaces (waves 1-2) --
     "governance_surface", "window_functions_profile",
+    "corpus_fingerprint_surface", "ann_cosine_surface",
+    "doc_text_metrics",
+    # -- third-wave consolidation surfaces: ops_catalog_surface folds
+    #    catalog_surface + topic_offset_catalog + lag_surface +
+    #    topic_dashboard + replay_slice; routing_pipeline_surface
+    #    folds routing_surface + routing_rule_fanout +
+    #    pipeline_dispositions + dedup_earliest;
+    #    envelope_props_surface folds envelope_projection +
+    #    props_map_functions; joins_surface folds asof + broadcast
+    #    enrichment + range join; streaming_core_surface folds the
+    #    streaming trio --
+    "ops_catalog_surface", "routing_pipeline_surface",
+    "envelope_props_surface", "joins_surface",
+    "streaming_core_surface",
     # -- anchors: sole providers of their section-2 / family tags --
-    "catalog_surface", "lag_surface", "topic_dashboard",
-    "topic_offset_catalog", "replay_slice", "routing_surface",
-    "routing_rule_fanout", "pipeline_dispositions", "dedup_earliest",
-    "asof_last_order_before_event", "orders_enriched_by_nation",
-    "price_band_range_join", "envelope_projection",
-    "props_map_functions",
-    "streaming_tumbling_counts", "streaming_dedup",
-    "streaming_continuous_rollup",
     "seq_packing", "pii_scrub_stats",
     "near_dup_clusters", "multimodal_frame_sample",
     "tfidf_top_terms",
-    # -- second-wave consolidation (frees 4 slots for the TPC-H
-    #    completion below): corpus_fingerprint_surface folds
-    #    dedup_exact_canonical + simhash_portable + doc_fingerprints;
-    #    ann_cosine_surface folds cosine_topk_bruteforce +
-    #    ann_lsh_cosine + embedding_near_dup_pairs; doc_text_metrics
-    #    (r2-green, lang-id provider) replaces language_id_heuristic
-    #    (r3-green) --
-    "corpus_fingerprint_surface", "ann_cosine_surface",
-    "doc_text_metrics",
-    # -- TPC-H completion (never driver-verified, new this round) --
+    # -- TPC-H completion (never driver-verified, round 4) --
     "tpch_q2_min_balance_supplier", "tpch_q8_market_share",
     "tpch_q20_promotable_suppliers", "tpch_q21_waiting_supplier",
-)
-
-# Oracle-backed queries waiting for a driver slot: the budget is 50
-# and every current slot is either never-verified or a sole tag
-# provider, so these rotate into PRIORITY next round (displacing
-# whatever goes green this round). tests/test_priority.py bounds this
-# tail so it cannot silently grow.
-PENDING_ROTATION: tuple[str, ...] = (
+    # -- former PENDING_ROTATION queue, drained by the third wave --
     "tpch_q11_important_parts", "tpch_q12_late_lines_by_flag",
     "tpch_q16_supplier_part_spec_counts",
     "audio_features_wav", "audio_resample_wav",
@@ -109,6 +99,12 @@ PENDING_ROTATION: tuple[str, ...] = (
     "streaming_interval_join", "streaming_interval_join_outer",
     "incremental_dedup_new_batch",
 )
+
+# Oracle-backed queries waiting for a driver slot. Empty since the
+# third-wave consolidation: every oracle-backed query is either inside
+# the 50-slot budget or hash-green in a prior round
+# (tests/test_priority.py asserts exactly that invariant).
+PENDING_ROTATION: tuple[str, ...] = ()
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
 # Per VERDICT r3 item #7 this tail holds ONLY the intrinsically

@@ -25,6 +25,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     stats_queries,
     streaming_queries,
     surface_queries,
+    surface_queries3,
     text_queries,
     tpch_complete_queries,
     tpch_extra_queries,
