@@ -1,0 +1,133 @@
+"""Exact distributed quantiles by iterative histogram refinement.
+
+`approx_percentile` is the built-in answer at scale, but its result is
+accuracy-parameter-dependent and engine-specific — useless under a
+cross-engine value-hash gate, and sometimes genuinely insufficient
+(billing cutoffs, SLA thresholds). A full sort is the exact answer and
+the canonical scale anti-pattern: total shuffle of every row for a
+handful of order statistics.
+
+This operator computes EXACT order statistics with no full sort and no
+full shuffle, the classic iterative-binning scheme (a distributed
+generalization of the Munro-Paterson/selection idea):
+
+  pass 0: one aggregate -> (count, min, max);
+  pass k: one aggregate per active interval — histogram of `bins`
+          buckets carrying (count, min, max) per bucket; the driver
+          prefix-sums the <= `bins` rows, locates each wanted rank's
+          bucket, and either
+            * resolves it (bucket is a single repeated value),
+            * exact-ranks it (bucket count <= inbin_cap: one
+              row_number window over the tiny filtered slice), or
+            * recurses into the bucket's ACTUAL [min, max] envelope.
+
+Convergence: every level shrinks an interval to a bucket's observed
+value envelope, so interval width drops ~bins-fold per level until the
+count fits inbin_cap or the envelope collapses to one value (the
+heavy-duplicate case: resolved immediately, no matter how many rows).
+For n = 10^12, bins = 2048, inbin_cap = 2^16: three levels.
+
+Driver traffic is bounded by design: <= bins rows per aggregate plus
+the final order-statistic rows — never data-proportional (same
+contract as sampling.quota_sample's documented bounded collects). The
+per-level scans push `col BETWEEN lo AND hi` into the parquet scan, so
+row groups outside the active envelope are skipped via min/max stats.
+
+No reference counterpart (the reference's percentiles are
+approx-by-default); this is the exact-percentile layer of the A7
+latency-statistics family.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(df: DataFrame, col: str, qs: list[float],
+                    bins: int = 2048,
+                    inbin_cap: int = 1 << 16) -> DataFrame:
+    """Exact order statistics for quantiles `qs` of non-null `col`.
+
+    Returns one row per q: (q, rk, n, value) where
+    rk = max(1, ceil(q * n)) and value is the rk-th smallest value —
+    the deterministic "lower discrete quantile", identical to a SQL
+    row_number()-based oracle (ties don't matter: equal ranks of equal
+    values yield the same VALUE even when row identity is ambiguous).
+    """
+    x = F.col(col)
+    base = df.filter(x.isNotNull())
+    head = base.agg(F.count(x).alias("n"), F.min(x).alias("lo"),
+                    F.max(x).alias("hi")).first()
+    n, lo, hi = head["n"], head["lo"], head["hi"]
+    spark = df.sparkSession
+    schema = "q double, rk bigint, n bigint, value double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+
+    ranks: dict[int, list[float]] = {}
+    for q in qs:
+        # float ceil matches the oracle's CEIL(q * n): both engines
+        # evaluate the same IEEE-double product and ceiling
+        ranks.setdefault(max(1, math.ceil(q * n)), []).append(q)
+
+    resolved: dict[int, float] = {}
+    # (interval lo, interval hi, {global rank -> rank within interval})
+    pending: list[tuple[float, float, dict[int, int]]] = [
+        (float(lo), float(hi), {k: k for k in ranks})]
+    while pending:
+        blo, bhi, local = pending.pop()
+        if blo == bhi:  # single repeated value — any rank inside hits it
+            for gk in local:
+                resolved[gk] = blo
+            continue
+        part = base.filter((x >= blo) & (x <= bhi))
+        width = bhi - blo
+        # monotone binning: values of one bucket form a contiguous
+        # range disjoint from other buckets' ranges, so a bucket can be
+        # exactly re-selected later by BETWEEN its observed min/max
+        b = F.least(F.lit(bins - 1),
+                    F.floor((x - blo) / width * bins)).cast("int")
+        hist = {r["b"]: r for r in
+                part.groupBy(b.alias("b"))
+                .agg(F.count("*").alias("c"), F.min(x).alias("mn"),
+                     F.max(x).alias("mx")).collect()}
+        cum = 0
+        per_bucket: dict[int, tuple[int, int]] = {}  # b -> (before, cnt)
+        for bi in sorted(hist):
+            per_bucket[bi] = (cum, hist[bi]["c"])
+            cum += hist[bi]["c"]
+        # route each wanted rank to its bucket
+        routed: dict[int, dict[int, int]] = {}
+        for gk, lr in local.items():
+            for bi, (before, cnt) in per_bucket.items():
+                if before < lr <= before + cnt:
+                    routed.setdefault(bi, {})[gk] = lr - before
+                    break
+        for bi, sub in routed.items():
+            mn, mx, cnt = hist[bi]["mn"], hist[bi]["mx"], hist[bi]["c"]
+            if mn == mx:
+                for gk in sub:
+                    resolved[gk] = float(mn)
+            elif cnt > inbin_cap:
+                pending.append((float(mn), float(mx), sub))
+            else:
+                # exact rank on the tiny slice; the unpartitioned
+                # window is safe — the slice is <= inbin_cap rows by
+                # the branch condition
+                want = set(sub.values())
+                slice_df = base.filter((x >= mn) & (x <= mx))
+                rows = (slice_df
+                        .withColumn("__rk", F.row_number().over(
+                            Window.orderBy(x)))
+                        .filter(F.col("__rk").isin(list(want)))
+                        .select("__rk", x.alias("__v")).collect())
+                vals = {r["__rk"]: r["__v"] for r in rows}
+                for gk, lr in sub.items():
+                    resolved[gk] = float(vals[lr])
+
+    out = [(float(q), k, n, resolved[k])
+           for k, qlist in sorted(ranks.items()) for q in sorted(qlist)]
+    return spark.createDataFrame(out, schema)

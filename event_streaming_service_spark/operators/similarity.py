@@ -470,3 +470,60 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def semantic_dedup_clusters(vectors: DataFrame, threshold: float,
+                            dim: int, n_planes: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Semantic (embedding-space) dedup end to end: LSH-bucketed
+    candidate pairs -> exact cosine >= threshold -> connected
+    components -> one canonical survivor per cluster. One row per
+    input vector: (vec_id, cluster_id, cluster_size, is_canonical),
+    cluster_id = smallest vec_id in the component.
+
+    The embedding twin of dedup.near_dup_clusters (SemDeDup-style:
+    candidates from a locality partition, exact verification inside
+    it). Scale shape: pair generation is a bucket EQUI-join (never a
+    cross product — a bucket of d vectors emits d(d-1)/2 pairs, and
+    the sign-pattern space 2^n_planes keeps buckets small; raise
+    n_planes as the corpus grows); cosine is a codegen'd
+    aggregate-zip expression, rounded to 6dp so both engines rank the
+    identical values; components run on the tiny pair graph only
+    (min-label propagation with lineage checkpoints); the corpus is
+    scanned once and never shuffled — final assignment is a broadcast
+    left join, exactly as in the MinHash variant. The deterministic
+    hyperplane lattice gives the WHOLE approximate pipeline an exact
+    SQL twin (same argument as _ann_lsh_oracle).
+    """
+    from event_streaming_service_spark.operators.dedup import (
+        connected_components)
+    v = vectors.select(F.col(id_col).alias("__id"),
+                       as_double(F.col(vec_col)).alias("__v"))
+    b = v.withColumn("__bucket",
+                     lsh_bucket(F.col("__v"), dim, n_planes)).cache()
+    pairs = (b.alias("a")
+             .join(b.alias("c"),
+                   (F.col("a.__bucket") == F.col("c.__bucket"))
+                   & (F.col("a.__id") < F.col("c.__id")))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("c.__id").alias("id_b"),
+                     F.round(cosine(F.col("a.__v"), F.col("c.__v")), 6)
+                     .alias("__cos"))
+             .filter(F.col("__cos") >= threshold)
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs, "id_a", "id_b").cache()
+    sizes = comp.groupBy("component").agg(F.count("*").alias("__sz"))
+    return (vectors.select(F.col(id_col).alias("vec_id"))
+            .join(F.broadcast(comp.withColumnRenamed("node", "vec_id")),
+                  "vec_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("component", F.col("vec_id")))
+            .join(F.broadcast(
+                sizes.withColumnRenamed("component", "cluster_id")),
+                "cluster_id", "left")
+            .select("vec_id", "cluster_id",
+                    F.coalesce("__sz", F.lit(1).cast("bigint"))
+                    .alias("cluster_size"),
+                    (F.col("vec_id") == F.col("cluster_id"))
+                    .alias("is_canonical")))

@@ -36,6 +36,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.operators.dedup import (
+    _HASH_P,
+    HASH_AS,
+    HASH_BS,
+    portable_token_hash,
+)
+
 
 def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: at most 2k candidate values
@@ -123,6 +130,69 @@ def heavy_hitters_exact(items: DataFrame, col: str, k: int) -> DataFrame:
             .filter(F.col("cnt") * k > F.col("__n"))
             .select(col, "cnt",
                     (F.col("cnt") * 1.0 / F.col("__n")).alias("share")))
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_pairs(col: str, depth: int, width: int) -> Column:
+    """array<struct<seed,bucket>> of a value's count-min coordinates.
+
+    Bucket_i(x) = ((a_i * h(x) + b_i) mod P) mod width with h(x) the
+    28-bit portable md5 hash and (a_i, b_i) the repo-wide universal
+    hash family — a_i * h + b_i < 2^31 * 2^28 + 2^31 < 2^60, so the
+    arithmetic is exact int64 in every engine (same bound analysis as
+    operators/dedup.py) and the sketch is bit-identical wherever it is
+    computed, which is what lets a plain SQL oracle rebuild it.
+    """
+    hx = portable_token_hash(F.col(col))
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("seed"),
+            ((F.lit(HASH_AS[i]) * hx + F.lit(HASH_BS[i]))
+             % F.lit(_HASH_P) % F.lit(width)).alias("bucket"))
+        for i in range(depth)])
+
+
+def cms_table(items: DataFrame, col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a
+    (seed, bucket, c) frame: depth x width counters, each the exact sum
+    of frequencies hashing to that cell.
+
+    Scale: the explode emits depth rows per item but the groupBy
+    partial-aggregates map-side down to <= depth*width rows per task
+    BEFORE the shuffle — the exchange moves at most
+    depth * width * partitions counter rows regardless of input size
+    (the sketch is a mergeable summary; merging IS the shuffle-reduce).
+    The result is <= depth*width rows: broadcastable by construction.
+    """
+    return (items.select(F.explode(_cms_pairs(col, depth, width)).alias("sb"))
+            .groupBy(F.col("sb.seed").alias("seed"),
+                     F.col("sb.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c")))
+
+
+def cms_estimates(keys: DataFrame, col: str, sketch: DataFrame,
+                  depth: int = CMS_DEPTH,
+                  width: int = CMS_WIDTH) -> DataFrame:
+    """Point-frequency estimates for `keys` from a cms_table sketch:
+    est(x) = min_i sketch[i, bucket_i(x)] — the classic count-min
+    upper bound (never under-counts; over-counts by collided mass).
+
+    The sketch side is broadcast (<= depth*width rows), so the probe is
+    a map-side join on the keys frame — no shuffle of the key domain.
+    An absent (seed, bucket) cell means nothing hashed there: its count
+    is 0, hence the left join + coalesce.
+    """
+    probe = (keys.select(col,
+                         F.explode(_cms_pairs(col, depth, width)).alias("sb"))
+             .select(col, F.col("sb.seed").alias("seed"),
+                     F.col("sb.bucket").alias("bucket")))
+    return (probe.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")))
 
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:

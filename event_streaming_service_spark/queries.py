@@ -100,11 +100,15 @@ PRIORITY: tuple[str, ...] = (
     "incremental_dedup_new_batch",
 )
 
-# Oracle-backed queries waiting for a driver slot. Empty since the
-# third-wave consolidation: every oracle-backed query is either inside
-# the 50-slot budget or hash-green in a prior round
-# (tests/test_priority.py asserts exactly that invariant).
-PENDING_ROTATION: tuple[str, ...] = ()
+# Oracle-backed queries waiting for a driver slot: the third-wave
+# consolidation drained the round-4 queue; this holds only operators
+# added since (tests/test_priority.py bounds the tail).
+PENDING_ROTATION: tuple[str, ...] = (
+    "cms_token_frequencies",
+    "exact_price_quantiles",
+    "incremental_dedup_bloom",
+    "semantic_dedup_clusters",
+)
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
 # Per VERDICT r3 item #7 this tail holds ONLY the intrinsically

@@ -15,6 +15,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     packing_queries,
     pii_queries,
     pipeline_queries,
+    quantile_queries,
     replay_queries,
     routing_queries,
     sampling_queries,

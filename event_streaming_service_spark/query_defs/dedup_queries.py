@@ -390,3 +390,88 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= INDEX_CUTOFF),
         docs.filter(F.col("doc_id") < INDEX_CUTOFF),
         JACCARD_THRESHOLD)
+
+
+def _bloom_positions_sql(src: str, seeds: int) -> str:
+    """Per-seed UNION of the identical bit positions
+    operators/membership._positions computes (the portable 28-bit hash
+    of the md5-fingerprint key, through the universal-hash family)."""
+    from event_streaming_service_spark.operators.dedup import (
+        _HASH_P, HASH_AS, HASH_BS)
+    from event_streaming_service_spark.operators.membership import (
+        BLOOM_M_BITS)
+    legs = []
+    for i in range(seeds):
+        legs.append(
+            f"SELECT doc_id, (({HASH_AS[i]} * h + {HASH_BS[i]}) "
+            f"% {_HASH_P}) % {BLOOM_M_BITS} AS p FROM {src}")
+    return " UNION ALL ".join(legs)
+
+
+def _bloom_oracle() -> str:
+    from event_streaming_service_spark.operators.membership import (
+        BLOOM_HASHES)
+    return f"""
+    WITH k AS (
+        SELECT doc_id, md5(text) AS fp,
+               CAST('0x' || SUBSTRING(md5(md5(text)), 1, 7) AS BIGINT) AS h
+        FROM documents),
+    idx AS (SELECT * FROM k WHERE doc_id < {INDEX_CUTOFF}),
+    new AS (SELECT * FROM k WHERE doc_id >= {INDEX_CUTOFF}),
+    idx_pos AS (
+        SELECT DISTINCT p FROM ({_bloom_positions_sql('idx', BLOOM_HASHES)})),
+    probe AS ({_bloom_positions_sql('new', BLOOM_HASHES)}),
+    cand AS (
+        SELECT pr.doc_id, BOOL_AND(ip.p IS NOT NULL) AS bloom_candidate
+        FROM probe pr LEFT JOIN idx_pos ip USING (p)
+        GROUP BY pr.doc_id),
+    exact AS (
+        SELECT n.doc_id, MIN(i.doc_id) AS exact_match_id
+        FROM new n JOIN idx i ON n.fp = i.fp
+        GROUP BY n.doc_id)
+    SELECT c.doc_id, c.bloom_candidate,
+           e.exact_match_id IS NOT NULL AS exact_dup, e.exact_match_id
+    FROM cand c LEFT JOIN exact e USING (doc_id)
+    """
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle=_bloom_oracle(),
+    tags=("dedup-exact", "dedup-incremental", "bloom"),
+)
+def q_incremental_dedup_bloom(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup: a bit-packed Bloom
+    filter over the INDEX corpus's md5 fingerprints is built in one
+    bounded aggregation and probed map-side from the new batch (pure
+    codegen — no join, no shuffle for the definite non-members); only
+    Bloom candidates reach the exact fingerprint join. No false
+    negatives, so exact_dup/exact_match_id are bit-identical to the
+    unfiltered join — the oracle checks the probe bits AND that
+    invariant. See operators/membership.py for the 16 MiB-at-2^30-bits
+    broadcast design."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import membership
+
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.col("text"))
+    idx = docs.filter(F.col("doc_id") < INDEX_CUTOFF) \
+        .select("doc_id", fp.alias("__fp"))
+    new = docs.filter(F.col("doc_id") >= INDEX_CUTOFF) \
+        .select("doc_id", fp.alias("__fp"))
+    words = membership.bloom_build(idx, F.col("__fp"))
+    probed = membership.bloom_probe(new, F.col("__fp"), words)
+    fp_idx = idx.groupBy("__fp").agg(
+        F.min("doc_id").alias("exact_match_id"))
+    # definite non-members skip the join entirely; candidates (true
+    # matches + the small fp-rate) are the only join input
+    cand = (probed.filter(F.col("bloom_candidate"))
+            .join(fp_idx, "__fp", "left"))
+    miss = probed.filter(~F.col("bloom_candidate")).withColumn(
+        "exact_match_id", F.lit(None).cast("bigint"))
+    return (cand.unionByName(miss)
+            .select("doc_id", "bloom_candidate",
+                    F.col("exact_match_id").isNotNull().alias("exact_dup"),
+                    "exact_match_id"))

@@ -106,6 +106,68 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_cosine_topk(queries, emb, K, EMBEDDING_DIM)
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _semantic_dedup_oracle(n_planes: int = 8) -> str:
+    """Same determinism argument as _ann_lsh_oracle: the hyperplane
+    lattice is closed-form, so bucket assignment, the within-bucket
+    pair join, the 6dp-rounded cosine filter, and the transitive
+    closure all have exact SQL twins."""
+    planes = similarity._hyperplanes(EMBEDDING_DIM, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, [{', '.join(map(repr, p))}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    cos = ("list_dot_product(va.vec, vc.vec)"
+           " / (sqrt(list_dot_product(va.vec, va.vec))"
+           " * sqrt(list_dot_product(vc.vec, vc.vec)))")
+    return f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    b AS (SELECT vec_id, {bucket} AS bucket FROM v),
+    pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vc ON vc.vec_id = c.vec_id
+        WHERE ROUND({cos}, 6) >= {SEMDEDUP_THRESHOLD}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    comp AS (
+        SELECT node, LEAST(node, MIN(reach)) AS component
+        FROM walk GROUP BY node),
+    assigned AS (
+        SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster_id
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node)
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+    FROM assigned
+    """
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=_semantic_dedup_oracle(),
+    tags=("similarity", "dedup-embedding", "dedup-clusters"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup endgame (SemDeDup-style): LSH-bucket
+    candidate pairs -> exact 6dp cosine >= threshold -> connected
+    components -> canonical survivor per cluster, one row per vector.
+    The oracle rebuilds the identical pipeline in SQL including the
+    transitive closure. See similarity.semantic_dedup_clusters for the
+    corpus-never-shuffled scale shape."""
+    return similarity.semantic_dedup_clusters(
+        _emb(spark, sf_dir), SEMDEDUP_THRESHOLD, EMBEDDING_DIM)
+
+
 @register(
     "embedding_norms_by_label",
     oracle="""

@@ -165,3 +165,42 @@ def test_zorder_rejects_oversized_interleave(spark):
     with _pytest.raises(ValueError, match="63"):
         sketches.zorder_key([F.col("a"), F.col("b"), F.col("c"),
                              F.col("d")], 16)
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    """Count-min invariants: est >= exact for every key (collisions
+    only ADD mass), and with width >> distinct keys the estimates are
+    the exact counts."""
+    values = []
+    for i in range(20):
+        values += [f"k-{i}"] * (i + 1) * 7
+    df = _items(spark, values)
+    exact = {r["tok"]: r["cnt"] for r in
+             df.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    keys = df.select("tok").distinct()
+
+    sketch = sketches.cms_table(df, "tok", depth=4, width=8192)
+    est = {r["tok"]: r["est"] for r in
+           sketches.cms_estimates(keys, "tok", sketch,
+                                  depth=4, width=8192).collect()}
+    assert est == exact  # 20 keys in 8192 buckets: no collision survives min
+
+    narrow = sketches.cms_table(df, "tok", depth=4, width=8)
+    est_n = {r["tok"]: r["est"] for r in
+             sketches.cms_estimates(keys, "tok", narrow,
+                                    depth=4, width=8).collect()}
+    assert all(est_n[k] >= exact[k] for k in exact)
+    assert sum(est_n.values()) > sum(exact.values())  # collisions visible
+
+
+def test_cms_absent_key_estimates_from_collided_mass_only(spark):
+    """A key never inserted gets est >= 0 purely from collisions; with
+    a wide sketch that is exactly 0."""
+    df = _items(spark, [f"present-{i}" for i in range(50)])
+    sketch = sketches.cms_table(df, "tok", depth=4, width=8192)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"tok": ["never-seen-a", "never-seen-b"]}))
+    est = {r["tok"]: r["est"] for r in
+           sketches.cms_estimates(probe, "tok", sketch,
+                                  depth=4, width=8192).collect()}
+    assert est == {"never-seen-a": 0, "never-seen-b": 0}
