@@ -108,6 +108,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "exact_price_quantiles",
     "incremental_dedup_bloom",
     "semantic_dedup_clusters",
+    "funnel_steps_per_user",
+    "cohort_retention_daily",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -5,6 +5,7 @@ Importing this package registers every query into queries.REGISTRY.
 
 from event_streaming_service_spark.query_defs import (  # noqa: F401
     agg_extra_queries,
+    analytics_queries,
     audio_queries,
     catalog_queries,
     dedup_queries,

@@ -1,0 +1,92 @@
+"""Behavioral-analytics queries over `events`: ordered funnel
+completion and daily cohort retention (operators/analytics.py).
+
+Both are order-SENSITIVE aggregations — the dimension the reference's
+counter-style statistics (EventStatisticsService) never touch — and
+both carry exact ANSI-SQL oracles: the funnel's greedy chain as a
+CTE ladder, the retention triangle as two grouped joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import analytics
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "funnel_steps_per_user",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS step1_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS step2_ts
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS step3_ts
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+        GROUP BY e.user_id)
+    SELECT s1.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+           1 + CASE WHEN s2.step2_ts IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s3.step3_ts IS NULL THEN 0 ELSE 1 END
+               AS steps_completed
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    tags=("analytics", "funnel", "A5"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: per-user greedy completion
+    times (step i strictly after step i-1) in ONE shuffle — the
+    per-user fold runs as a codegen'd `aggregate` over the sorted
+    event list, where the SQL oracle needs a k-level CTE ladder of
+    join+reaggregate."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return analytics.funnel(events, "user_id", "ts", "event_type",
+                            FUNNEL_STEPS)
+
+
+@register(
+    "cohort_retention_daily",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+        FROM events),
+    sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_day),
+    tri AS (
+        SELECT f.cohort_day,
+               CAST(a.active_day - f.cohort_day AS INTEGER) AS day_offset,
+               COUNT(*) AS active_users
+        FROM activity a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2)
+    SELECT strftime(t.cohort_day, '%Y-%m-%d') AS cohort_day,
+           t.day_offset, t.active_users, s.cohort_size
+    FROM tri t JOIN sizes s USING (cohort_day)
+    """,
+    tags=("analytics", "cohort", "A5"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort-retention triangle: first-seen day x day offset
+    with exact active/cohort counts; the activity input is pre-deduped
+    to (user, day) grain so per-user event volume cannot blow up the
+    rollup. Dates render as strings (repo convention: DATE surfaces
+    as yyyy-MM-dd text so both engines' pandas dtypes agree)."""
+    events = tables.load_table(spark, sf_dir, "events")
+    out = analytics.cohort_retention(events, "user_id", "ts")
+    return out.withColumn(
+        "cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
