@@ -110,6 +110,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "semantic_dedup_clusters",
     "funnel_steps_per_user",
     "cohort_retention_daily",
+    "fuzzy_name_pairs",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -12,6 +12,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     envelope_queries,
     governance_queries,
     join_queries,
+    linkage_queries,
     multimodal_queries,
     packing_queries,
     pii_queries,
