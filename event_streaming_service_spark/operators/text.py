@@ -232,3 +232,57 @@ def pii_counts(text: Column) -> dict[str, Column]:
             F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
     return counts
+
+
+def bigram_pmi(docs: DataFrame, text_col: str = "text",
+               min_count: int = 5, top_n: int = 50) -> DataFrame:
+    """Collocation extraction: top-n adjacent-token bigrams by
+    pointwise mutual information, PMI = ln(p(xy) / (p(x) p(y))) with
+    p(xy) over the bigram total and p(x) over the token total —
+    the standard collocation statistic (Church & Hanks 1990), the
+    vocabulary-induction primitive a tokenizer-training pipeline runs
+    over its corpus.
+
+    Plan: ONE tokenization pass cached, feeding the unigram and bigram
+    aggregates; both totals come from reaggregating the (small)
+    count frames, not a second corpus scan; unigram counts join the
+    bigram frame twice as broadcasts (post-agg vocab is tiny relative
+    to the corpus — exactly the dimension-table shape). Top-n runs as
+    TakeOrdered on the rounded PMI with a (w1, w2) tiebreak, so the
+    boundary is deterministic cross-engine even when distinct PMIs
+    collide at 9 dp.
+    """
+    toks = docs.select(tokens(F.col(text_col)).alias("__toks"))
+    toks.cache()
+    uni = (toks.select(F.explode("__toks").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    # adjacent pairs: zip the array against itself shifted by one;
+    # greatest(.., 0) keeps slice legal on 0/1-token docs
+    bigrams = F.zip_with(
+        F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))"),
+        F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    big = (toks.select(F.explode(bigrams).alias("bg"))
+           .select("bg.w1", "bg.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    n_tok = uni.agg(F.sum("c").alias("__n_tok"))
+    n_big = big.agg(F.sum("c_xy").alias("__n_big"))
+    scored = (big
+              .where(F.col("c_xy") >= min_count)
+              .join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                                .withColumnRenamed("c", "c_x")), "w1")
+              .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+                                .withColumnRenamed("c", "c_y")), "w2")
+              .join(F.broadcast(n_tok))
+              .join(F.broadcast(n_big))
+              .withColumn(
+                  "pmi",
+                  F.round(F.log(
+                      (F.col("c_xy").cast("double")
+                       * F.col("__n_tok") * F.col("__n_tok"))
+                      / (F.col("__n_big").cast("double")
+                         * F.col("c_x") * F.col("c_y"))), 9)))
+    return (scored
+            .select("w1", "w2", F.col("c_xy").alias("pair_count"), "pmi")
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(top_n))

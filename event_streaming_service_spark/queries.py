@@ -111,6 +111,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "funnel_steps_per_user",
     "cohort_retention_daily",
     "fuzzy_name_pairs",
+    "bigram_pmi_top",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -8,6 +8,7 @@ from event_streaming_service_spark.query_defs import (  # noqa: F401
     analytics_queries,
     audio_queries,
     catalog_queries,
+    collocation_queries,
     dedup_queries,
     envelope_queries,
     governance_queries,
