@@ -112,6 +112,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "cohort_retention_daily",
     "fuzzy_name_pairs",
     "bigram_pmi_top",
+    "embedding_quantize_int8",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

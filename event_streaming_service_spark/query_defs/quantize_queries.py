@@ -1,0 +1,59 @@
+"""Embedding-quantization query (operators/quantize.py): SQ8 over the
+`embeddings` fixture with the full codebook assignment pinned by an
+integer checksum and the reconstruction error by an order-independent
+max — every float step mirrored literally in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_service_spark.operators import quantize
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH dims AS (
+        SELECT pos, MIN(CAST(val AS DOUBLE)) AS mn,
+               MAX(CAST(val AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY pos),
+    stats AS (
+        SELECT list(mn ORDER BY pos) AS mns,
+               list(mx ORDER BY pos) AS mxs
+        FROM dims),
+    q AS (
+        SELECT vec_id, embedding, mns, mxs,
+               list_transform(range(1, len(embedding) + 1), i ->
+                   CASE WHEN mxs[i] > mns[i]
+                        THEN CAST(FLOOR((CAST(embedding[i] AS DOUBLE)
+                                         - mns[i]) * 254.0
+                                        / (mxs[i] - mns[i]) + 0.5)
+                                  AS INTEGER) - 127
+                        ELSE 0 END) AS qv
+        FROM embeddings, stats)
+    SELECT vec_id,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+               AS q_l1,
+           ROUND(list_max(list_transform(
+               range(1, len(qv) + 1), i ->
+                   abs(CASE WHEN mxs[i] > mns[i]
+                            THEN mns[i] + (qv[i] + 127)
+                                 * (mxs[i] - mns[i]) / 254.0
+                            ELSE mns[i] END
+                       - CAST(embedding[i] AS DOUBLE)))), 9)
+               AS max_abs_err
+    FROM q
+    """,
+    tags=("similarity", "quantize", "embedding"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-envelope int8 scalar quantization of all 64-dim fixture
+    embeddings: one tiny stats shuffle + one broadcast pass."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return quantize.scalar_quantize_int8(emb)
