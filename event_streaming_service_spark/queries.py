@@ -113,6 +113,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "bigram_pmi_top",
     "embedding_quantize_int8",
+    "streaming_ewma",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -322,3 +322,45 @@ def q_streaming_interval_join_outer(spark: SparkSession,
             within="1 hour", watermark="1 hour", how="leftOuter"))
 
     return _run_stream(spark, sf_dir, transform, "ivjo")
+
+
+EWMA_STREAM_ALPHA = 0.5  # exactly representable: alpha + (1-alpha) == 1.0
+
+
+@register(
+    "streaming_ewma",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events),
+    walk(user_id, seq, ts, value, s) AS (
+        SELECT user_id, seq, ts, value, value FROM ordered WHERE seq = 1
+        UNION ALL
+        SELECT o.user_id, o.seq, o.ts, o.value,
+               {EWMA_STREAM_ALPHA} * o.value
+                   + {1 - EWMA_STREAM_ALPHA} * w.s
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.seq = w.seq + 1)
+    SELECT user_id, ts, value,
+           FLOOR(s * 1000000 + 0.5) / 1000000 AS ewma
+    FROM walk
+    """,
+    tags=("W4", "2.11", "streaming", "ewma", "stateful"))
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom NUMERIC-state streaming operator
+    (streaming/stateful.ewma_stream): per-user EWMA whose smoothed
+    value survives micro-batch boundaries in one double of
+    applyInPandasWithState state. Emission is immediate, so on the
+    time-ordered source the emitted rows equal the batch recursion —
+    the same recursive-CTE oracle shape as the batch EWMA, at a
+    different alpha (0.5, chosen exactly representable so
+    alpha + (1-alpha) == 1.0 and every engine computes the identical
+    fold)."""
+    from event_streaming_service_spark.streaming import stateful
+
+    return _run_stream(
+        spark, sf_dir,
+        lambda s: stateful.ewma_stream(s, EWMA_STREAM_ALPHA),
+        "sewma")

@@ -85,3 +85,63 @@ def dedup_with_ttl(stream: DataFrame,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=timeout))
+
+
+def ewma_stream(stream: DataFrame, alpha: float,
+                key_col: str = "user_id", ts_col: str = "ts",
+                value_col: str = "value",
+                tiebreak_col: str = "event_id") -> DataFrame:
+    """Per-key EWMA as a custom STATEFUL streaming operator: the
+    smoothed value s = alpha*x + (1-alpha)*s carries across
+    micro-batches in one double of state per key — the numeric-state
+    companion to the marker-state TTL dedup above, and the streaming
+    twin of operators/windows.ewma (whose docstring names this shape
+    as its hot-key fallback: state is O(1) per key no matter how many
+    rows a key accumulates).
+
+    Emission is immediate (every input row yields its smoothed row;
+    no watermark holdback), so on a time-ordered source the emitted
+    set equals the batch EWMA — giving the operator an exact
+    recursive-CTE oracle. Within a batch rows are folded in
+    (ts, tiebreak) order; across batches the file source's time order
+    (query_defs/streaming_queries._stream_src) preserves the global
+    fold order.
+
+    The per-step arithmetic is the same two IEEE products + one sum
+    the batch kernel and the SQL oracle compute; values round to 6 dp
+    on emit while the carried state stays full-precision — identical
+    to the batch kernel's round-at-the-end.
+    """
+
+    def ewma_fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values([ts_col, tiebreak_col],
+                                  ignore_index=True)
+        import math
+
+        s = state.get[0] if state.exists else None
+        out_vals = []
+        for x in batch[value_col].astype("float64"):
+            s = float(x) if s is None else alpha * float(x) + (1 - alpha) * s
+            # half-up via floor(x*1e6+0.5), NOT round(): alpha=1/2^k
+            # makes s an exact binary fraction, so ties at the 6 dp
+            # boundary are COMMON and banker's-vs-away rounding would
+            # diverge between engines (functions/money.py precedent)
+            out_vals.append(math.floor(s * 1e6 + 0.5) / 1e6)
+        state.update((s,))
+        out = batch[[key_col, ts_col, value_col]].copy()
+        out["ewma"] = out_vals
+        yield out
+
+    out_schema = (f"{key_col} long, {ts_col} timestamp, "
+                  f"{value_col} double, ewma double")
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(
+                ewma_fn,
+                outputStructType=out_schema,
+                stateStructType="s double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -179,3 +179,52 @@ def test_streaming_interval_join_outer_emission_rule(spark, sf_smoke, tmpdir):
         F.unix_millis(F.col("view_ts").cast("timestamp"))
         + 3_600_000 < wm_ms).collect()}
     assert got_null == want_null
+
+
+def test_streaming_ewma_state_crosses_microbatches(spark, tmpdir):
+    """The EWMA fold must CONTINUE across micro-batch boundaries, not
+    restart: a crafted 3-file time-ordered source where each file holds
+    one event per user; the third smoothed value reflects all three."""
+    import os
+    from datetime import datetime
+
+    from event_streaming_service_spark.streaming import stateful
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src, exist_ok=True)
+    rows_by_file = [
+        [(1, datetime(2024, 1, 1, 10), 8.0), (2, datetime(2024, 1, 1, 10), 4.0)],
+        [(1, datetime(2024, 1, 1, 11), 4.0)],
+        [(1, datetime(2024, 1, 1, 12), 2.0), (2, datetime(2024, 1, 1, 12), 8.0)],
+    ]
+    for i, rows in enumerate(rows_by_file):
+        df = spark.createDataFrame(
+            [(100 + i * 10 + j, ts, u, "view", v, "{}")
+             for j, (u, ts, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string")
+        part = f"{src}/f{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        # move the parquet up so the dir is a flat file-stream source
+        for fn in os.listdir(part):
+            if fn.startswith("part-"):
+                os.replace(f"{part}/{fn}", f"{src}/data-{i}.parquet")
+        import shutil
+        shutil.rmtree(part)
+        os.utime(f"{src}/data-{i}.parquet", (1700000000 + i, 1700000000 + i))
+
+    stream = sp.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (stateful.ewma_stream(stream, 0.5)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("eq_ewma").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.ts): r.ewma
+           for r in spark.sql("SELECT * FROM eq_ewma").collect()}
+    # u1: 8 -> 0.5*4+0.5*8=6 -> 0.5*2+0.5*6=4 ; u2: 4 -> 0.5*8+0.5*4=6
+    assert got == {
+        (1, datetime(2024, 1, 1, 10)): 8.0,
+        (1, datetime(2024, 1, 1, 11)): 6.0,
+        (1, datetime(2024, 1, 1, 12)): 4.0,
+        (2, datetime(2024, 1, 1, 10)): 4.0,
+        (2, datetime(2024, 1, 1, 12)): 6.0,
+    }
