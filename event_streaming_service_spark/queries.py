@@ -67,10 +67,10 @@ PRIORITY: tuple[str, ...] = (
     # -- new round-4 operators --
     "multimodal_features_png", "multimodal_resize_png",
     "streaming_session_windows",
-    # -- consolidated coverage surfaces (waves 1-2) --
+    # -- consolidated coverage surfaces (waves 1-2; doc_text_metrics
+    #    folded into the fourth-wave corpus_pipeline_surface below) --
     "governance_surface", "window_functions_profile",
     "corpus_fingerprint_surface", "ann_cosine_surface",
-    "doc_text_metrics",
     # -- third-wave consolidation surfaces: ops_catalog_surface folds
     #    catalog_surface + topic_offset_catalog + lag_surface +
     #    topic_dashboard + replay_slice; routing_pipeline_surface
@@ -83,10 +83,15 @@ PRIORITY: tuple[str, ...] = (
     "ops_catalog_surface", "routing_pipeline_surface",
     "envelope_props_surface", "joins_surface",
     "streaming_core_surface",
-    # -- anchors: sole providers of their section-2 / family tags --
-    "seq_packing", "pii_scrub_stats",
-    "near_dup_clusters", "multimodal_frame_sample",
-    "tfidf_top_terms",
+    # -- fourth-wave consolidation: corpus_pipeline_surface folds the
+    #    six remaining prior-green doc_id-grain anchors
+    #    (doc_text_metrics + pii_scrub_stats + tfidf_top_terms +
+    #    seq_packing + near_dup_clusters + multimodal_frame_sample),
+    #    freeing five slots for the round-4 PENDING_ROTATION queue --
+    "corpus_pipeline_surface",
+    "funnel_steps_per_user", "cohort_retention_daily",
+    "exact_price_quantiles", "embedding_quantize_int8",
+    "semantic_dedup_clusters",
     # -- TPC-H completion (never driver-verified, round 4) --
     "tpch_q2_min_balance_supplier", "tpch_q8_market_share",
     "tpch_q20_promotable_suppliers", "tpch_q21_waiting_supplier",
@@ -100,20 +105,19 @@ PRIORITY: tuple[str, ...] = (
     "incremental_dedup_new_batch",
 )
 
-# Oracle-backed queries waiting for a driver slot: the third-wave
-# consolidation drained the round-4 queue; this holds only operators
-# added since (tests/test_priority.py bounds the tail).
+# Oracle-backed queries waiting for a driver slot: the fourth-wave
+# consolidation (corpus_pipeline_surface) promoted five of the ten
+# round-4 additions into the budget; this holds the remainder
+# (tests/test_priority.py bounds the tail).
 PENDING_ROTATION: tuple[str, ...] = (
     "cms_token_frequencies",
-    "exact_price_quantiles",
     "incremental_dedup_bloom",
-    "semantic_dedup_clusters",
-    "funnel_steps_per_user",
-    "cohort_retention_daily",
     "fuzzy_name_pairs",
     "bigram_pmi_top",
-    "embedding_quantize_int8",
     "streaming_ewma",
+    "twa_value_per_user",
+    "event_transition_matrix",
+    "value_trend_per_user",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
