@@ -28,8 +28,10 @@ Design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from event_streaming_service_spark.functions.scalars import wall_clock_millis
 
 
 def funnel(events: DataFrame, user_col: str, ts_col: str,
@@ -135,3 +137,86 @@ def cohort_retention(events: DataFrame, user_col: str,
                      .alias("day_offset"))
             .agg(F.count(F.lit(1)).alias("active_users"))
             .join(F.broadcast(sizes), "cohort_day"))
+
+
+def transition_matrix(events: DataFrame, key_col: str, ts_col: str,
+                      type_col: str,
+                      order_tiebreak: str | None = None) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types within each key's timeline — the "what do
+    users do next" matrix behind journey analysis and next-event
+    prediction, and the third order-sensitive shape (after funnels and
+    retention) the reference's counter-style statistics cannot express.
+
+    Semantics: consecutive = adjacent in the key's (ts, tiebreak)
+    order; the first event of each key has no predecessor and emits no
+    row. `prob` is the row-conditional P(next | prev), pinned at 6 dp
+    (counts are exact; the one division is the only float op).
+
+    Plan shape for 100 TB: one shuffle on the key for the lag()
+    window, then a hash aggregate on (prev, next) — k^2 groups, partial
+    map-side combine, so the agg output is bounded by the type
+    vocabulary squared regardless of input size. The row-total for the
+    conditional runs as a second window over those k^2 rows (no extra
+    pass over the data).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (events
+             .select(F.col(key_col),
+                     F.lag(F.col(type_col)).over(w).alias("prev_type"),
+                     F.col(type_col).alias("next_type"))
+             .where(F.col("prev_type").isNotNull()))
+    counts = (pairs.groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(row_total).cast("double"),
+                6).alias("prob"))
+
+
+def trend_ols(df: DataFrame, key_col: str, ts_col: str,
+              value_col: str) -> DataFrame:
+    """Per-key least-squares trend: the slope of value over time for
+    every key in ONE aggregate pass — regression-as-aggregation, the
+    scalable form of "fit a line per entity" (fleet drift detection,
+    per-tenant growth rates) that never materializes a per-key series.
+
+    Cross-engine determinism: the classic closed form
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is evaluated over EXACT
+    integer sums — x is epoch-millis re-based to the key's earliest
+    observation (keeps x^2 inside 64-bit before widening), y quantizes
+    to micro-units via floor(v*1e6 + 0.5), and all four sums accumulate
+    as decimal(38,0) — so no float fold order can drift. The final
+    slope converts to value-units per DAY and rounds at 9 dp; keys with
+    n < 2 or zero time variance emit NULL slope.
+
+    Plan shape for 100 TB: one shuffle on the key for the min-ts window
+    (re-basing), with the aggregate reusing that exchange — all
+    codegen'd column math, no Python, k output rows.
+    """
+    w = Window.partitionBy(key_col)
+    ms = wall_clock_millis(F.col(ts_col))
+    x = (ms - F.min(ms).over(w)).cast("decimal(38,0)")
+    y = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)) \
+         .cast("decimal(38,0)")
+    agg = (df
+           .select(F.col(key_col), x.alias("__x"), y.alias("__y"))
+           .groupBy(key_col)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__sxx")))
+    num = (F.col("__n") * F.col("__sxy")
+           - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (F.col("__n") * F.col("__sxx")
+           - F.col("__sx") * F.col("__sx")).cast("double")
+    # micro-units/ms -> units/day: * 86_400_000 / 1e6
+    return agg.select(
+        key_col, F.col("__n").cast("bigint").alias("n_points"),
+        F.when(den > 0,
+               F.round(num / den * F.lit(86_400_000.0 / 1e6), 9))
+        .alias("slope_per_day"))

@@ -190,3 +190,52 @@ def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     shard = F.pmod(F.xxhash64(key_col), F.lit(64)).alias("__shard")
     return (df.select(*cols).withColumn("__shard", shard)
             .groupBy("__shard").applyInPandas(smooth, out_schema))
+
+
+def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
+                      value_col: str,
+                      order_tiebreak: str | None = None) -> DataFrame:
+    """Interval-weighted mean per key (the time-series engines' `twa`):
+    each observation's value holds from its timestamp until the key's
+    next observation, and the average weights values by that holding
+    duration — the honest mean of an irregularly-sampled signal, where
+    the plain AVG over-counts bursts.
+
+    Semantics: for a key's observations (t1..tn) sorted by (ts,
+    tiebreak), twa = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_1) over
+    i < n; the final observation has no holding interval. Keys with one
+    observation (or all at one instant) have span 0 and a NULL twa —
+    n_events / span_ms let callers distinguish that from missing data.
+    Duplicate timestamps contribute zero-width intervals, so the result
+    is tiebreak-order independent.
+
+    Cross-engine determinism: the weighted sum runs entirely in exact
+    integer arithmetic — values quantize to micro-units via
+    floor(v*1e6 + 0.5) (the money.py convention), durations are epoch-
+    millis bigints, and the sum is a decimal(38,0) — so no float fold
+    order can drift; the single final division is pinned at 9 dp.
+
+    Plan shape for 100 TB: ONE shuffle on the key serving both the
+    lead() window and the aggregate (same partitioning, no second
+    exchange); all arithmetic is codegen'd column math, no Python.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ms = wall_clock_millis(F.col(ts_col))
+    v_micro = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5))
+    contrib = (F.lead(ms).over(w) - ms) * v_micro
+    return (df
+            .select(key_col, ms.alias("__ms"),
+                    contrib.alias("__contrib"))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("__ms") - F.min("__ms")).alias("span_ms"),
+                 F.sum(F.coalesce(F.col("__contrib"), F.lit(0))
+                       .cast("decimal(38,0)")).alias("__num"))
+            .select(key_col, "n_events", "span_ms",
+                    F.when(F.col("span_ms") > 0,
+                           F.round(F.col("__num").cast("double")
+                                   / (F.col("span_ms")
+                                      .cast("double") * F.lit(1e6)), 9))
+                    .alias("twa_value")))

@@ -1,0 +1,117 @@
+"""Time-series / behavioral trend queries over `events`: interval-
+weighted averages, Markov transition matrices, and per-key OLS trend
+slopes (operators/windows.py:time_weighted_avg,
+operators/analytics.py:transition_matrix/trend_ols).
+
+All three are order- or duration-sensitive aggregations the
+reference's counter statistics (service/EventStatisticsService.java)
+cannot express, and all three keep their float paths pinned: exact
+integer/decimal accumulation, a single final division, ROUND spelled
+identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_service_spark.operators import analytics, windows
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+
+@register(
+    "twa_value_per_user",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS vmic,
+               LEAD(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+        FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(ms) - MIN(ms) AS span_ms,
+           CASE WHEN MAX(ms) - MIN(ms) > 0 THEN
+               ROUND(CAST(SUM(CASE WHEN next_ms IS NULL THEN 0
+                                   ELSE (next_ms - ms) * vmic END)
+                          AS DOUBLE)
+                     / (CAST(MAX(ms) - MIN(ms) AS DOUBLE) * 1e6), 9)
+           END AS twa_value
+    FROM seq GROUP BY user_id
+    """,
+    tags=("analytics", "twa", "A5", "window-frames"),
+)
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value`: each observation
+    holds until the user's next event, so bursts stop over-counting
+    the mean — kdb/TimescaleDB `twa` semantics on Spark. One shuffle;
+    exact integer weighting (see operator docstring)."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return windows.time_weighted_avg(events, "user_id", "ts", "value",
+                                     order_tiebreak="event_id")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                        AS DOUBLE), 6) AS prob
+    FROM c
+    """,
+    tags=("analytics", "markov", "A6"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov matrix over per-user event timelines:
+    P(next_type | prev_type) with exact transition counts. k^2 output
+    rows regardless of input size (map-side combine)."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return analytics.transition_matrix(events, "user_id", "ts",
+                                       "event_type",
+                                       order_tiebreak="event_id")
+
+
+@register(
+    "value_trend_per_user",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS y
+        FROM events),
+    reb AS (
+        SELECT user_id,
+               CAST(ms - MIN(ms) OVER (PARTITION BY user_id)
+                    AS HUGEINT) AS x,
+               y
+        FROM base),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM reb GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) * 86.4, 9)
+           END AS slope_per_day
+    FROM s
+    """,
+    tags=("analytics", "ols-trend", "A5"),
+)
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of value over time (units/day, 9 dp):
+    regression-as-aggregation via exact decimal sums — one pass, no
+    per-key series materialized."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return analytics.trend_ols(events, "user_id", "ts", "value")

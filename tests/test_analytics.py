@@ -101,3 +101,92 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-02", 0): (1, 1),
         ("2024-01-02", 1): (1, 1),
     }
+
+
+# ---------------------------------------------------------------- TWA
+
+
+def _valued(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, datetime(2024, 1, d, h, m), v)
+         for i, (u, d, h, m, v) in enumerate(rows)],
+        "event_id bigint, user_id bigint, ts timestamp, value double")
+
+
+def test_twa_weights_by_holding_interval(spark):
+    from event_streaming_service_spark.operators.windows import (
+        time_weighted_avg,
+    )
+    # value 10 holds 60 min, value 20 holds 30 min, value 99 terminal
+    df = _valued(spark, [
+        (1, 1, 10, 0, 10.0), (1, 1, 11, 0, 20.0), (1, 1, 11, 30, 99.0),
+    ])
+    row = time_weighted_avg(df, "user_id", "ts", "value",
+                            order_tiebreak="event_id").first()
+    assert row["n_events"] == 3
+    assert row["span_ms"] == 90 * 60_000
+    assert row["twa_value"] == pytest.approx((10 * 60 + 20 * 30) / 90)
+
+
+def test_twa_single_event_and_duplicate_instant(spark):
+    from event_streaming_service_spark.operators.windows import (
+        time_weighted_avg,
+    )
+    df = _valued(spark, [
+        (1, 1, 10, 0, 42.0),                      # lone event: NULL twa
+        (2, 1, 10, 0, 5.0), (2, 1, 10, 0, 7.0),   # same instant pair
+        (2, 1, 11, 0, 1.0),
+    ])
+    out = {r["user_id"]: r
+           for r in time_weighted_avg(df, "user_id", "ts", "value",
+                                      order_tiebreak="event_id").collect()}
+    assert out[1]["twa_value"] is None and out[1]["span_ms"] == 0
+    # the first of the duplicate pair holds 0 ms; the second holds the
+    # full hour -> twa == 7 exactly, regardless of tiebreak direction
+    assert out[2]["twa_value"] == pytest.approx(7.0)
+
+
+# --------------------------------------------------- transition matrix
+
+
+def test_transition_matrix_counts_and_conditional_prob(spark):
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 10), "a"),
+         (2, 1, datetime(2024, 1, 1, 11), "b"),
+         (3, 1, datetime(2024, 1, 1, 12), "a"),
+         (4, 2, datetime(2024, 1, 1, 10), "a"),
+         (5, 2, datetime(2024, 1, 1, 11), "b"),
+         # user 3 contributes no transition (single event)
+         (6, 3, datetime(2024, 1, 1, 10), "z")],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    out = {(r["prev_type"], r["next_type"]): r for r in
+           analytics.transition_matrix(df, "user_id", "ts", "event_type",
+                                       order_tiebreak="event_id").collect()}
+    assert out[("a", "b")]["n_transitions"] == 2
+    assert out[("b", "a")]["n_transitions"] == 1
+    assert out[("a", "b")]["prob"] == 1.0       # a only ever -> b
+    assert out[("b", "a")]["prob"] == 1.0
+    assert ("z", "a") not in out and ("a", "z") not in out
+
+
+# ------------------------------------------------------------ trend OLS
+
+
+def test_trend_ols_exact_line_and_degenerate_keys(spark):
+    df = spark.createDataFrame(
+        # user 1: value rises exactly 24 units/day
+        [(1, datetime(2024, 1, 1, 0), 0.0),
+         (1, datetime(2024, 1, 1, 6), 6.0),
+         (1, datetime(2024, 1, 1, 12), 12.0),
+         # user 2: flat -> slope 0
+         (2, datetime(2024, 1, 1, 0), 5.0),
+         (2, datetime(2024, 1, 2, 0), 5.0),
+         # user 3: single point -> NULL slope
+         (3, datetime(2024, 1, 1, 0), 9.0)],
+        "user_id bigint, ts timestamp, value double")
+    out = {r["user_id"]: r for r in
+           analytics.trend_ols(df, "user_id", "ts", "value").collect()}
+    assert out[1]["slope_per_day"] == pytest.approx(24.0)
+    assert out[2]["slope_per_day"] == 0.0
+    assert out[3]["slope_per_day"] is None
+    assert out[3]["n_points"] == 1
