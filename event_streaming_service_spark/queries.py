@@ -118,6 +118,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "twa_value_per_user",
     "event_transition_matrix",
     "value_trend_per_user",
+    "table_profile_surface",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
