@@ -286,3 +286,45 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
             .select("w1", "w2", F.col("c_xy").alias("pair_count"), "pmi")
             .orderBy(F.col("pmi").desc(), "w1", "w2")
             .limit(top_n))
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 2,
+                   postings_cap: int = 20) -> DataFrame:
+    """Inverted-index construction: term -> (document frequency, total
+    term frequency, the first `postings_cap` posting doc ids in id
+    order) — the batch indexing job behind corpus search/retrieval
+    pipelines, and the missing sibling of tf-idf (which consumes these
+    statistics; this op MATERIALIZES the index).
+
+    `min_df` drops hapax/noise terms; the postings list is capped (in
+    deterministic doc-id order) so a stopword's posting row cannot
+    become a multi-GB array — df/cf remain EXACT over all documents,
+    only the materialized id list truncates, which is how production
+    indexes handle their tails (skip lists / block-max continuations).
+
+    Plan shape for 100 TB: explode to (term, doc) -> hash aggregate at
+    that grain (tf per doc-term, map-side combine absorbs within-doc
+    repeats) -> hash aggregate per term building the capped sorted
+    postings via slice(array_sort(collect_list)). The only per-term
+    state is the collected id list, bounded by the term's df; the cap
+    applies at projection (collect_list over pre-aggregated doc-grain
+    rows, not raw tokens). Postings render as a comma-joined string so
+    the surface is engine-portable.
+    """
+    tok = (docs
+           .select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("term"))
+           .groupBy("term", id_col)
+           .agg(F.count(F.lit(1)).alias("__tf")))
+    return (tok
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("__tf").alias("cf"),
+                 F.array_join(
+                     F.transform(
+                         F.slice(F.array_sort(F.collect_list(id_col)),
+                                 1, postings_cap),
+                         lambda x: x.cast("string")),
+                     ",").alias("postings"))
+            .where(F.col("df") >= min_df))

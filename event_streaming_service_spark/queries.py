@@ -119,6 +119,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "event_transition_matrix",
     "value_trend_per_user",
     "table_profile_surface",
+    "pareto_frontier_parts",
+    "inverted_index_terms",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
