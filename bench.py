@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_supplier",     # EXISTS/NOT-EXISTS decorrelated
     "heavy_hitter_tokens",           # MG candidates + exact verify
     "audio_features_wav",            # real RIFF/PCM16 decode per doc
+    # round-4 second wave: analytics + profiling + skyline + index
+    "twa_value_per_user",            # interval-weighted mean, one shuffle
+    "value_trend_per_user",          # OLS-as-aggregation decimal sums
+    "table_profile_surface",         # 11-column unpivot profile
+    "pareto_frontier_parts",         # grouped skyline windows
+    "inverted_index_terms",          # explode + 2-level agg + postings
 ]
 
 

@@ -1,0 +1,53 @@
+"""Robust anomaly detection: per-key median/MAD outlier flagging —
+the monitoring-side query (latency spikes, metric excursions) the
+reference's fixed HAVING thresholds (service/EventStatisticsService
+health checks) approximate with constants. Median/MAD is the robust
+version: immune to the outliers it hunts, unlike mean/stddev.
+
+Exactness: values quantize to micro-units (floor(v*1e6+0.5), the
+money.py convention) BEFORE the medians, so both engines interpolate
+even-count medians over identical integers — the interpolated results
+are exact multiples of 0.5 (and the second-level MAD of 0.25), all
+representable in doubles, so no ulp drift enters before the single
+pinned z-score rounding.
+
+Scale: two median aggregates on the key (Spark's exact `median`
+buffers a group's values on one executor — same hot-key caveat as
+sessionize; pre-aggregate or sample upstream if one key holds 10^8+
+rows) plus one broadcast-sized join of per-key stats back to the
+rows. Keys whose MAD is zero (majority-constant signals) emit
+nothing, by convention — no robust scale means no robust outliers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): MAD -> sigma-equivalent
+
+
+def mad_outliers(df: DataFrame, key_col: str, value_col: str,
+                 threshold: float = 3.5,
+                 id_cols: list[str] | None = None) -> DataFrame:
+    """Rows whose robust z-score |0.6745 * (v - median) / MAD| exceeds
+    `threshold` within their key group. Output: id cols + key + the
+    original value + med/mad (micro-units) + the 6 dp z-score."""
+    ids = list(id_cols or [])
+    v = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5))
+    base = df.select(*ids, F.col(key_col), F.col(value_col),
+                     v.alias("__v"))
+    med = (base.groupBy(key_col)
+           .agg(F.median("__v").alias("med_micro")))
+    with_med = base.join(med, key_col)
+    mad = (with_med
+           .groupBy(key_col)
+           .agg(F.median(F.abs(F.col("__v") - F.col("med_micro")))
+                .alias("mad_micro")))
+    z = (F.lit(MAD_CONSISTENCY) * (F.col("__v") - F.col("med_micro"))
+         / F.col("mad_micro"))
+    return (with_med.join(mad, key_col)
+            .where((F.col("mad_micro") > 0)
+                   & (F.abs(z) > F.lit(threshold)))
+            .select(*ids, key_col, value_col, "med_micro", "mad_micro",
+                    F.round(z, 6).alias("robust_z")))

@@ -131,3 +131,48 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     out = [(float(q), k, n, resolved[k])
            for k, qlist in sorted(ranks.items()) for q in sorted(qlist)]
     return spark.createDataFrame(out, schema)
+
+
+def equi_width_histogram(df: DataFrame, col: str, n_bins: int,
+                         group_cols: list[str] | None = None) -> DataFrame:
+    """Equi-width histogram of non-null `col` (optionally per group):
+    bin index, inclusive-integer bounds, exact count. Bounds derive
+    from the global (or per-group) min/max so every engine computes
+    identical bins — `col` must be integral (quantize money to cents
+    first), keeping the bin arithmetic exact.
+
+    bin(v) = floor((v - lo) * n_bins / (hi - lo + 1)): integer math,
+    monotone, bins the closed range [lo, hi] into n_bins near-equal
+    cells with no float boundary jitter. Empty bins emit no row (the
+    gapfill operator densifies if a caller wants zeros).
+
+    Plan shape for 100 TB: one tiny bounds aggregate broadcast back
+    (per-group grain), then a single hash aggregate on (group, bin) —
+    map-side combine collapses everything before the shuffle, so the
+    exchange carries at most groups x n_bins rows.
+    """
+    groups = list(group_cols or [])
+    x = F.col(col)
+    base = df.where(x.isNotNull())
+    if groups:
+        bounds = base.groupBy(*groups).agg(F.min(x).alias("__lo"),
+                                           F.max(x).alias("__hi"))
+        joined = base.join(F.broadcast(bounds), groups)
+    else:
+        bounds = base.agg(F.min(x).alias("__lo"), F.max(x).alias("__hi"))
+        joined = base.crossJoin(F.broadcast(bounds))
+    width = F.col("__hi") - F.col("__lo") + 1
+    bin_ = F.floor((x - F.col("__lo")) * F.lit(n_bins) / width) \
+            .cast("bigint")
+    return (joined
+            .withColumn("bin", bin_)
+            .groupBy(*groups, "bin", "__lo", "__hi")
+            .agg(F.count(F.lit(1)).alias("n_values"))
+            .select(*groups, "bin",
+                    (F.col("__lo") + F.ceil(F.col("bin") * width
+                                            / F.lit(n_bins)))
+                    .cast("bigint").alias("bin_lo"),
+                    (F.col("__lo") + F.ceil((F.col("bin") + 1) * width
+                                            / F.lit(n_bins))
+                     - 1).cast("bigint").alias("bin_hi"),
+                    "n_values"))

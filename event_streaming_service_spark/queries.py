@@ -121,6 +121,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "table_profile_surface",
     "pareto_frontier_parts",
     "inverted_index_terms",
+    "price_histogram_by_priority",
+    "value_outliers_mad",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

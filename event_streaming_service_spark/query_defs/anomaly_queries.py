@@ -1,0 +1,90 @@
+"""Histogram + robust-outlier queries: per-priority equi-width price
+histograms (operators/quantiles.py:equi_width_histogram) and per-user
+median/MAD anomaly flags (operators/anomaly.py).
+
+Both keep every boundary exact: integer-cents bins with integer
+ceil/floor bounds, micro-unit medians whose interpolated halves are
+exactly representable, and one pinned z-score rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import anomaly, quantiles
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+N_BINS = 20
+
+
+@register(
+    "price_histogram_by_priority",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL),
+    bounds AS (
+        SELECT grp, MIN(v) AS lo, MAX(v) AS hi FROM base GROUP BY grp),
+    binned AS (
+        SELECT b.grp, lo, hi,
+               CAST(FLOOR((v - lo) * {N_BINS} / (hi - lo + 1))
+                    AS BIGINT) AS bin
+        FROM base b JOIN bounds USING (grp))
+    SELECT grp AS o_orderpriority, bin,
+           CAST(lo + CEIL(bin * (hi - lo + 1) / {N_BINS})
+                AS BIGINT) AS bin_lo,
+           CAST(lo + CEIL((bin + 1) * (hi - lo + 1) / {N_BINS}) - 1
+                AS BIGINT) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_values
+    FROM binned GROUP BY grp, bin, lo, hi
+    """,
+    tags=("histogram", "A7", "profiling"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals (integer cents) per
+    order priority: tiny bounds agg broadcast back, then one
+    (group, bin) hash aggregate — the exchange carries at most
+    groups x bins rows."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    pts = orders.where(F.col("o_totalprice").isNotNull()).select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("price_cents"))
+    return quantiles.equi_width_histogram(
+        pts, "price_cents", N_BINS, group_cols=["o_orderpriority"])
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, value,
+               CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+        FROM events),
+    med AS (
+        SELECT user_id, CAST(median(v) AS DOUBLE) AS med_micro
+        FROM base GROUP BY user_id),
+    mad AS (
+        SELECT b.user_id,
+               CAST(median(abs(b.v - m.med_micro)) AS DOUBLE)
+                   AS mad_micro
+        FROM base b JOIN med m USING (user_id) GROUP BY b.user_id)
+    SELECT b.event_id, b.user_id, b.value, m.med_micro, d.mad_micro,
+           ROUND(0.6745 * (b.v - m.med_micro) / d.mad_micro, 6)
+               AS robust_z
+    FROM base b JOIN med m USING (user_id) JOIN mad d USING (user_id)
+    WHERE d.mad_micro > 0
+      AND ABS(0.6745 * (b.v - m.med_micro) / d.mad_micro) > 3.5
+    """,
+    tags=("anomaly", "A7", "A11"),
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust z-score outliers of event values: micro-unit
+    median/MAD, |z| > 3.5 — the robust version of the reference's
+    fixed health thresholds."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return anomaly.mad_outliers(events, "user_id", "value",
+                                threshold=3.5, id_cols=["event_id"])
