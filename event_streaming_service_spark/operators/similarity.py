@@ -527,3 +527,40 @@ def semantic_dedup_clusters(vectors: DataFrame, threshold: float,
                     .alias("cluster_size"),
                     (F.col("vec_id") == F.col("cluster_id"))
                     .alias("is_canonical")))
+
+
+def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column, long form: one row
+    per (label, dim) with the exact member count and the 9 dp mean
+    component — the class-prototype aggregation behind semantic
+    search calibration, cluster drift monitoring, and the IVF
+    coarse-quantizer refresh (similarity.py:ivf_topk consumes exactly
+    these prototypes).
+
+    Cross-engine determinism: components quantize to micro-units
+    (floor(x*1e6+0.5) over the float->double widening) BEFORE the sum,
+    so the per-dim accumulation is exact bigint math whatever the
+    partitioning; the single mean division is pinned at 9 dp.
+
+    Plan shape for 100 TB: posexplode multiplies rows by the dimension
+    (the standard long-form trade), then ONE hash aggregate on
+    (label, dim) — labels x dims groups, map-side combine absorbs the
+    fan-out before the shuffle. No vector ever concentrates on one
+    task; the wide-form alternative (aggregate a whole array per
+    label) ships full vectors through a single reducer per label.
+    """
+    dim_val = F.posexplode(F.col(vec_col))
+    micro = F.floor(F.col("__val").cast("double") * F.lit(1e6)
+                    + F.lit(0.5))
+    return (embeddings
+            .select(F.col(label_col), dim_val.alias("__dim", "__val"))
+            .select(label_col, (F.col("__dim") + 1).alias("dim"),
+                    micro.alias("__m"))
+            .groupBy(label_col, "dim")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum("__m").alias("__s"))
+            .select(label_col, "dim", "n_vectors",
+                    F.round(F.col("__s").cast("double")
+                            / F.col("n_vectors").cast("double")
+                            / F.lit(1e6), 9).alias("centroid")))

@@ -123,6 +123,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "inverted_index_terms",
     "price_histogram_by_priority",
     "value_outliers_mad",
+    "orders_grouping_sets",
+    "embedding_centroids_by_label",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
