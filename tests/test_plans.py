@@ -273,3 +273,40 @@ def test_q16_exclusion_is_broadcast_anti_join(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "tpch_q16_supplier_part_spec_counts")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _exchanges(plan: str) -> int:
+    import re
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_twa_and_trend_share_one_key_exchange(spark, sf_oracle):
+    """time_weighted_avg and trend_ols window+aggregate on the SAME
+    key partitioning: exactly one shuffle end-to-end."""
+    for name in ("twa_value_per_user", "value_trend_per_user"):
+        plan = plan_of(spark, sf_oracle, name)
+        assert _exchanges(plan) == 1, f"{name} re-shuffled"
+        assert "Join" not in plan
+
+
+def test_skyline_grouped_no_join_no_cartesian(spark, sf_oracle):
+    """The grouped skyline is pure windows over the distinct point
+    grid: no join of any kind, two exchanges (points agg, then the
+    per-group dominance windows)."""
+    plan = plan_of(spark, sf_oracle, "pareto_frontier_parts")
+    assert "Join" not in plan
+    assert _exchanges(plan) <= 2
+
+
+def test_histogram_bounds_are_broadcast(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "price_histogram_by_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroids_are_generate_plus_hash_agg(spark, sf_oracle):
+    """Long-form centroid aggregation: explode + hash aggregate, no
+    window, no join, no per-label vector collection."""
+    plan = plan_of(spark, sf_oracle, "embedding_centroids_by_label")
+    assert "Generate" in plan and "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan
