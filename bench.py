@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "table_profile_surface",         # 11-column unpivot profile
     "pareto_frontier_parts",         # grouped skyline windows
     "inverted_index_terms",          # explode + 2-level agg + postings
+    "set_similarity_pairs",          # prefix-filtered shingle PPJoin
 ]
 
 

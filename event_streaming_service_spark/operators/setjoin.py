@@ -1,0 +1,113 @@
+"""Exact set-similarity self-join with prefix filtering (the
+AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08):
+all document pairs whose token-set Jaccard meets a threshold, WITHOUT
+the all-pairs blowup and WITHOUT the recall loss of MinHash-LSH — the
+third point in the near-dup design space next to dedup.py's exact
+shingle join (every shared shingle is a candidate key) and its LSH
+pipeline (probabilistic recall).
+
+The prefix-filter guarantee: order every document's distinct tokens by
+a COMMON global total order (document frequency ascending, token
+ascending — rarest first). If jaccard(a, b) >= t, then a and b must
+share at least one token inside each one's first
+|d| - ceil(t * |d|) + 1 tokens of that order. Contrapositive: pairs
+sharing only non-prefix tokens cannot reach the threshold, so joining
+on PREFIX tokens only finds every qualifying pair — exactness by
+theorem, not by tuning. Because prefixes hold each document's RAREST
+tokens, the candidate join's key frequencies are inherently capped
+(the stopword fan-out that forces dedup.py's hot-shingle cap never
+enters the join at all).
+
+Thresholds are rationals (num/den), and the accept test
+`den * overlap >= num * union` runs in exact integer arithmetic — no
+float boundary can flip membership between engines.
+
+Plan shape for 100 TB: distinct (doc, token) -> token-frequency
+aggregate joined back on the token key (co-partitioned) -> per-doc
+rank window for the prefix -> candidate self-join keyed on prefix
+tokens -> exact verify joining each candidate pair to the two sorted
+token arrays (array_intersect per pair, cost bounded by document
+length). Every join is an equi-join; the one window partitions by
+document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators.text import (
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def set_similarity_join(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold_num: int = 7,
+                        threshold_den: int = 10,
+                        shingle_n: int = 1) -> DataFrame:
+    """All pairs (doc_a < doc_b) with element-set Jaccard >=
+    threshold_num/threshold_den, where the set is the document's
+    distinct tokens (shingle_n=1) or its distinct word n-gram shingles
+    (shingle_n>1 — the production choice: whole-doc unigram sets over
+    a small vocabulary degenerate toward a clique, while shingle
+    vocabulary grows with the corpus and keeps the join selective).
+    Output: doc_a, doc_b, overlap, union_size (exact bigints) and the
+    6 dp jaccard."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+
+    # materialize the token array before shingling (text.py: passing
+    # the split expression inline would re-run the regex per shingle)
+    toked = docs.select(F.col(id_col),
+                        tokens(F.col(text_col)).alias("__toks"))
+    elems = (F.col("__toks") if shingle_n == 1
+             else shingles_from_tokens(F.col("__toks"), shingle_n))
+    tok = (toked
+           .select(F.col(id_col), F.explode(elems).alias("tok"))
+           .distinct())
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (tok.join(df_, "tok")
+              .withColumn("__size", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col)))
+              .withColumn("__rk", F.row_number().over(
+                  Window.partitionBy(id_col)
+                  .orderBy("__df", "tok"))))
+    # prefix length |d| - ceil(t|d|) + 1, exact integer ceil
+    prefix_len = (F.col("__size")
+                  - F.floor((F.col("__size") * threshold_num
+                             + threshold_den - 1) / threshold_den)
+                  + 1)
+    prefix = ranked.where(F.col("__rk") <= prefix_len) \
+                   .select("tok", F.col(id_col).alias("__d"))
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.__d") < F.col("b.__d")))
+            .select(F.col("a.__d").alias("doc_a"),
+                    F.col("b.__d").alias("doc_b"))
+            .distinct())
+
+    sets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("tok")).alias("__set"),
+        F.count(F.lit(1)).alias("__n"))
+    pairs = (cand
+             .join(sets.select(F.col(id_col).alias("doc_a"),
+                               F.col("__set").alias("__sa"),
+                               F.col("__n").alias("__na")), "doc_a")
+             .join(sets.select(F.col(id_col).alias("doc_b"),
+                               F.col("__set").alias("__sb"),
+                               F.col("__n").alias("__nb")), "doc_b"))
+    overlap = F.size(F.array_intersect("__sa", "__sb")).cast("bigint")
+    out = (pairs
+           .withColumn("overlap", overlap)
+           .withColumn("union_size",
+                       F.col("__na") + F.col("__nb") - F.col("overlap")))
+    accept = (F.col("overlap") * F.lit(threshold_den)
+              >= F.col("union_size") * F.lit(threshold_num))
+    return (out.where(accept)
+            .select("doc_a", "doc_b", "overlap", "union_size",
+                    F.round(F.col("overlap").cast("double")
+                            / F.col("union_size").cast("double"), 6)
+                    .alias("jaccard")))

@@ -125,6 +125,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "value_outliers_mad",
     "orders_grouping_sets",
     "embedding_centroids_by_label",
+    "set_similarity_pairs",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.
