@@ -126,6 +126,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "orders_grouping_sets",
     "embedding_centroids_by_label",
     "set_similarity_pairs",
+    "streaming_running_type_counts",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

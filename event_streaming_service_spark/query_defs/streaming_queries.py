@@ -27,7 +27,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.queries import register
@@ -364,3 +364,41 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         lambda s: stateful.ewma_stream(s, EWMA_STREAM_ALPHA),
         "sewma")
+
+
+@register(
+    "streaming_running_type_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM events GROUP BY event_type
+    """,
+    tags=("W1", "A6", "streaming", "update-mode"))
+def q_streaming_running_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """UPDATE-mode streaming aggregation: watermark-free running
+    per-type count + exact cents sum, emitted as a changelog across
+    micro-batches (maxFilesPerTrigger=1 over the 2-part source makes
+    at least two batches, so intermediate emissions really occur).
+    The changelog reconciles to final totals by MAX per key — both
+    aggregates are monotone over the fixture's non-negative values —
+    which the batch GROUP BY oracle then hash-checks, rank included."""
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix="ess-srtc-")
+    src = _stream_src(spark, sf_dir, tmp)
+    sink = f"srtc_{uuid.uuid4().hex[:8]}"
+    q = (sp.running_type_counts(sp.read_event_stream(spark, src))
+         .writeStream.outputMode("update").format("memory")
+         .queryName(sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    w = Window.orderBy(F.col("n_events").desc(), F.col("event_type"))
+    return (spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("value_cents").alias("value_cents"))
+            .withColumn("rnk", F.row_number().over(w).cast("bigint")))

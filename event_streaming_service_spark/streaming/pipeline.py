@@ -213,3 +213,23 @@ def retrying_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str,
     return (stream.writeStream.foreachBatch(handle_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def running_type_counts(stream: DataFrame) -> DataFrame:
+    """Watermark-free running aggregate per event type (count + exact
+    integer-cents value sum) — the UPDATE-mode shape: state is one
+    (count, sum) pair per key, every micro-batch emits the keys it
+    changed with their new running totals. Complements the append-mode
+    windowed aggs (emission driven by watermark finalization) with the
+    live-dashboard form (emission driven by change).
+
+    Because both aggregates are MONOTONE over non-negative inputs, the
+    final value of a key equals the MAX over all its emissions — which
+    is how a consumer reconciles an update-mode changelog without
+    batch ids (query_defs/streaming_queries.py relies on exactly that
+    to oracle-check the changelog against the batch GROUP BY)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (stream
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(cents).alias("value_cents")))

@@ -146,3 +146,33 @@ def test_session_window_exact_gap_boundary_merges(spark):
            .orderBy("end").collect())
     assert [r.n for r in out] == [2, 1]
     assert str(out[0].end) == "2024-01-01 01:00:00"  # last event + gap
+
+
+def test_running_counts_update_mode_emits_changelog(spark, sf_smoke, tmpdir):
+    """UPDATE-mode running aggregate: with 2 micro-batches the memory
+    sink must hold MORE rows than keys (intermediate emissions are
+    real), and the per-key MAX reconciliation must equal the batch
+    GROUP BY totals exactly."""
+    import uuid
+
+    src = _write_source(spark, sf_smoke, tmpdir, n_files=2)
+    sink = f"rtc_{uuid.uuid4().hex[:8]}"
+    q = (sp.running_type_counts(sp.read_event_stream(spark, src))
+         .writeStream.outputMode("update").format("memory")
+         .queryName(sink).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    log = spark.table(sink)
+    keys = log.select("event_type").distinct().count()
+    assert log.count() > keys, "no intermediate emission: single batch?"
+
+    got = {r["event_type"]: (r["n"], r["c"]) for r in
+           log.groupBy("event_type")
+              .agg(F.max("n_events").alias("n"),
+                   F.max("value_cents").alias("c")).collect()}
+    ev = tables.load_table(spark, sf_smoke, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    want = {r["event_type"]: (r["n"], r["c"]) for r in
+            ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(cents).alias("c")).collect()}
+    assert got == want
