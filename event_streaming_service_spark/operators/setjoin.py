@@ -89,8 +89,12 @@ def set_similarity_join(docs: DataFrame, id_col: str = "doc_id",
                     F.col("b.__d").alias("doc_b"))
             .distinct())
 
-    sets = tok.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("tok")).alias("__set"),
+    # verify-side sets come from `ranked`, which the window pass has
+    # already hash-partitioned by document — this groupBy reuses that
+    # exchange instead of re-shuffling `tok` (tok rows are distinct,
+    # so collect_list here IS the set)
+    sets = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("__set"),
         F.count(F.lit(1)).alias("__n"))
     pairs = (cand
              .join(sets.select(F.col(id_col).alias("doc_a"),
