@@ -21,7 +21,7 @@ nothing, by convention — no robust scale means no robust outliers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): MAD -> sigma-equivalent
@@ -51,3 +51,43 @@ def mad_outliers(df: DataFrame, key_col: str, value_col: str,
                    & (F.abs(z) > F.lit(threshold)))
             .select(*ids, key_col, value_col, "med_micro", "mad_micro",
                     F.round(z, 6).alias("robust_z")))
+
+
+def benford_digit_audit(df: DataFrame, amount_col: str,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """First-digit Benford's-law audit of a positive amount column —
+    the fraud/data-quality screen (fabricated or unit-mangled amounts
+    flunk the log-uniform leading-digit distribution that organic
+    multiplicative data follows).
+
+    Output grain: (group..., leading digit 1-9) with the exact
+    observed count, the Benford-expected count, the digit's chi-square
+    contribution, and the group's total chi-square statistic
+    (repeated per row; 8 degrees of freedom). Counts are exact
+    bigints; expected/chi-square are the only float ops, pinned at
+    6 dp, with log10(1 + 1/d) spelled identically in the oracle.
+
+    Plan shape for 100 TB: leading digit is one string op on the cents
+    value; then ONE hash aggregate at (group, digit) grain — at most
+    9 x groups rows survive the map-side combine — and the chi-square
+    rollup is a window over those tiny grouped rows, not the data.
+    """
+    groups = list(group_cols or [])
+    cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    counts = (df.where(cents > 0)
+              .select(*groups, digit.alias("digit"))
+              .groupBy(*groups, "digit")
+              .agg(F.count(F.lit(1)).alias("n_obs")))
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    n_total = F.sum("n_obs").over(w)
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")
+                    .cast("double"))
+    expected = n_total.cast("double") * p_ben
+    contrib = ((F.col("n_obs").cast("double") - expected)
+               * (F.col("n_obs").cast("double") - expected) / expected)
+    return (counts
+            .withColumn("expected_n", F.round(expected, 6))
+            .withColumn("chi2_contrib", F.round(contrib, 6))
+            .withColumn("chi2_group",
+                        F.round(F.sum(contrib).over(w), 6)))

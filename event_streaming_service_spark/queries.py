@@ -127,6 +127,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "embedding_centroids_by_label",
     "set_similarity_pairs",
     "streaming_running_type_counts",
+    "benford_price_audit",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -88,3 +88,43 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = tables.load_table(spark, sf_dir, "events")
     return anomaly.mad_outliers(events, "user_id", "value",
                                 threshold=3.5, id_cols=["event_id"])
+
+
+@register(
+    "benford_price_audit",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority,
+               CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit,
+               COUNT(*) AS n_obs
+        FROM orders
+        WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > 0
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT o_orderpriority, digit, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(SUM(n_obs) OVER (PARTITION BY o_orderpriority)
+                    AS DOUBLE)
+                   * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_n
+        FROM counts)
+    SELECT o_orderpriority, digit, n_obs,
+           ROUND(exp_n, 6) AS expected_n,
+           ROUND((CAST(n_obs AS DOUBLE) - exp_n)
+                 * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 6)
+               AS chi2_contrib,
+           ROUND(SUM((CAST(n_obs AS DOUBLE) - exp_n)
+                     * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n)
+                 OVER (PARTITION BY o_orderpriority), 6) AS chi2_group
+    FROM scored
+    """,
+    tags=("anomaly", "benford", "A5"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per priority class:
+    exact digit counts at (priority, digit) grain, expected counts and
+    chi-square from the pinned log10 expression — the data-quality
+    screen for fabricated or unit-mangled amounts."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return anomaly.benford_digit_audit(
+        orders, "o_totalprice", group_cols=["o_orderpriority"])

@@ -42,3 +42,19 @@ def test_mad_outliers_flags_only_the_spike(spark):
     assert got[0]["robust_z"] > 100
     # key 2 (MAD zero) emits nothing even though all values "equal"
     assert all(r["user_id"] != 2 for r in got)
+
+
+def test_benford_digit_extraction_and_chi2(spark):
+    import math
+
+    # 9 rows with leading cents digits 1..9 once each; 0 amount excluded
+    df = spark.createDataFrame(
+        [(float(d) / 100,) for d in range(10)], "amt double")
+    rows = anomaly.benford_digit_audit(df, "amt").collect()
+    got = {r["digit"]: r for r in rows}
+    assert sorted(got) == list(range(1, 10))
+    assert all(r["n_obs"] == 1 for r in rows)
+    # expected_n for digit 1 with N=9: 9 * log10(2)
+    assert got[1]["expected_n"] == round(9 * math.log10(2), 6)
+    # chi2 identical on every row of the (single) group
+    assert len({r["chi2_group"] for r in rows}) == 1
