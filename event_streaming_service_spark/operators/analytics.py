@@ -220,3 +220,41 @@ def trend_ols(df: DataFrame, key_col: str, ts_col: str,
         F.when(den > 0,
                F.round(num / den * F.lit(86_400_000.0 / 1e6), 9))
         .alias("slope_per_day"))
+
+
+def pearson_corr(df: DataFrame, x_col: str, y_col: str,
+                 group_cols: list[str] | None = None,
+                 x_scale: int = 100, y_scale: int = 100) -> DataFrame:
+    """Per-group Pearson correlation via exact integer moments — the
+    deterministic sibling of Spark's builtin `corr` (whose running
+    double covariance folds in partition order, so the last ulps vary
+    run-to-run; here the five sums are decimal(38,0) over quantized
+    inputs, and the only float ops are the final sqrt and divide,
+    pinned at 9 dp).
+
+    x/y quantize via floor(v * scale + 0.5) (cents by default).
+    Groups with n < 2 or zero variance in either variable emit NULL.
+    One hash aggregate, group-count output rows.
+    """
+    groups = list(group_cols or [])
+    qx = F.floor(F.col(x_col) * F.lit(float(x_scale)) + F.lit(0.5)) \
+          .cast("decimal(38,0)")
+    qy = F.floor(F.col(y_col) * F.lit(float(y_scale)) + F.lit(0.5)) \
+          .cast("decimal(38,0)")
+    agg = (df.select(*groups, qx.alias("__x"), qy.alias("__y"))
+           .groupBy(*groups)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+                F.sum(F.col("__y") * F.col("__y")).alias("__syy")))
+    cov = (F.col("__n") * F.col("__sxy")
+           - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (F.col("__n") * F.col("__sxx")
+          - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (F.col("__n") * F.col("__syy")
+          - F.col("__sy") * F.col("__sy")).cast("double")
+    return agg.select(
+        *groups, F.col("__n").cast("bigint").alias("n_points"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))

@@ -128,6 +128,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "set_similarity_pairs",
     "streaming_running_type_counts",
     "benford_price_audit",
+    "price_quantity_correlation",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -115,3 +115,37 @@ def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key series materialized."""
     events = tables.load_table(spark, sf_dir, "events")
     return analytics.trend_ols(events, "user_id", "ts", "value")
+
+
+@register(
+    "price_quantity_correlation",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        FROM lineitem),
+    s AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM q GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           9)
+           END AS pearson_r
+    FROM s
+    """,
+    tags=("analytics", "correlation", "A5"),
+)
+def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r between quantity and extended price per return flag:
+    exact decimal moment sums, one pinned sqrt/divide — deterministic
+    where the builtin running-covariance corr is not."""
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    return analytics.pearson_corr(lineitem, "l_quantity",
+                                  "l_extendedprice",
+                                  group_cols=["l_returnflag"])
