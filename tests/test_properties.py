@@ -137,3 +137,67 @@ def test_proto_wire_roundtrip_property(meta):
 
     wire = proto_wire.encode_event_metadata(meta)
     assert proto_wire.decode_event_metadata(wire) == meta
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(0, 10_000),
+                          st.floats(min_value=-100, max_value=100,
+                                    allow_nan=False)),
+                min_size=2, max_size=40))
+def test_twa_bounded_by_min_max_and_even_spacing_is_mean(spark, rows):
+    """TWA lies within [min, max] of the key's values; for EVENLY
+    spaced observations it equals the plain mean of all but the last
+    value (each holds exactly one step)."""
+    from datetime import datetime, timedelta
+
+    from event_streaming_service_spark.operators.windows import (
+        time_weighted_avg,
+    )
+    base = datetime(2024, 1, 1)
+    data = [(i, k, base + timedelta(minutes=10 * s), v)
+            for i, (k, s, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, ts timestamp, value double")
+    out = time_weighted_avg(df, "user_id", "ts", "value",
+                            order_tiebreak="event_id").collect()
+    by_key = {}
+    for _, k, ts, v in data:
+        by_key.setdefault(k, []).append((ts, v))
+    for r in out:
+        vals = [v for _, v in by_key[r["user_id"]]]
+        if r["twa_value"] is not None:
+            assert min(vals) - 1e-6 <= r["twa_value"] <= max(vals) + 1e-6
+
+    # even spacing: distinct steps 0..n-1 for one key
+    evenly = [(i, 9, base + timedelta(hours=i), float(v))
+              for i, v in enumerate([3.0, 7.5, -2.25, 10.0])]
+    df2 = spark.createDataFrame(
+        evenly, "event_id bigint, user_id bigint, ts timestamp, value double")
+    row = time_weighted_avg(df2, "user_id", "ts", "value",
+                            order_tiebreak="event_id").first()
+    assert abs(row["twa_value"] - (3.0 + 7.5 - 2.25) / 3) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 500),
+                          st.integers(0, 500)),
+                min_size=2, max_size=40))
+def test_pearson_corr_bounds_and_perfect_line(spark, rows):
+    """|r| <= 1 always; r == 1 exactly for y = 2x + 5."""
+    from event_streaming_service_spark.operators.analytics import (
+        pearson_corr,
+    )
+    df = spark.createDataFrame(
+        [(g, float(x), float(y)) for g, x, y in rows],
+        "g bigint, x double, y double")
+    for r in pearson_corr(df, "x", "y", group_cols=["g"]).collect():
+        if r["pearson_r"] is not None:
+            assert -1.0 <= r["pearson_r"] <= 1.0
+
+    line = spark.createDataFrame(
+        [(0, float(x), 2.0 * x + 5) for x in range(5)],
+        "g bigint, x double, y double")
+    row = pearson_corr(line, "x", "y", group_cols=["g"]).first()
+    assert row["pearson_r"] == 1.0
