@@ -74,6 +74,27 @@ SHOWCASE = {
         "Morton interleave as a pure codegen'd shift/mask expression "
         "tree — 16 bits of two dimensions fused into the projection, "
         "no UDF, then one hash aggregate on the 64-bucket key."),
+    "twa_value_per_user": (
+        "Interval-weighted mean: the lead() window and the final "
+        "aggregate share ONE exchange on the user key; the weighted "
+        "sum folds exact micro-unit x duration integers in a "
+        "decimal(38,0), so the single final division is the only "
+        "float op."),
+    "table_profile_surface": (
+        "11-column profile in one pass per table: explode to "
+        "(column, value) grain, pre-aggregate there (no Expand, no "
+        "per-column count(distinct) hot reducer), then reduce the "
+        "distinct-value frame — every metric an associative fold."),
+    "pareto_frontier_parts": (
+        "Grouped skyline: distinct-point aggregate then two dominance "
+        "windows partitioned by brand — no join, no quadratic pass; "
+        "the oracle is the quadratic NOT EXISTS definition."),
+    "set_similarity_pairs": (
+        "Prefix-filtered set-similarity join: candidates come only "
+        "from each document's rarest-first shingle prefix (exactness "
+        "by the AllPairs theorem), verified with an exact integer "
+        "cross-multiplication; the verify-side sets reuse the window "
+        "pass's doc partitioning."),
 }
 
 
