@@ -9,7 +9,7 @@ are arithmetic over counted ratios. No Python in the hot path — at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # The handful of function-word stopwords that appear in fixtures and
@@ -305,26 +305,32 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
 
     Plan shape for 100 TB: explode to (term, doc) -> hash aggregate at
     that grain (tf per doc-term, map-side combine absorbs within-doc
-    repeats) -> hash aggregate per term building the capped sorted
-    postings via slice(array_sort(collect_list)). The only per-term
-    state is the collected id list, bounded by the term's df; the cap
-    applies at projection (collect_list over pre-aggregated doc-grain
-    rows, not raw tokens). Postings render as a comma-joined string so
-    the surface is engine-portable.
+    repeats) -> ONE shuffle on the term for a rank window that marks
+    the first `postings_cap` doc ids, then the per-term aggregate
+    collects ONLY marked rows — so the collected state is bounded by
+    the cap, never by a stopword's df (collect-then-slice would buffer
+    the full billion-entry posting list before truncating). The hot
+    term's rank is a co-located sort that spills; its memory is
+    bounded. Postings render as a comma-joined string so the surface
+    is engine-portable.
     """
     tok = (docs
            .select(F.col(id_col),
                    F.explode(tokens(F.col(text_col))).alias("term"))
            .groupBy("term", id_col)
            .agg(F.count(F.lit(1)).alias("__tf")))
+    rk = F.row_number().over(
+        Window.partitionBy("term").orderBy(id_col))
     return (tok
+            .withColumn("__rk", rk)
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"),
                  F.sum("__tf").alias("cf"),
                  F.array_join(
                      F.transform(
-                         F.slice(F.array_sort(F.collect_list(id_col)),
-                                 1, postings_cap),
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__rk") <= postings_cap,
+                                    F.col(id_col)))),
                          lambda x: x.cast("string")),
                      ",").alias("postings"))
             .where(F.col("df") >= min_df))
