@@ -141,9 +141,14 @@ def equi_width_histogram(df: DataFrame, col: str, n_bins: int,
     identical bins — `col` must be integral (quantize money to cents
     first), keeping the bin arithmetic exact.
 
-    bin(v) = floor((v - lo) * n_bins / (hi - lo + 1)): integer math,
-    monotone, bins the closed range [lo, hi] into n_bins near-equal
-    cells with no float boundary jitter. Empty bins emit no row (the
+    bin(v) = floor((v - lo) * n_bins / (hi - lo + 1)), with the
+    product evaluated in doubles on BOTH engines (the offset widens to
+    double before multiplying, so no int64 overflow can throw at
+    extreme ranges): exact — hence boundary-jitter-free — whenever
+    (hi - lo) * n_bins stays under 2^53, i.e. any realistic
+    cents/micro-unit range; beyond that, bins stay monotone and both
+    engines still agree (identical double ops), the cells just stop
+    being exactly the integer formula. Empty bins emit no row (the
     gapfill operator densifies if a caller wants zeros).
 
     Plan shape for 100 TB: one tiny bounds aggregate broadcast back
@@ -162,8 +167,8 @@ def equi_width_histogram(df: DataFrame, col: str, n_bins: int,
         bounds = base.agg(F.min(x).alias("__lo"), F.max(x).alias("__hi"))
         joined = base.crossJoin(F.broadcast(bounds))
     width = F.col("__hi") - F.col("__lo") + 1
-    bin_ = F.floor((x - F.col("__lo")) * F.lit(n_bins) / width) \
-            .cast("bigint")
+    bin_ = F.floor((x - F.col("__lo")).cast("double") * F.lit(n_bins)
+                   / width).cast("bigint")
     return (joined
             .withColumn("bin", bin_)
             .groupBy(*groups, "bin", "__lo", "__hi")

@@ -65,14 +65,23 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     column. Always project `tokens(text)` into a column first — passing
     the tokens expression inline would copy the regex-split subtree into
     every lambda element and run it per-shingle instead of per-row
-    (see operators/dedup.shingle_sets)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]),
+    (see operators/dedup.shingle_sets).
+
+    Documents with fewer than n tokens yield an EMPTY array: without
+    the guard, `sequence(1, 0)` counts DOWN in Spark ([1, 0]) and the
+    lambda's element_at(0) throws — a sub-n-token document anywhere in
+    a corpus would crash the whole job (dedup.shingle_sets pre-filters
+    those docs away; setjoin and other callers must not have to)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]),
+            )
         )
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",

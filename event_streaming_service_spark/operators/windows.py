@@ -224,7 +224,11 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
     w = Window.partitionBy(key_col).orderBy(*order)
     ms = wall_clock_millis(F.col(ts_col))
     v_micro = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5))
-    contrib = (F.lead(ms).over(w) - ms) * v_micro
+    # both factors widen to decimal BEFORE the multiply: a day-long
+    # interval (8.6e7 ms) times a 2e11 micro-value already overflows
+    # int64, which would throw under ANSI (silently wrap without)
+    contrib = ((F.lead(ms).over(w) - ms).cast("decimal(38,0)")
+               * v_micro.cast("decimal(38,0)"))
     return (df
             .select(key_col, ms.alias("__ms"),
                     contrib.alias("__contrib"))

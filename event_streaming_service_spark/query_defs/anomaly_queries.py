@@ -30,7 +30,8 @@ N_BINS = 20
         SELECT grp, MIN(v) AS lo, MAX(v) AS hi FROM base GROUP BY grp),
     binned AS (
         SELECT b.grp, lo, hi,
-               CAST(FLOOR((v - lo) * {N_BINS} / (hi - lo + 1))
+               CAST(FLOOR(CAST(v - lo AS DOUBLE) * {N_BINS}
+                          / (hi - lo + 1))
                     AS BIGINT) AS bin
         FROM base b JOIN bounds USING (grp))
     SELECT grp AS o_orderpriority, bin,

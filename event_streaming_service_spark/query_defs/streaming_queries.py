@@ -386,9 +386,6 @@ def q_streaming_running_counts(spark: SparkSession,
     The changelog reconciles to final totals by MAX per key — both
     aggregates are monotone over the fixture's non-negative values —
     which the batch GROUP BY oracle then hash-checks, rank included."""
-    import tempfile
-    import uuid
-
     tmp = tempfile.mkdtemp(prefix="ess-srtc-")
     src = _stream_src(spark, sf_dir, tmp)
     sink = f"srtc_{uuid.uuid4().hex[:8]}"

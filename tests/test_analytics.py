@@ -190,3 +190,18 @@ def test_trend_ols_exact_line_and_degenerate_keys(spark):
     assert out[2]["slope_per_day"] == 0.0
     assert out[3]["slope_per_day"] is None
     assert out[3]["n_points"] == 1
+
+
+def test_twa_day_scale_values_do_not_overflow(spark):
+    """value 2e5 (micro 2e11) held for a day (8.64e7 ms): the per-row
+    product exceeds int64 and must widen to decimal, not throw/wrap."""
+    from event_streaming_service_spark.operators.windows import (
+        time_weighted_avg,
+    )
+    df = _valued(spark, [
+        (1, 1, 0, 0, 200_000.0), (1, 2, 0, 0, 200_000.0),
+        (1, 3, 0, 0, 100_000.0),
+    ])
+    row = time_weighted_avg(df, "user_id", "ts", "value",
+                            order_tiebreak="event_id").first()
+    assert row["twa_value"] == pytest.approx(200_000.0)

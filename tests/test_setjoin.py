@@ -53,3 +53,17 @@ def test_disjoint_docs_emit_nothing(spark):
     df = spark.createDataFrame(
         [(1, "x y z"), (2, "p q r")], "doc_id bigint, text string")
     assert setjoin.set_similarity_join(df).count() == 0
+
+
+def test_sub_shingle_documents_do_not_crash(spark):
+    """A corpus containing empty/short documents must not crash the
+    shingle path (sequence(1,0) counts DOWN in Spark; the operator
+    guards with an empty shingle array)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "hi there"), (4, ""), (5, "one")],
+        "doc_id bigint, text string")
+    rows = setjoin.set_similarity_join(df, threshold_num=7,
+                                       threshold_den=10,
+                                       shingle_n=3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]

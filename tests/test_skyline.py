@@ -66,18 +66,3 @@ def test_single_bucket_degenerate_price_range(spark):
                                "p bigint, q bigint")
     rows = skyline.pareto_frontier(df, "p", "q", n_buckets=4).collect()
     assert [(r["p"], r["q"], r["n_items"]) for r in rows] == [(7, 2, 3)]
-
-
-def test_inverted_index_cap_and_min_df(spark):
-    from event_streaming_service_spark.operators import text
-    docs = spark.createDataFrame(
-        [(i, "common word" + (" rare" if i == 3 else ""))
-         for i in range(5)] + [(99, "common common common")],
-        "doc_id bigint, text string")
-    out = {r["term"]: r for r in
-           text.inverted_index(docs, min_df=2, postings_cap=3).collect()}
-    assert "rare" not in out                       # df 1 < min_df
-    assert out["common"]["df"] == 6
-    assert out["common"]["cf"] == 8                # doc 99 has tf 3
-    assert out["common"]["postings"] == "0,1,2"    # capped, id-ordered
-    assert out["word"]["postings"] == "0,1,2"
