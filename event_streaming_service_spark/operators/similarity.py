@@ -559,7 +559,9 @@ def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                     micro.alias("__m"))
             .groupBy(label_col, "dim")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
-                 F.sum("__m").alias("__s"))
+                 # decimal accumulator: a billion-row label with large
+                 # unnormalized components would overflow a bigint sum
+                 F.sum(F.col("__m").cast("decimal(38,0)")).alias("__s"))
             .select(label_col, "dim", "n_vectors",
                     F.round(F.col("__s").cast("double")
                             / F.col("n_vectors").cast("double")
