@@ -129,6 +129,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "streaming_running_type_counts",
     "benford_price_audit",
     "price_quantity_correlation",
+    "pagerank_trade_graph",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

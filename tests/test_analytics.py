@@ -205,3 +205,26 @@ def test_twa_day_scale_values_do_not_overflow(spark):
     row = time_weighted_avg(df, "user_id", "ts", "value",
                             order_tiebreak="event_id").first()
     assert row["twa_value"] == pytest.approx(200_000.0)
+
+
+# ------------------------------------------------------------ PageRank
+
+
+def test_pagerank_integer_fixpoint_and_symmetry(spark):
+    from event_streaming_service_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle is stationary at the start mass
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r["node"]: r["rank_nano"]
+           for r in pagerank(cyc, iterations=7).collect()}
+    assert got == {"a": 1_000_000_000, "b": 1_000_000_000}
+
+    # path a-b-c (undirected): ends stay symmetric, center dominates
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string")
+    one = {r["node"]: r["rank_nano"]
+           for r in pagerank(path, iterations=1).collect()}
+    assert one["a"] == one["c"] == 150_000_000 + 425_000_000
+    assert one["b"] == 150_000_000 + 2 * 850_000_000
