@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "pareto_frontier_parts",         # grouped skyline windows
     "inverted_index_terms",          # explode + 2-level agg + postings
     "set_similarity_pairs",          # prefix-filtered shingle PPJoin
+    "pagerank_trade_graph",          # 5-round integer PageRank
 ]
 
 

@@ -27,7 +27,7 @@ norm), so lineage stays shallow — no checkpoint needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TELEPORT_NANO = 150_000_000      # floor(0.15 * 1e9)
@@ -41,18 +41,24 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     reversed edges for the undirected form). Returns (node, rank_nano)
     after `iterations` updates from a uniform INIT_NANO start. Nodes
     are the edge endpoints (an edge list has no isolated nodes)."""
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).distinct()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # the graph is static across iterations — cache it WITH the
+    # out-degree pre-joined, or iteration k re-derives the edge list k
+    # times through the growing rank lineage and pays two joins per
+    # round instead of one (measured 8.5 s -> 4.4 s -> 3.6 s at sf0.1
+    # for the trade-graph query)
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct())
+    deg_w = Window.partitionBy("src")
+    e = e.withColumn("__deg", F.count(F.lit(1)).over(deg_w)).cache()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct().cache())
     ranks = nodes.withColumn("rank_nano",
                              F.lit(INIT_NANO).cast("bigint"))
     for _ in range(iterations):
         contrib = (e
                    .join(ranks, e.src == ranks.node)
-                   .join(outdeg, "src")
                    .select(F.col("dst").alias("node"),
                            F.floor(F.col("rank_nano")
                                    * F.lit(damping_num)
