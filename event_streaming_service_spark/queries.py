@@ -153,9 +153,13 @@ def register(name: str, oracle: str | None = None, doc: str = "",
 
 
 def ordered_names() -> list[str]:
-    """Registry names, PRIORITY first (driver verification order)."""
+    """Registry names in driver verification order: the 50-slot
+    PRIORITY budget first, then the oracle-backed rotation queue (so a
+    driver budget ever larger than 50 verifies hash-checkable queries
+    before the rows-only tail), then _NEXT, then registration order."""
     _load_all()
-    head = [n for n in PRIORITY + _NEXT if n in REGISTRY]
+    head = [n for n in PRIORITY + PENDING_ROTATION + _NEXT
+            if n in REGISTRY]
     seen = set(head)
     return head + [n for n in REGISTRY if n not in seen]
 
