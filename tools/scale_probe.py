@@ -253,6 +253,38 @@ def probe_profile(spark):
     return sec, "cols=4 rows=30M"
 
 
+
+def probe_setjoin(spark):
+    """300k synthetic docs (15-token texts over a 40k-word vocab, 20k
+    planted near-duplicate pairs differing in one trailing token): the
+    prefix filter must keep the candidate join bounded by rare-token
+    fan-out and find every planted pair (1-token edits of 15-token
+    docs sit above the 0.7 Jaccard threshold: overlap 14 / union 16 =
+    0.875)."""
+    from event_streaming_service_spark.operators.setjoin import (
+        set_similarity_join)
+    base = spark.range(0, 300_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.concat(F.lit("w"),
+                     F.pmod(F.xxhash64("id", F.lit(k)), F.lit(40_000))
+                     .cast("string"))
+            for k in range(15)]).alias("text"))
+    dups = (base.where(F.col("doc_id") < 20_000)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.substring_index("text", " ", 14),
+                             F.lit(" zz")).alias("text")))
+    docs = base.unionByName(dups)
+    t0 = time.perf_counter()
+    out = set_similarity_join(docs, threshold_num=7, threshold_den=10,
+                              shingle_n=1).collect()
+    sec = time.perf_counter() - t0
+    planted = {(a, a + 1_000_000) for a in range(20_000)}
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert planted <= got, f"missed {len(planted - got)} planted pairs"
+    return sec, f"pairs={len(got)} planted_found=all"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -262,6 +294,7 @@ PROBES = {
     "window": probe_window,
     "skyline": probe_skyline,
     "profile": probe_profile,
+    "setjoin": probe_setjoin,
     "ewma": probe_ewma,
     "gapfill": probe_gapfill,
 }
