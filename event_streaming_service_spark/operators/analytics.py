@@ -258,3 +258,48 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
         *groups, F.col("__n").cast("bigint").alias("n_points"),
         F.when((vx > 0) & (vy > 0),
                F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))
+
+
+def last_touch_attribution(events: DataFrame, key_col: str, ts_col: str,
+                           type_col: str, conversion_type: str,
+                           touch_types: list[str],
+                           window_ms: int = 7 * 86_400_000,
+                           id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent touch event (same key, strictly earlier, within the
+    lookback window) — the marketing-analytics join every event
+    warehouse runs, expressed WITHOUT a self-join: one range-framed
+    window over the key's timeline carries the best touch to each
+    conversion.
+
+    Deterministic winner: "most recent" ties at the same millisecond
+    resolve by the highest id — the window takes max(struct(ms, id,
+    type)), whose lexicographic order both engines share; equal-ms
+    touches never race on partition order. Conversions with no touch
+    in the window emit NULL touch columns (left semantics).
+
+    Plan shape for 100 TB: ONE shuffle on the key; the range frame
+    [ms - window, ms - 1] bounds state by the window width, and no
+    conversions x touches pair set ever materializes (the SQL oracle's
+    join + row_number form does exactly that, quadratically per key).
+    """
+    ms = wall_clock_millis(F.col(ts_col))
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch = F.when(is_touch, F.struct(
+        ms.alias("ms"), F.col(id_col).alias("id"),
+        F.col(type_col).alias("t")))
+    w = (Window.partitionBy(key_col).orderBy(ms.alias("__ms"))
+         .rangeBetween(-window_ms, -1))
+    best = F.max(touch).over(w)
+    return (events
+            .select(F.col(id_col), F.col(key_col), F.col(type_col),
+                    ms.alias("__ms"), best.alias("__best"))
+            .where(F.col(type_col) == conversion_type)
+            .select(F.col(id_col).alias("conversion_id"),
+                    F.col(key_col),
+                    F.col("__ms").alias("conversion_ms"),
+                    F.col("__best.id").alias("touch_id"),
+                    F.col("__best.t").alias("touch_type"),
+                    F.col("__best.ms").alias("touch_ms"),
+                    (F.col("__ms") - F.col("__best.ms"))
+                    .alias("ms_since_touch")))

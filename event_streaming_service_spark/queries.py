@@ -130,6 +130,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "benford_price_audit",
     "price_quantity_correlation",
     "pagerank_trade_graph",
+    "orders_snapshot_diff",
+    "purchase_attribution_last_touch",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

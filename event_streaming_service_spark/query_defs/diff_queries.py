@@ -1,0 +1,122 @@
+"""Snapshot-diff + attribution queries: classify a rerun's changes
+(operators/diff.py:table_diff) and attribute purchases to their last
+marketing touch (operators/analytics.py:last_touch_attribution).
+
+The diff's "two versions" derive deterministically from the orders
+fixture (drop every 97th key, perturb every 13th price, add a shifted
+copy of every 101st row), so both engines build identical inputs; the
+attribution oracle is the quadratic join + row_number form the
+window implementation avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import analytics, diff
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+WEEK_MS = 7 * 86_400_000
+
+_VERSIONS = """
+    old_v AS (
+        SELECT o_orderkey,
+               o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS total_cents
+        FROM orders),
+    new_v AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN total_cents + 1
+                    ELSE total_cents END AS total_cents
+        FROM old_v WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, total_cents
+        FROM old_v WHERE o_orderkey % 101 = 0)
+"""
+
+_DIGEST_OLD = ("md5(COALESCE(CAST(LENGTH(CAST(o_orderstatus AS VARCHAR)) "
+               "AS VARCHAR), '-') || ':' || "
+               "COALESCE(CAST(o_orderstatus AS VARCHAR), '') || '|' || "
+               "COALESCE(CAST(LENGTH(CAST(total_cents AS VARCHAR)) "
+               "AS VARCHAR), '-') || ':' || "
+               "COALESCE(CAST(total_cents AS VARCHAR), ''))")
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH {_VERSIONS},
+    o AS (SELECT o_orderkey, {_DIGEST_OLD} AS old_digest FROM old_v),
+    n AS (SELECT o_orderkey, {_DIGEST_OLD} AS new_digest FROM new_v)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.old_digest IS NULL THEN 'added'
+                WHEN n.new_digest IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS change_kind,
+           o.old_digest, n.new_digest
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    """,
+    tags=("diff", "cdc", "J3", "scd"),
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerun reconciliation over two derived order snapshots: one
+    full-outer join on the key carrying only content digests (wide
+    tables diff at key+digest cost); every key classified
+    added/removed/changed/unchanged."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+             .cast("bigint")
+    old_v = orders.select("o_orderkey", "o_orderstatus",
+                          cents.alias("total_cents"))
+    survived = (old_v.where(F.col("o_orderkey") % 97 != 0)
+                .withColumn("total_cents",
+                            F.when(F.col("o_orderkey") % 13 == 0,
+                                   F.col("total_cents") + 1)
+                            .otherwise(F.col("total_cents"))))
+    added = (old_v.where(F.col("o_orderkey") % 101 == 0)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + F.lit(10_000_000)))
+    new_v = survived.unionByName(added)
+    return diff.table_diff(old_v, new_v, ["o_orderkey"],
+                           ["o_orderstatus", "total_cents"])
+
+
+@register(
+    "purchase_attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+        FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+    j AS (
+        SELECT p.event_id AS conversion_id, p.user_id,
+               p.ms AS conversion_ms,
+               t.event_id AS touch_id, t.event_type AS touch_type,
+               t.ms AS touch_ms,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY t.ms DESC, t.event_id DESC) AS rk
+        FROM p LEFT JOIN t
+          ON t.user_id = p.user_id
+         AND t.ms >= p.ms - {WEEK_MS} AND t.ms <= p.ms - 1)
+    SELECT conversion_id, user_id, conversion_ms,
+           touch_id, touch_type, touch_ms,
+           conversion_ms - touch_ms AS ms_since_touch
+    FROM j WHERE rk = 1
+    """,
+    tags=("analytics", "attribution", "J4", "W2"),
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to the most recent
+    view/click within 7 days, per user: one range-framed window, no
+    conversions x touches join; equal-millisecond ties resolve by
+    highest event id in both engines."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return analytics.last_touch_attribution(
+        events, "user_id", "ts", "event_type",
+        conversion_type="purchase", touch_types=["view", "click"],
+        window_ms=WEEK_MS)

@@ -102,8 +102,8 @@ def test_pending_rotation_tail_is_bounded():
     budget (a name in both would double-count a slot)."""
     # Round-5 rotation frees ~45 slots (every current PRIORITY entry
     # becomes prior-green once the round-4 driver run lands), so a
-    # one-round queue of this size drains entirely next round.
-    assert len(PENDING_ROTATION) <= 20, (
+    # one-round queue of this size still drains entirely next round.
+    assert len(PENDING_ROTATION) <= 25, (
         "pending tail too long — consolidate surfaces or rotate")
     assert not set(PENDING_ROTATION) & set(PRIORITY)
     missing = [n for n in PENDING_ROTATION if n not in REGISTRY]
