@@ -132,6 +132,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "pagerank_trade_graph",
     "orders_snapshot_diff",
     "purchase_attribution_last_touch",
+    "scd2_snapshot_asof",
+    "nation_revenue_share_of_region",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

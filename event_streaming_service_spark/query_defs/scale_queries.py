@@ -86,3 +86,53 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("user_id", rsd=0.02)
                  .alias("approx_users"),
                  F.countDistinct("user_id").alias("exact_users")))
+
+
+@register(
+    "scd2_snapshot_asof",
+    oracle=f"""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    dim AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CASE WHEN u.c_custkey IS NULL
+                    THEN TIMESTAMP '{scd.FAR_FUTURE}'
+                    ELSE TIMESTAMP '2024-02-01 00:00:00' END AS valid_to
+        FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2024-02-01 00:00:00',
+               TIMESTAMP '{scd.FAR_FUTURE}'
+        FROM updates
+    )
+    SELECT kind, c_custkey,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM (
+        SELECT 'before' AS kind, * FROM dim
+        WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+          AND valid_to > TIMESTAMP '2024-01-15 00:00:00'
+        UNION ALL
+        SELECT 'after', * FROM dim
+        WHERE valid_from <= TIMESTAMP '2024-02-15 00:00:00'
+          AND valid_to > TIMESTAMP '2024-02-15 00:00:00')
+    """,
+    tags=("scd2", "cdc", "asof", "J4"),
+)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF reads over the SCD2 dimension built by scd2_apply: the
+    same key set reads its pre-update balance at Jan 15 and its
+    post-update balance at Feb 15 — half-open interval semantics, a
+    pushed-down range filter per snapshot, no join."""
+    versioned = q_scd2(spark, sf_dir)
+    before = (scd.snapshot_asof(versioned, "2024-01-15 00:00:00")
+              .select(F.lit("before").alias("kind"), "c_custkey",
+                      F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                      .cast("bigint").alias("acctbal_cents")))
+    after = (scd.snapshot_asof(versioned, "2024-02-15 00:00:00")
+             .select(F.lit("after").alias("kind"), "c_custkey",
+                     F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                     .cast("bigint").alias("acctbal_cents")))
+    return before.unionByName(after)

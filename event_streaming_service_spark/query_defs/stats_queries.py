@@ -7,6 +7,7 @@ sources.tables.with_coordinates, and aggregates with operators.stats.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators import stats
 from event_streaming_service_spark.queries import register
@@ -221,3 +222,56 @@ def q_top_lagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4: top-3 lagging partitions per group
     (EventStreamingHealthIndicator.java:148-151)."""
     return stats.top_lagging(_lag(spark, sf_dir), k=3)
+
+
+@register(
+    "nation_revenue_share_of_region",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS nation_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name)
+    SELECT r_name, n_name,
+           CAST(nation_cents AS BIGINT) AS nation_cents,
+           CAST(SUM(nation_cents) OVER (PARTITION BY r_name)
+                AS BIGINT) AS region_cents,
+           ROUND(CAST(nation_cents AS DOUBLE)
+                 / CAST(SUM(nation_cents) OVER (PARTITION BY r_name)
+                        AS DOUBLE), 6) AS share_of_region
+    FROM rev
+    """,
+    tags=("A3", "A6", "percent-of-parent", "tpch"),
+)
+def q_nation_revenue_share(spark, sf_dir):
+    """Percent-of-parent hierarchy report: each nation's exact
+    integer-cents revenue and its share of the region total — the BI
+    contribution shape, computed as one broadcast-dimension join tree,
+    one hash aggregate, and a window over the 25 grouped rows (the
+    share never re-reads the facts)."""
+    from pyspark.sql import Window
+
+    t = {n: tables.load_table(spark, sf_dir, n)
+         for n in ("orders", "customer", "nation", "region")}
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+             .cast("bigint")
+    rev = (t["orders"]
+           .join(F.broadcast(t["customer"]),
+                 t["orders"].o_custkey == t["customer"].c_custkey)
+           .join(F.broadcast(t["nation"]),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(t["region"]),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .groupBy("r_name", "n_name")
+           .agg(F.sum(cents).alias("nation_cents")))
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name", "n_name", "nation_cents",
+        F.sum("nation_cents").over(w).alias("region_cents"),
+        F.round(F.col("nation_cents").cast("double")
+                / F.sum("nation_cents").over(w).cast("double"), 6)
+        .alias("share_of_region"))
