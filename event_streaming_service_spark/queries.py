@@ -43,17 +43,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 item #1) + third-wave consolidation:
-    # every oracle-backed query that has never received a driver row
-    # sits inside the 50-slot budget this round — the 16 round-3
-    # swap-ins, the 7 round-4 operators (PNG decode x2, streaming
-    # sessions, TPC-H completion), AND the 12 former PENDING_ROTATION
-    # entries. To fit the last 12, seventeen multi-round hash-green
-    # anchors fold into five third-wave union surfaces
-    # (surface_queries3) that keep every operator-family tag inside
-    # the budget; the displaced anchors are all hash-green in
-    # CORRECTNESS_r03 and keep local-gate coverage.
-    # tests/test_priority.py asserts the tag closure.
+    # Round-4 rotation (VERDICT r3 item #1) + consolidation waves 3-4:
+    # every slot holds a query that has never received a driver row —
+    # the 16 round-3 swap-ins, the round-4 operators (PNG decode x2,
+    # streaming sessions, TPC-H completion), the 12 early-round-4
+    # PENDING_ROTATION entries, and 5 late-round-4 promotions. To fit
+    # them, 23 multi-round hash-green anchors fold into six union
+    # surfaces (surface_queries3 + surface_queries4) that keep every
+    # operator-family tag inside the budget; the displaced anchors are
+    # all hash-green in CORRECTNESS_r01-r03 and keep local-gate
+    # coverage. tests/test_priority.py asserts the tag closure.
     #
     # -- never-driver-verified round-3 swap-ins --
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
