@@ -303,3 +303,54 @@ def last_touch_attribution(events: DataFrame, key_col: str, ts_col: str,
                     F.col("__best.ms").alias("touch_ms"),
                     (F.col("__ms") - F.col("__best.ms"))
                     .alias("ms_since_touch")))
+
+
+def session_paths(events: DataFrame, key_col: str, ts_col: str,
+                  type_col: str, gap_ms: int, max_steps: int = 5,
+                  top_n: int = 20,
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """Top journey paths: sessionize each key's timeline
+    (gaps-and-islands, same boundary rule as windows.sessionize), take
+    each session's first `max_steps` event types in (ts, tiebreak)
+    order, render them as an `a>b>c` path string, and rank paths by
+    session count — the "what do users actually do" report that
+    completes the funnel / transition-matrix family with full ordered
+    sequences.
+
+    Deterministic: the within-session order is a total order (ts,
+    tiebreak), and the top-n cut orders by (count desc, path asc) —
+    no tie can flip membership between engines.
+
+    Plan shape for 100 TB: one shuffle on the key for the session
+    window; the per-session fold is collect_list bounded by session
+    length (cap it upstream via max_steps-aware filters if sessions
+    can be pathological); path counting is a hash aggregate whose
+    grain is the path vocabulary; the final top-n is TakeOrdered.
+    """
+    ms = wall_clock_millis(F.col(ts_col))
+    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    with_sess = (events
+                 .withColumn("__ms", ms)
+                 .withColumn("__prev", F.lag("__ms").over(order))
+                 .withColumn("__new",
+                             (F.col("__prev").isNull()
+                              | ((F.col("__ms") - F.col("__prev"))
+                                 > gap_ms)).cast("int"))
+                 .withColumn("__seq", F.sum("__new").over(
+                     order.rowsBetween(Window.unboundedPreceding, 0))))
+    steps = F.slice(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("__ms").alias("m"),
+                F.col(tiebreak_col).alias("i"),
+                F.col(type_col).alias("t")))),
+            lambda x: x["t"]),
+        1, max_steps)
+    paths = (with_sess
+             .groupBy(key_col, "__seq")
+             .agg(F.concat_ws(">", steps).alias("path")))
+    return (paths
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(top_n))

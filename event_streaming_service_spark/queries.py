@@ -133,6 +133,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "purchase_attribution_last_touch",
     "scd2_snapshot_asof",
     "nation_revenue_share_of_region",
+    "session_journey_paths",
 )
 
 # First in line after PRIORITY if the driver's budget is larger than 50.

@@ -120,3 +120,46 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", "ts", "event_type",
         conversion_type="purchase", touch_types=["view", "click"],
         window_ms=WEEK_MS)
+
+
+@register(
+    "session_journey_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts, epoch_ms(ts) AS ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ordered),
+    sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged),
+    paths AS (
+        SELECT user_id, seq,
+               array_to_string(list_slice(
+                   list(event_type ORDER BY ts, event_id), 1, 5), '>')
+                   AS path
+        FROM sess GROUP BY user_id, seq),
+    counted AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path)
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    tags=("analytics", "journey", "W8", "O4", "listagg"),
+)
+def q_session_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 five-step session journey paths over 30-minute-gap
+    sessions: full ordered sequences completing the funnel /
+    transition-matrix family; deterministic top-n by
+    (count desc, path asc)."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return analytics.session_paths(events, "user_id", "ts",
+                                   "event_type",
+                                   gap_ms=30 * 60_000,
+                                   max_steps=5, top_n=20)
