@@ -317,31 +317,30 @@ def session_paths(events: DataFrame, key_col: str, ts_col: str,
     completes the funnel / transition-matrix family with full ordered
     sequences.
 
-    Deterministic: the within-session order is a total order (ts,
-    tiebreak), and the top-n cut orders by (count desc, path asc) —
-    no tie can flip membership between engines.
+    Deterministic: the within-session order is a total order over the
+    FULL-precision (ts, tiebreak) — the sort key carries the original
+    microsecond timestamp, not the millisecond session clock, so two
+    same-millisecond events order identically to the SQL oracle's
+    ORDER BY ts, id — and the top-n cut orders by (count desc,
+    path asc); no tie can flip membership between engines.
 
     Plan shape for 100 TB: one shuffle on the key for the session
-    window; the per-session fold is collect_list bounded by session
-    length (cap it upstream via max_steps-aware filters if sessions
-    can be pathological); path counting is a hash aggregate whose
-    grain is the path vocabulary; the final top-n is TakeOrdered.
+    window (labeling shared with windows.sessionize — one boundary
+    rule, one implementation); the per-session fold is collect_list
+    bounded by session length (cap it upstream via max_steps-aware
+    filters if sessions can be pathological); path counting is a hash
+    aggregate whose grain is the path vocabulary; the final top-n is
+    TakeOrdered.
     """
-    ms = wall_clock_millis(F.col(ts_col))
-    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    with_sess = (events
-                 .withColumn("__ms", ms)
-                 .withColumn("__prev", F.lag("__ms").over(order))
-                 .withColumn("__new",
-                             (F.col("__prev").isNull()
-                              | ((F.col("__ms") - F.col("__prev"))
-                                 > gap_ms)).cast("int"))
-                 .withColumn("__seq", F.sum("__new").over(
-                     order.rowsBetween(Window.unboundedPreceding, 0))))
+    from event_streaming_service_spark.operators.windows import (
+        session_labels,
+    )
+    with_sess = session_labels(events, key_col, ts_col, gap_ms,
+                               tiebreak_col, seq_col="__seq")
     steps = F.slice(
         F.transform(
             F.sort_array(F.collect_list(F.struct(
-                F.col("__ms").alias("m"),
+                F.col(ts_col).alias("m"),
                 F.col(tiebreak_col).alias("i"),
                 F.col(type_col).alias("t")))),
             lambda x: x["t"]),

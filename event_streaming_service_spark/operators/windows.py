@@ -50,6 +50,32 @@ def sliding(df: DataFrame, ts_col: str, width_ms: int, slide_ms: int) -> DataFra
             .drop("__off"))
 
 
+def session_labels(df: DataFrame, key_col: str, ts_col: str,
+                   gap_ms: int, tiebreak_col: str,
+                   seq_col: str = "session_seq") -> DataFrame:
+    """Gaps-and-islands session labeling, shared by `sessionize` (the
+    per-session aggregate) and analytics.session_paths (the journey
+    report): appends `__ms` (wall-clock millis) and `seq_col` to every
+    row. The boundary rule — a gap STRICTLY greater than gap_ms starts
+    a new session; exactly gap_ms merges (the empirically-pinned
+    session_window rule) — lives here and ONLY here, so the two
+    consumers can never silently disagree."""
+    ms = wall_clock_millis(F.col(ts_col))
+    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (df.withColumn("__ms", ms)
+            .withColumn("__prev", F.lag("__ms").over(order))
+            .withColumn(
+                "__new_session",
+                (F.col("__prev").isNull()
+                 | ((F.col("__ms") - F.col("__prev")) > gap_ms))
+                .cast("int"))
+            .withColumn(seq_col,
+                        F.sum("__new_session").over(
+                            order.rowsBetween(Window.unboundedPreceding,
+                                              0)))
+            .drop("__prev", "__new_session"))
+
+
 def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_ms: int,
                tiebreak_col: str) -> DataFrame:
     """W8 session windows: gaps-and-islands — a new session starts when
@@ -59,19 +85,7 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_ms: int,
     This is the batch twin of `session_window(ts, gap)`; in streaming
     the native operator maintains the same semantics incrementally.
     """
-    ms = wall_clock_millis(F.col(ts_col))
-    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    with_gap = (
-        df.withColumn("__ms", ms)
-        .withColumn("__prev", F.lag("__ms").over(order))
-        .withColumn(
-            "__new_session",
-            (F.col("__prev").isNull()
-             | ((F.col("__ms") - F.col("__prev")) > gap_ms)).cast("int"))
-        .withColumn("session_seq",
-                    F.sum("__new_session").over(
-                        order.rowsBetween(Window.unboundedPreceding, 0)))
-    )
+    with_gap = session_labels(df, key_col, ts_col, gap_ms, tiebreak_col)
     return (
         with_gap.groupBy(key_col, "session_seq")
         .agg(

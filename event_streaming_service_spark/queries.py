@@ -136,7 +136,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     "session_journey_paths",
 )
 
-# First in line after PRIORITY if the driver's budget is larger than 50.
+# After PRIORITY and the rotation queue in driver order (a >50 budget
+# reaches the oracle-backed queue first; these rows-only entries come
+# after it — see ordered_names below).
 # Per VERDICT r3 item #7 this tail holds ONLY the intrinsically
 # rows-only queries (no SQL-expressible oracle by nature);
 # tests/test_registry.py asserts every oracle-backed query is either

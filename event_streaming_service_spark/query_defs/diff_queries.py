@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.functions import money
 from event_streaming_service_spark.operators import analytics, diff
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -33,7 +34,10 @@ _VERSIONS = """
                     ELSE total_cents END AS total_cents
         FROM old_v WHERE o_orderkey % 97 <> 0
         UNION ALL
-        SELECT o_orderkey + 10000000, o_orderstatus, total_cents
+        -- added keys NEGATE the source key: orderkeys are >= 1 at any
+        -- scale factor, so negatives are disjoint from every real key
+        -- (an additive shift collides once sf grows past the constant)
+        SELECT -o_orderkey, o_orderstatus, total_cents
         FROM old_v WHERE o_orderkey % 101 = 0)
 """
 
@@ -67,18 +71,16 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables diff at key+digest cost); every key classified
     added/removed/changed/unchanged."""
     orders = tables.load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
-             .cast("bigint")
     old_v = orders.select("o_orderkey", "o_orderstatus",
-                          cents.alias("total_cents"))
+                          money.cents("o_totalprice")
+                          .alias("total_cents"))
     survived = (old_v.where(F.col("o_orderkey") % 97 != 0)
                 .withColumn("total_cents",
                             F.when(F.col("o_orderkey") % 13 == 0,
                                    F.col("total_cents") + 1)
                             .otherwise(F.col("total_cents"))))
     added = (old_v.where(F.col("o_orderkey") % 101 == 0)
-             .withColumn("o_orderkey",
-                         F.col("o_orderkey") + F.lit(10_000_000)))
+             .withColumn("o_orderkey", -F.col("o_orderkey")))
     new_v = survived.unionByName(added)
     return diff.table_diff(old_v, new_v, ["o_orderkey"],
                            ["o_orderstatus", "total_cents"])

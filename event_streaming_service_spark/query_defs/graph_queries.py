@@ -74,7 +74,9 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
                     .alias("dst"))
             .distinct())
+    # no .distinct() here: the c->s and s->c branches are disjoint by
+    # prefix, each already distinct, and pagerank dedups its input
     edges = base.unionByName(
         base.select(F.col("dst").alias("src"),
-                    F.col("src").alias("dst"))).distinct()
+                    F.col("src").alias("dst")))
     return graph.pagerank(edges, iterations=ITERS)

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.functions.money import cents
+from event_streaming_service_spark.functions import money
 from event_streaming_service_spark.operators import scd, skew
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -129,10 +130,8 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned = q_scd2(spark, sf_dir)
     before = (scd.snapshot_asof(versioned, "2024-01-15 00:00:00")
               .select(F.lit("before").alias("kind"), "c_custkey",
-                      F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
-                      .cast("bigint").alias("acctbal_cents")))
+                      money.cents("c_acctbal").alias("acctbal_cents")))
     after = (scd.snapshot_asof(versioned, "2024-02-15 00:00:00")
              .select(F.lit("after").alias("kind"), "c_custkey",
-                     F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
-                     .cast("bigint").alias("acctbal_cents")))
+                     money.cents("c_acctbal").alias("acctbal_cents")))
     return before.unionByName(after)

@@ -257,8 +257,8 @@ def q_nation_revenue_share(spark, sf_dir):
 
     t = {n: tables.load_table(spark, sf_dir, n)
          for n in ("orders", "customer", "nation", "region")}
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
-             .cast("bigint")
+    from event_streaming_service_spark.functions import money
+
     rev = (t["orders"]
            .join(F.broadcast(t["customer"]),
                  t["orders"].o_custkey == t["customer"].c_custkey)
@@ -267,7 +267,8 @@ def q_nation_revenue_share(spark, sf_dir):
            .join(F.broadcast(t["region"]),
                  F.col("n_regionkey") == F.col("r_regionkey"))
            .groupBy("r_name", "n_name")
-           .agg(F.sum(cents).alias("nation_cents")))
+           .agg(F.sum(money.cents("o_totalprice"))
+                .alias("nation_cents")))
     w = Window.partitionBy("r_name")
     return rev.select(
         "r_name", "n_name", "nation_cents",

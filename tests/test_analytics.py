@@ -228,3 +228,46 @@ def test_pagerank_integer_fixpoint_and_symmetry(spark):
            for r in pagerank(path, iterations=1).collect()}
     assert one["a"] == one["c"] == 150_000_000 + 425_000_000
     assert one["b"] == 150_000_000 + 2 * 850_000_000
+
+
+# -------------------------------------------------------- journey paths
+
+
+def test_session_paths_boundaries_slice_and_microsecond_order(spark):
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    gap = 30 * 60_000
+    rows = [
+        # user 1 session A: exactly-gap events MERGE (boundary rule);
+        # two same-millisecond events order by MICROsecond ts, not id
+        (9, 1, base, "a"),
+        (3, 1, base + timedelta(microseconds=200), "b"),
+        (5, 1, base + timedelta(minutes=30), "c"),        # == gap: merges
+        # user 1 session B: gap+1ms later -> new session
+        (6, 1, base + timedelta(minutes=60, milliseconds=1), "d"),
+        # user 2: six events -> path truncated to max_steps=5
+        *[(10 + i, 2, base + timedelta(seconds=i), t)
+          for i, t in enumerate("uvwxyz")],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    got = {r["path"]: r["n_sessions"] for r in
+           analytics.session_paths(df, "user_id", "ts", "event_type",
+                                   gap_ms=gap, max_steps=5,
+                                   top_n=10).collect()}
+    # same-ms pair: event 9 at .000000 precedes event 3 at .000200
+    assert got == {"a>b>c": 1, "d": 1, "u>v>w>x>y": 1}
+
+
+def test_session_paths_topn_tiebreak_is_total(spark):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, i, base, t) for i, t in
+            enumerate(["a", "b", "c", "a"])]   # a:2 sessions, b:1, c:1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string")
+    out = [(r["path"], r["n_sessions"]) for r in
+           analytics.session_paths(df, "user_id", "ts", "event_type",
+                                   gap_ms=1000, max_steps=5,
+                                   top_n=2).collect()]
+    assert sorted(out) == [("a", 2), ("b", 1)]   # b beats c on path asc
