@@ -201,3 +201,54 @@ def test_pearson_corr_bounds_and_perfect_line(spark, rows):
         "g bigint, x double, y double")
     row = pearson_corr(line, "x", "y", group_cols=["g"]).first()
     assert row["pearson_r"] == 1.0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=25))
+def test_skyline_matches_brute_force_property(spark, pts):
+    """Frontier == the literal dominance definition, on arbitrary
+    point multisets (coincident points, degenerate ranges included)."""
+    from event_streaming_service_spark.operators.skyline import (
+        pareto_frontier,
+    )
+    df = spark.createDataFrame(pts, "p bigint, q bigint")
+    got = sorted((r["p"], r["q"]) for r in
+                 pareto_frontier(df, "p", "q", n_buckets=4).collect())
+    want = sorted({
+        a for a in pts
+        if not any(b[0] <= a[0] and b[1] >= a[1]
+                   and (b[0] < a[0] or b[1] > a[1]) for b in pts)})
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=20))
+def test_pagerank_mass_bounds_and_regular_stationarity(spark, raw):
+    """Every node's rank stays within [teleport, teleport + total
+    damped mass]; symmetric edges keep 1-regular graphs stationary."""
+    from event_streaming_service_spark.operators.graph import (
+        INIT_NANO, TELEPORT_NANO, pagerank,
+    )
+    edges = [(f"n{a}", f"n{b}") for a, b in raw if a != b]
+    if not edges:
+        edges = [("n0", "n1")]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    ranks = pagerank(df, iterations=3).collect()
+    n = len(ranks)
+    total_cap = n * INIT_NANO
+    for r in ranks:
+        assert r["rank_nano"] >= TELEPORT_NANO
+        assert r["rank_nano"] <= TELEPORT_NANO + total_cap
+
+
+def test_table_diff_digest_is_prefix_coded(spark):
+    """("ab","c") and ("a","bc") must NOT collide: the length prefix
+    makes the digest a prefix code over tracked columns."""
+    from event_streaming_service_spark.operators.diff import table_diff
+    old = spark.createDataFrame([(1, "ab", "c")], "k bigint, x string, y string")
+    new = spark.createDataFrame([(1, "a", "bc")], "k bigint, x string, y string")
+    row = table_diff(old, new, ["k"], ["x", "y"]).first()
+    assert row["change_kind"] == "changed"
