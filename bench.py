@@ -146,8 +146,12 @@ def main() -> None:
     except ValueError:
         sf_num = -1.0
 
+    # three time-separated sessions (VERDICT r4 item #6): the 2-session
+    # minimum still let host-load spikes through for asof/per_key
+    # walls; a third session costs ~50% more bench time and makes the
+    # recorded minimum robust to a spike landing inside one session.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2")))
+    sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3")))
     timings: dict[str, float] = {}
     for _session in range(sessions):
         spark = get_spark("bench", cpus=CPUS,
@@ -171,7 +175,7 @@ def main() -> None:
 
     timings = {name: round(sec, 3) for name, sec in timings.items()}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -180,7 +184,26 @@ def main() -> None:
         "fixture_prep_sec": prep_sec,
         "runs_per_query": runs,
         "sessions": sessions,
-    }))
+    }
+    # Output protocol (VERDICT r4 item #2): the driver tail-captures
+    # only the last ~2000 bytes of stdout and parses the LAST line.
+    # The full per-query map outgrew that window in round 4
+    # (BENCH_r04 "parsed": null), so: persist the full record to
+    # BENCH_FULL.json, print it on an early line for humans, and make
+    # the LAST line a compact headline JSON guaranteed to fit the
+    # capture window (per-query map recoverable from the file).
+    full_line = json.dumps(full)
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        f.write(full_line + "\n")
+    if len(full_line) <= 1500:
+        print(full_line)
+    else:
+        print(full_line)
+        compact = dict(full)
+        compact["queries_file"] = "BENCH_FULL.json"
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        compact["queries"] = dict(slowest)
+        print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -152,6 +152,10 @@ def transition_matrix(events: DataFrame, key_col: str, ts_col: str,
     order; the first event of each key has no predecessor and emits no
     row. `prob` is the row-conditional P(next | prev), pinned at 6 dp
     (counts are exact; the one division is the only float op).
+    With order_tiebreak=None, same-timestamp events within a key have
+    nondeterministic lag() adjacency across runs/engines — results are
+    only deterministic when a total-order tiebreak column (e.g.
+    event_id, which the registered query passes) is supplied.
 
     Plan shape for 100 TB: one shuffle on the key for the lag()
     window, then a hash aggregate on (prev, next) — k^2 groups, partial

@@ -13,9 +13,13 @@ Exactness device: ranks live as integer NANO-units. One update is
 is a pure integer function of the graph: the SQL oracle (the same k
 updates unrolled as chained CTEs) matches bit-for-bit, which a
 float PageRank never would (per-node in-edge sums fold in partition
-order). The quotient r*d_num stays below 2^53, so the floored double
-division both engines evaluate is exact (document corpus-scale runs
-should widen to decimal — same one-line cast as trend_ols).
+order). At the default width the quotient r*d_num stays below 2^53,
+so the floored double division both engines evaluate is exact; for
+corpus-scale graphs pass decimal=True and every term widens to
+decimal(38,0) with the floored quotient computed as
+(a - pmod(a, b)) / b — exact at any realistic rank magnitude (the
+division result is integer-valued, so the engine's scale-6 decimal
+quotient is representable exactly).
 
 Scale: one hash-join + aggregate per iteration (edges x ranks on the
 src key, re-aggregated on dst); the edge table is the only large
@@ -36,11 +40,26 @@ INIT_NANO = 1_000_000_000        # unnormalized start mass per node
 
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping_num: int = 85, damping_den: int = 100,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             decimal: bool = False,
+             materialize: bool = False) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (callers union
     reversed edges for the undirected form). Returns (node, rank_nano)
     after `iterations` updates from a uniform INIT_NANO start. Nodes
-    are the edge endpoints (an edge list has no isolated nodes)."""
+    are the edge endpoints (an edge list has no isolated nodes).
+
+    decimal=True widens rank_nano and the per-edge floored quotient to
+    decimal(38,0) for graphs whose rank mass can cross 2^53 (VERDICT
+    r4 item #4); results equal the default path wherever both are in
+    range, and the column type is the only schema difference.
+
+    Caching lifecycle: the edge+degree operand and the node list are
+    cached for the duration of the iterations and — because the result
+    is lazy — stay cached until the caller drops them
+    (spark.catalog.clearCache(), session end). Long-lived drivers that
+    invoke pagerank repeatedly should pass materialize=True: the final
+    ranks are eagerly localCheckpoint-ed (small: one row per node) and
+    the two cached operands are unpersisted before returning."""
     # the graph is static across iterations — cache it WITH the
     # out-degree pre-joined, or iteration k re-derives the edge list k
     # times through the growing rank lineage and pays two joins per
@@ -54,22 +73,40 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().cache())
+    rank_t = "decimal(38,0)" if decimal else "bigint"
     ranks = nodes.withColumn("rank_nano",
-                             F.lit(INIT_NANO).cast("bigint"))
+                             F.lit(INIT_NANO).cast(rank_t))
     for _ in range(iterations):
+        if decimal:
+            # exact floored quotient in decimal: a, b >= 0 integers =>
+            # floor(a/b) = (a - pmod(a,b)) / b, and that division is
+            # integer-valued so the engine's fixed-scale decimal
+            # quotient represents it exactly (never floor a raw
+            # decimal division — its scale-6 rounding can cross an
+            # integer boundary)
+            a = (F.col("rank_nano") * F.lit(damping_num)) \
+                .cast("decimal(38,0)")
+            b = (F.lit(damping_den) * F.col("__deg")) \
+                .cast("decimal(38,0)")
+            quot = ((a - F.pmod(a, b)) / b).cast(rank_t)
+        else:
+            quot = F.floor(F.col("rank_nano") * F.lit(damping_num)
+                           / (F.lit(damping_den) * F.col("__deg")))
         contrib = (e
                    .join(ranks, e.src == ranks.node)
                    .select(F.col("dst").alias("node"),
-                           F.floor(F.col("rank_nano")
-                                   * F.lit(damping_num)
-                                   / (F.lit(damping_den)
-                                      * F.col("__deg")))
-                           .alias("__c")))
+                           quot.alias("__c")))
         ranks = (nodes
                  .join(contrib.groupBy("node")
                        .agg(F.sum("__c").alias("__in")), "node", "left")
                  .select("node",
                          (F.lit(TELEPORT_NANO)
-                          + F.coalesce(F.col("__in"), F.lit(0)))
-                         .cast("bigint").alias("rank_nano")))
+                          + F.coalesce(F.col("__in"),
+                                       F.lit(0).cast(rank_t)))
+                         .cast(rank_t).alias("rank_nano")))
+    if materialize:
+        out = ranks.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
+        return out
     return ranks

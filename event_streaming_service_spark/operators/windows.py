@@ -220,8 +220,14 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
     i < n; the final observation has no holding interval. Keys with one
     observation (or all at one instant) have span 0 and a NULL twa —
     n_events / span_ms let callers distinguish that from missing data.
-    Duplicate timestamps contribute zero-width intervals, so the result
-    is tiebreak-order independent.
+    Duplicate timestamps are NOT order-independent: tied rows get
+    zero-width intervals except the LAST in window order, whose value
+    fills the gap to the next distinct timestamp — so with
+    order_tiebreak=None the result is nondeterministic across
+    runs/engines whenever a key has equal timestamps with different
+    values. Callers needing cross-engine determinism (every registered
+    query does) must pass a total-order tiebreak column such as
+    event_id.
 
     Cross-engine determinism: the weighted sum runs entirely in exact
     integer arithmetic — values quantize to micro-units via

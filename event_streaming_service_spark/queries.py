@@ -43,98 +43,56 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 item #1) + consolidation waves 3-4:
-    # every slot holds a query that has never received a driver row —
-    # the 16 round-3 swap-ins, the round-4 operators (PNG decode x2,
-    # streaming sessions, TPC-H completion), the 12 early-round-4
-    # PENDING_ROTATION entries, and 5 late-round-4 promotions. To fit
-    # them, 23 multi-round hash-green anchors fold into six union
-    # surfaces (surface_queries3 + surface_queries4) that keep every
-    # operator-family tag inside the budget; the displaced anchors are
-    # all hash-green in CORRECTNESS_r01-r03 and keep local-gate
-    # coverage. tests/test_priority.py asserts the tag closure.
+    # Round-5 rotation (VERDICT r4 item #1): the ENTIRE round-4
+    # PENDING_ROTATION queue (25 queries — the only oracle-backed
+    # queries never driver-verified in any round) takes the front of
+    # the budget, draining the backlog to zero. Behind it, twelve
+    # multi-round hash-green union surfaces stay in the budget solely
+    # to keep every SURVEY.md §2 tag and LLM-family tag inside the
+    # first 50 (tests/test_priority.py asserts the closure). The
+    # remaining slots hold round-5 additions plus r4-green anchors.
     #
-    # -- never-driver-verified round-3 swap-ins --
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q9_product_type_profit", "tpch_q13_order_count_distribution",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers", "tpch_q22_global_sales_opportunity",
-    "gapfill_hourly_locf", "ewma_value_per_user",
-    "weighted_sample_by_length", "contamination_flags",
-    "repetition_stats", "ivf_cosine_topk", "token_stats_bpe",
-    "multimodal_resize_plan",
-    # -- new round-4 operators --
-    "multimodal_features_png", "multimodal_resize_png",
-    "streaming_session_windows",
-    # -- consolidated coverage surfaces (waves 1-2; doc_text_metrics
-    #    folded into the fourth-wave corpus_pipeline_surface below) --
+    # -- round-4 second-wave backlog: never driver-verified --
+    "set_similarity_pairs", "pagerank_trade_graph",
+    "table_profile_surface", "pareto_frontier_parts",
+    "inverted_index_terms", "orders_grouping_sets",
+    "price_histogram_by_priority", "value_outliers_mad",
+    "benford_price_audit", "price_quantity_correlation",
+    "twa_value_per_user", "value_trend_per_user",
+    "event_transition_matrix", "orders_snapshot_diff",
+    "purchase_attribution_last_touch", "scd2_snapshot_asof",
+    "session_journey_paths", "nation_revenue_share_of_region",
+    "embedding_centroids_by_label", "cms_token_frequencies",
+    "incremental_dedup_bloom", "fuzzy_name_pairs",
+    "bigram_pmi_top", "streaming_ewma",
+    "streaming_running_type_counts",
+    # -- tag-closure surfaces (all r4 hash-green; each leg delegates
+    #    to the standalone operator builders) --
     "governance_surface", "window_functions_profile",
     "corpus_fingerprint_surface", "ann_cosine_surface",
-    # -- third-wave consolidation surfaces: ops_catalog_surface folds
-    #    catalog_surface + topic_offset_catalog + lag_surface +
-    #    topic_dashboard + replay_slice; routing_pipeline_surface
-    #    folds routing_surface + routing_rule_fanout +
-    #    pipeline_dispositions + dedup_earliest;
-    #    envelope_props_surface folds envelope_projection +
-    #    props_map_functions; joins_surface folds asof + broadcast
-    #    enrichment + range join; streaming_core_surface folds the
-    #    streaming trio --
     "ops_catalog_surface", "routing_pipeline_surface",
     "envelope_props_surface", "joins_surface",
-    "streaming_core_surface",
-    # -- fourth-wave consolidation: corpus_pipeline_surface folds the
-    #    six remaining prior-green doc_id-grain anchors
-    #    (doc_text_metrics + pii_scrub_stats + tfidf_top_terms +
-    #    seq_packing + near_dup_clusters + multimodal_frame_sample),
-    #    freeing five slots for the round-4 PENDING_ROTATION queue --
-    "corpus_pipeline_surface",
-    "funnel_steps_per_user", "cohort_retention_daily",
-    "exact_price_quantiles", "embedding_quantize_int8",
-    "semantic_dedup_clusters",
-    # -- TPC-H completion (never driver-verified, round 4) --
-    "tpch_q2_min_balance_supplier", "tpch_q8_market_share",
-    "tpch_q20_promotable_suppliers", "tpch_q21_waiting_supplier",
-    # -- former PENDING_ROTATION queue, drained by the third wave --
-    "tpch_q11_important_parts", "tpch_q12_late_lines_by_flag",
-    "tpch_q16_supplier_part_spec_counts",
-    "audio_features_wav", "audio_resample_wav",
-    "heavy_hitter_tokens", "zorder_layout_stats",
+    "streaming_core_surface", "corpus_pipeline_surface",
+    "sampling_surface", "nation_presence_full_outer",
+    # -- round-5 additions (registered this round, driver-checked this
+    #    round per the same-round budget rule; slots start as r4-green
+    #    anchors and swap to the new queries as each lands green) --
+    "weighted_sample_by_length", "streaming_interval_join",
     "streaming_static_enrich", "substring_dup_stats",
-    "streaming_interval_join", "streaming_interval_join_outer",
-    "incremental_dedup_new_batch",
+    "zorder_layout_stats", "semantic_dedup_clusters",
+    "embedding_quantize_int8", "funnel_steps_per_user",
+    "cohort_retention_daily",
+    # -- r4-green anchors filling the remaining slots --
+    "exact_price_quantiles", "heavy_hitter_tokens",
+    "streaming_interval_join_outer", "incremental_dedup_new_batch",
 )
 
-# Oracle-backed queries waiting for a driver slot: the fourth-wave
-# consolidation (corpus_pipeline_surface) promoted five of the ten
-# round-4 additions into the budget; this holds the remainder
-# (tests/test_priority.py bounds the tail).
-PENDING_ROTATION: tuple[str, ...] = (
-    "cms_token_frequencies",
-    "incremental_dedup_bloom",
-    "fuzzy_name_pairs",
-    "bigram_pmi_top",
-    "streaming_ewma",
-    "twa_value_per_user",
-    "event_transition_matrix",
-    "value_trend_per_user",
-    "table_profile_surface",
-    "pareto_frontier_parts",
-    "inverted_index_terms",
-    "price_histogram_by_priority",
-    "value_outliers_mad",
-    "orders_grouping_sets",
-    "embedding_centroids_by_label",
-    "set_similarity_pairs",
-    "streaming_running_type_counts",
-    "benford_price_audit",
-    "price_quantity_correlation",
-    "pagerank_trade_graph",
-    "orders_snapshot_diff",
-    "purchase_attribution_last_touch",
-    "scd2_snapshot_asof",
-    "nation_revenue_share_of_region",
-    "session_journey_paths",
-)
+# Oracle-backed queries waiting for a driver slot: DRAINED in round 5
+# (VERDICT r4 item #1) — every oracle-backed query is now either
+# inside the budget or hash-green in a prior round's CORRECTNESS file.
+# New registrations must land inside the 50-slot budget in the same
+# round they are written (the freeze rule).
+PENDING_ROTATION: tuple[str, ...] = ()
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
 # reaches the oracle-backed queue first; these rows-only entries come

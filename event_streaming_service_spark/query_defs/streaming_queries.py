@@ -70,6 +70,18 @@ def _stream_src(spark: SparkSession, sf_dir: str, tmp: str) -> str:
     return src
 
 
+def _await_or_raise(q, seconds: int = 300) -> None:
+    """awaitTermination(timeout) returns False on timeout WITHOUT
+    stopping the query; ignoring that reads the sink mid-flight and
+    silently yields wrong partial totals (ADVICE r4). Raise instead,
+    so a hung availableNow stream is a loud error, never a bad row."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after "
+            f"{seconds}s — refusing to read an incomplete sink")
+
+
 def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix=f"ess-{name}-")
     src = _stream_src(spark, sf_dir, tmp)
@@ -77,7 +89,7 @@ def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataF
     q = (transform(sp.read_event_stream(spark, src))
          .writeStream.outputMode("append").format("memory")
          .queryName(sink).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return spark.table(sink)
 
 
@@ -198,7 +210,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = rollup.start_continuous_rollup(
         sp.read_event_stream(spark, src, max_files_per_trigger=1),
         f"{tmp}/rollup", f"{tmp}/ckpt")
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return rollup.read_rollup(spark, f"{tmp}/rollup")
 
 
@@ -392,7 +404,7 @@ def q_streaming_running_counts(spark: SparkSession,
     q = (sp.running_type_counts(sp.read_event_stream(spark, src))
          .writeStream.outputMode("update").format("memory")
          .queryName(sink).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_or_raise(q)
     w = Window.orderBy(F.col("n_events").desc(), F.col("event_type"))
     return (spark.table(sink)
             .groupBy("event_type")

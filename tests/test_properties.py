@@ -244,6 +244,31 @@ def test_pagerank_mass_bounds_and_regular_stationarity(spark, raw):
         assert r["rank_nano"] <= TELEPORT_NANO + total_cap
 
 
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=20))
+def test_pagerank_decimal_width_matches_bigint_path(spark, raw):
+    """decimal=True (the corpus-scale accumulator width, VERDICT r4
+    item #4) must be value-identical to the default bigint path
+    wherever both are in range, and obey the same mass bounds."""
+    from event_streaming_service_spark.operators.graph import (
+        INIT_NANO, TELEPORT_NANO, pagerank,
+    )
+    edges = [(f"n{a}", f"n{b}") for a, b in raw if a != b]
+    if not edges:
+        edges = [("n0", "n1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    narrow = {r["node"]: r["rank_nano"]
+              for r in pagerank(df, iterations=3).collect()}
+    wide = {r["node"]: int(r["rank_nano"])
+            for r in pagerank(df, iterations=3, decimal=True,
+                              materialize=True).collect()}
+    assert narrow == wide
+    total_cap = len(narrow) * INIT_NANO
+    for v in wide.values():
+        assert TELEPORT_NANO <= v <= TELEPORT_NANO + total_cap
+
+
 def test_table_diff_digest_is_prefix_coded(spark):
     """("ab","c") and ("a","bc") must NOT collide: the length prefix
     makes the digest a prefix code over tracked columns."""
