@@ -1,0 +1,221 @@
+"""Corpus-curation operators for training-data pipelines (round-5
+extension of the SURVEY.md section-2.12 surface): deterministic
+train/val/test splitting, curriculum bucketing, character-entropy
+proxy scoring, BPE merge-pair induction, and vocabulary coverage.
+
+No reference counterpart (the reference is event plumbing); these are
+the standard curation passes between "corpus deduplicated" and
+"corpus shipped to the trainer". All five are built-in column
+expressions + hash aggregates — no Python in any hot path — and every
+reported ratio is exact integer arithmetic (ppm units, DIV), so the
+DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators.linkage import global_rank
+from event_streaming_service_spark.operators.sampling import sample_hash
+from event_streaming_service_spark.operators.text import fan_out, tokens
+
+# ---- deterministic train/val/test split ---------------------------
+
+SPLIT_MILLE = (("train", 900), ("val", 950), ("test", 1000))
+
+
+def split_assign(key: Column,
+                 mille: tuple[tuple[str, int], ...] = SPLIT_MILLE) -> Column:
+    """Content-hash split assignment: pmod(md5-hash(key), 1000) mapped
+    through cumulative permille fences (default 90/5/5). A pure
+    function of the key — stable under retries, repartitioning, and
+    engine choice (the hash is the portable md5-prefix construction
+    from operators/dedup.py), and consistent across tables keyed the
+    same way, so a sidecar table splits identically. At 100 TB this is
+    a stateless projection fully pushed into the scan."""
+    bucket = F.pmod(sample_hash(key), F.lit(1000))
+    expr = F.lit(mille[-1][0])
+    for name, hi in reversed(mille[:-1]):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_assign_sql(key_expr: str,
+                     mille: tuple[tuple[str, int], ...] = SPLIT_MILLE) -> str:
+    from event_streaming_service_spark.operators.dedup import (
+        portable_token_hash_sql,
+    )
+    h = portable_token_hash_sql(f"CAST({key_expr} AS VARCHAR)")
+    b = f"({h}) % 1000"
+    cases = " ".join(f"WHEN {b} < {hi} THEN '{name}'"
+                     for name, hi in mille[:-1])
+    return f"CASE {cases} ELSE '{mille[-1][0]}' END"
+
+
+# ---- curriculum bucketing -----------------------------------------
+
+
+def curriculum_buckets(df: DataFrame, score_col: str, tiebreak_col: str,
+                       n_buckets: int = 10) -> DataFrame:
+    """Equal-count curriculum buckets 1..n over the (score, tiebreak)
+    total order — the "sort by quality, feed easy-to-hard" pass of
+    curriculum training. Adds a `bucket` column.
+
+    bucket = 1 + ((rank - 1) * n) DIV N — the explicit closed form
+    instead of NTILE so both engines compute the identical boundary
+    (NTILE's remainder placement is standard, but the closed form
+    leaves nothing to trust). The global rank is the distributed
+    range-partition + prefix-offset construction (operators/linkage.
+    global_rank) — no single-task sort at any scale; N rides a
+    broadcast single-row aggregate, not a driver count."""
+    ranked = global_rank(df, [score_col, tiebreak_col])
+    total = ranked.agg(F.max("rank").alias("__N"))
+    return (ranked.join(F.broadcast(total))
+            .withColumn(
+                "bucket",
+                (F.lit(1) + F.expr(f"((rank - 1) * {n_buckets}) DIV __N"))
+                .cast("int"))
+            .drop("__N"))
+
+
+# ---- character-distribution Gini (entropy proxy) ------------------
+
+
+def char_gini(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution Gini impurity
+    1 - sum_c (n_c / n)^2 in exact parts-per-million:
+
+        gini_ppm = (n^2 - sum_c n_c^2) * 1_000_000 DIV n^2
+
+    — the rational entropy proxy (Shannon entropy needs a
+    transcendental log whose low bits differ across engines; Gini
+    ranks near-identically for filtering and stays hash-exact). Low
+    values flag degenerate documents (one repeated character);
+    high values approach uniform text. Exactness bound: n * 1000 must
+    stay under 2^31.5 (docs up to ~3e6 chars) so (n^2 - s2) * 1e6
+    fits int64 — beyond that, widen to decimal.
+
+    Plan for 100 TB: explode to (doc, char) but the partial hash
+    aggregate collapses to distinct pairs per partition before the one
+    shuffle on the doc key; alphabet size bounds the per-doc state."""
+    # guard: sequence(1, 0) DESCENDS in Spark (see text.py shingle
+    # note) — an empty/NULL text must yield no char rows, not [1, 0]
+    chars = F.when(
+        F.length(text_col) > 0,
+        F.transform(F.sequence(F.lit(1), F.length(text_col)),
+                    lambda i: F.col(text_col).substr(i, F.lit(1)))
+    ).otherwise(F.array().cast("array<string>"))
+    ch = (fan_out(docs)
+          .select(F.col(id_col), F.explode(chars).alias("ch")))
+    per_char = ch.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_char.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("__s2"))
+    return agg.select(
+        id_col, "n_chars_counted", "distinct_chars",
+        F.when(F.col("n_chars_counted") > 0,
+               F.expr("(n_chars_counted * n_chars_counted - __s2) "
+                      "* 1000000 DIV "
+                      "(n_chars_counted * n_chars_counted)"))
+        .cast("bigint").alias("gini_ppm"))
+
+
+def char_gini_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    return f"""
+    WITH ch AS (
+        SELECT {id_col},
+               unnest(list_transform(range(1, LENGTH({text_col}) + 1),
+                                     i -> substr({text_col}, i, 1))) AS ch
+        FROM {table}),
+    per_char AS (
+        SELECT {id_col}, ch, COUNT(*) AS c FROM ch GROUP BY {id_col}, ch),
+    agg AS (
+        SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM per_char GROUP BY {id_col})
+    SELECT {id_col}, n_chars_counted, distinct_chars,
+           CAST(CASE WHEN n_chars_counted > 0 THEN
+                (n_chars_counted * n_chars_counted - s2) * 1000000
+                // (n_chars_counted * n_chars_counted)
+                END AS BIGINT) AS gini_ppm
+    FROM agg
+    """
+
+
+# ---- BPE merge-pair induction -------------------------------------
+
+
+def bpe_merge_pairs(docs: DataFrame, text_col: str = "text",
+                    top_n: int = 30) -> DataFrame:
+    """The statistic BPE's first merge maximizes: corpus frequency of
+    each adjacent character pair inside whitespace tokens, computed
+    the way real BPE trainers do — over the DISTINCT-word vocabulary
+    weighted by word frequency, never the raw corpus (the vocabulary
+    is orders of magnitude smaller than the token stream, and the
+    char-pair explode runs over it alone). Top-n by (count desc, pair
+    asc) with the deterministic tiebreak, as TakeOrdered.
+
+    Output: pair (2-char string), pair_count (exact bigint)."""
+    tok = (fan_out(docs)
+           .select(F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = (vocab
+             .where(F.length("w") >= 2)
+             .select("wc",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.length("w") - 1),
+                         lambda i: F.col("w").substr(i, F.lit(2))))
+                     .alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(top_n))
+
+
+# ---- vocabulary coverage ------------------------------------------
+
+
+def vocab_coverage(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   vocab_size: int = 500) -> DataFrame:
+    """Per-document coverage by the corpus top-`vocab_size` token
+    vocabulary (count desc, token asc tiebreak): how much of each
+    document a fixed-size tokenizer vocabulary explains — the
+    out-of-vocabulary-rate report every tokenizer-training pipeline
+    runs before freezing its vocab.
+
+        coverage_ppm = in_vocab_tokens * 1_000_000 DIV n_tokens
+
+    Plan for 100 TB: one tokenize pass cached at the (doc, token,
+    count) grain feeding both the vocabulary aggregate and the per-doc
+    coverage; the vocabulary selection is TakeOrdered (distributed
+    top-n, never a single-task sort) and joins back as a broadcast
+    (vocab_size rows). Documents with zero tokens are absent (both
+    engines compute the same inner grain)."""
+    doc_tok = (fan_out(docs)
+               .select(F.col(id_col),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+               .groupBy(id_col, "tok")
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .persist())
+    vocab = (doc_tok.groupBy("tok").agg(F.sum("cnt").alias("c"))
+             .orderBy(F.col("c").desc(), "tok")
+             .limit(vocab_size)
+             .select("tok"))
+    flagged = (doc_tok
+               .join(F.broadcast(vocab.withColumn("__in", F.lit(1))),
+                     "tok", "left"))
+    agg = flagged.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNotNull(), F.col("cnt"))
+              .otherwise(0)).cast("bigint").alias("__in_vocab"))
+    return agg.select(
+        id_col, "n_tokens",
+        (F.col("n_tokens") - F.col("__in_vocab")).alias("oov_tokens"),
+        F.expr("__in_vocab * 1000000 DIV n_tokens").cast("bigint")
+        .alias("coverage_ppm"))

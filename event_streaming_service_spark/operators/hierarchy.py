@@ -1,0 +1,95 @@
+"""Recursive hierarchy rollup: aggregate a measure up an
+arbitrary-depth parent/child tree — the WITH RECURSIVE shape (bill of
+materials, org charts, category trees) that plain GROUP BY ROLLUP
+cannot express because the depth is data-dependent.
+
+No reference counterpart (the closest is the lag rollup's fixed
+two-level grand total, operators/stats.py); this is the one
+TPC-H-adjacent query family the engine lacked (VERDICT r4 item #8).
+
+Spark has no recursive CTE, so the ancestor closure is built by
+ITERATED equi-joins: frontier_0 = (node, node), frontier_{k+1} =
+frontier_k joined one step up the parent edge. Each iteration is one
+hash join; the loop stops when the frontier empties (checked with a
+cheap isEmpty action) or at `max_depth` — a hierarchy's depth is
+log-bounded in practice (10^1..10^2 for real trees), so lineage stays
+shallow and no checkpoint is needed. The closure size is
+sum-over-nodes(depth(node)) ~ N * avg_depth — the same blow-up a
+recursive CTE materializes, distributed over the cluster instead of
+one engine thread.
+
+Exactness: the rollup itself is COUNT + integer SUM over the closure
+— no floats anywhere, so the DuckDB WITH RECURSIVE twin matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ancestor_closure(edges: DataFrame, child_col: str = "child",
+                     parent_col: str = "parent",
+                     max_depth: int = 30,
+                     nodes: DataFrame | None = None) -> DataFrame:
+    """Transitive (ancestor, descendant, depth) closure of a
+    parent/child edge list, INCLUDING the reflexive depth-0 pairs.
+    `nodes` (single column `node`) is the node universe; when omitted
+    it falls back to the edge endpoints — but callers with isolated
+    nodes (no parent, no children) must pass the universe explicitly
+    or those nodes drop out of the reflexive base. Cycles are cut
+    by the max_depth bound (a cycle would otherwise iterate forever —
+    trees and DAG-shaped hierarchies are the contract; detecting a
+    cycle is `closure.where(depth > 0 AND anc = des)`)."""
+    e = (edges.select(F.col(child_col).alias("__c"),
+                      F.col(parent_col).alias("__p"))
+         .where(F.col(parent_col).isNotNull())
+         .distinct()
+         .cache())
+    if nodes is None:
+        nodes = (e.select(F.col("__c").alias("node"))
+                 .unionByName(e.select(F.col("__p").alias("node")))
+                 .distinct())
+    base = nodes.select(F.col("node").alias("anc"),
+                        F.col("node").alias("des"),
+                        F.lit(0).alias("depth"))
+    out = base
+    frontier = base
+    for _ in range(max_depth):
+        frontier = (frontier
+                    .join(e, frontier.anc == e.__c)
+                    .select(F.col("__p").alias("anc"),
+                            F.col("des"),
+                            (F.col("depth") + 1).alias("depth")))
+        # materialize the (shrinking) frontier: the emptiness check
+        # and the union both read it, and without a checkpoint each
+        # level would recompute the whole chain below it
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    e.unpersist()
+    return out
+
+
+def hierarchy_rollup(edges: DataFrame, values: DataFrame,
+                     key_col: str, value_col: str,
+                     child_col: str = "child",
+                     parent_col: str = "parent",
+                     max_depth: int = 30) -> DataFrame:
+    """Subtree aggregate per node: for every node, the count and exact
+    integer sum of `value_col` over ALL its descendants (itself
+    included) plus its subtree height. One closure build + one hash
+    aggregate keyed on the ancestor."""
+    cl = ancestor_closure(
+        edges, child_col, parent_col, max_depth,
+        nodes=values.select(F.col(key_col).alias("node")).distinct())
+    v = values.select(F.col(key_col).alias("des"),
+                      F.col(value_col).alias("__v"))
+    return (cl.join(v, "des")
+            .groupBy("anc")
+            .agg(F.count(F.lit(1)).alias("n_desc"),
+                 F.sum("__v").cast("bigint").alias("subtree_value"),
+                 F.max("depth").cast("int").alias("subtree_height"))
+            .withColumnRenamed("anc", key_col))

@@ -77,9 +77,9 @@ PRIORITY: tuple[str, ...] = (
     # -- round-5 additions (registered this round, driver-checked this
     #    round per the same-round budget rule; slots start as r4-green
     #    anchors and swap to the new queries as each lands green) --
-    "weighted_sample_by_length", "streaming_interval_join",
-    "streaming_static_enrich", "substring_dup_stats",
-    "zorder_layout_stats", "semantic_dedup_clusters",
+    "part_hierarchy_rollup", "dataset_split_assignment",
+    "curriculum_quality_buckets", "char_gini_quality",
+    "bpe_merge_pairs", "vocab_coverage",
     "embedding_quantize_int8", "funnel_steps_per_user",
     "cohort_retention_daily",
     # -- r4-green anchors filling the remaining slots --

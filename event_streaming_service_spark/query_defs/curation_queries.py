@@ -1,0 +1,188 @@
+r"""Corpus-curation queries (operators/curation.py): deterministic
+split assignment, curriculum buckets, char-Gini scoring, BPE merge
+induction, vocabulary coverage — each with an exact DuckDB oracle
+(all ratios are integer ppm, all sums exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import curation
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT {curation.split_assign_sql('doc_id')} AS split,
+               lang, source, n_chars
+        FROM documents),
+    per_source AS (
+        SELECT split, lang, source, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM assigned GROUP BY split, lang, source)
+    SELECT split, lang,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM per_source GROUP BY split, lang
+    """,
+    tags=("2.12-sampling", "sampling", "split"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content hash
+    of doc_id, reported per (split, lang): doc counts, exact char
+    totals, distinct sources (two-level agg — no Expand). The
+    assignment is a pure projection, so at 100 TB the split is free at
+    scan time and identical on every engine and run."""
+    assigned = _docs(spark, sf_dir).withColumn(
+        "split", curation.split_assign(F.col("doc_id")))
+    per_source = (assigned
+                  .groupBy("split", "lang", "source")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("n_chars").alias("chars")))
+    return (per_source
+            .groupBy("split", "lang")
+            .agg(F.sum("n").cast("bigint").alias("n_docs"),
+                 F.sum("chars").cast("bigint").alias("total_chars"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_sources")))
+
+
+_QUALITY_SQL = f"""
+    LEAST(n_chars / 500.0, 1.0) * 0.4
+    + LEAST(len(list_distinct({_TOKS})) * 1.0
+            / greatest(len({_TOKS}), 1) * 2.0, 1.0) * 0.3
+    + LEAST(len(list_filter({_TOKS}, t -> lower(t) IN
+                ('the','a','of','and','is','to','in','it','on','for')))
+            * 1.0 / greatest(len({_TOKS}), 1) * 10.0, 1.0) * 0.3
+"""
+
+
+@register(
+    "curriculum_quality_buckets",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, n_chars, {_QUALITY_SQL} AS quality
+        FROM documents),
+    r AS (
+        SELECT doc_id, n_chars, quality,
+               ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM q)
+    SELECT CAST(1 + ((rnk - 1) * 10) // n AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM r GROUP BY 1
+    """,
+    tags=("quality", "curriculum", "sampling", "window-frames"),
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten equal-count curriculum buckets over the composite quality
+    score (easy-to-hard ordering for curriculum training), with
+    per-bucket doc counts, quality envelope, and exact char totals.
+    The global rank is distributed (range partition + prefix offsets,
+    operators/linkage.global_rank) — no single-task sort; the bucket
+    boundary is the closed form 1 + (rank-1)*10 DIV N in both
+    engines."""
+    from event_streaming_service_spark.query_defs.text_queries import (
+        _token_counts,
+    )
+    counts = _token_counts(spark, sf_dir)
+    n_toks = F.greatest(F.col("n_toks"), F.lit(1))
+    quality = (F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.4
+               + F.least(F.col("n_distinct") * 1.0 / n_toks * 2.0,
+                         F.lit(1.0)) * 0.3
+               + F.least(F.col("n_stops") * 1.0 / n_toks * 10.0,
+                         F.lit(1.0)) * 0.3)
+    scored = counts.select("doc_id", "n_chars", quality.alias("quality"))
+    bucketed = curation.curriculum_buckets(scored, "quality", "doc_id",
+                                           n_buckets=10)
+    return (bucketed
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("quality").alias("min_quality"),
+                 F.max("quality").alias("max_quality"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@register(
+    "char_gini_quality",
+    oracle=curation.char_gini_sql(),
+    tags=("quality", "text", "entropy"),
+)
+def q_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Gini impurity in exact ppm
+    — the rational entropy proxy that flags degenerate/repetitive
+    documents without a cross-engine-fragile log."""
+    return curation.char_gini(_docs(spark, sf_dir))
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS w FROM documents),
+    vocab AS (
+        SELECT w, COUNT(*) AS wc FROM tok GROUP BY w),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+        FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+              FROM vocab WHERE length(w) >= 2))
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 30
+    """,
+    tags=("text", "token-count", "bpe", "collocation"),
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent character pairs by corpus frequency — the
+    statistic BPE's first merge maximizes, computed over the
+    distinct-word vocabulary weighted by word count (the real BPE
+    trainer's optimization: the char explode runs over the vocabulary,
+    not the token stream)."""
+    return curation.bpe_merge_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_coverage",
+    oracle=rf"""
+    WITH dt AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, SUM(cnt) AS c FROM dt GROUP BY tok)
+        ORDER BY c DESC, tok LIMIT 500),
+    agg AS (
+        SELECT d.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN cnt
+                             ELSE 0 END) AS BIGINT) AS in_vocab
+        FROM dt d LEFT JOIN vocab v USING (tok)
+        GROUP BY d.doc_id)
+    SELECT doc_id, n_tokens,
+           n_tokens - in_vocab AS oov_tokens,
+           CAST(in_vocab * 1000000 // n_tokens AS BIGINT)
+               AS coverage_ppm
+    FROM agg
+    """,
+    tags=("text", "token-count", "tfidf", "vocab"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by the corpus top-500 token vocabulary
+    (OOV-rate report for tokenizer freezing): exact ppm coverage, one
+    cached tokenize pass feeding both the vocabulary TakeOrdered and
+    the per-doc aggregate, vocab joined back as a broadcast."""
+    return curation.vocab_coverage(_docs(spark, sf_dir))
