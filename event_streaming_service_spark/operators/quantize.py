@@ -40,6 +40,31 @@ def dim_stats(emb: DataFrame, vec_col: str) -> DataFrame:
                     lambda x: x["mx"]).alias("mxs"))
 
 
+def quantize_codes(emb: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(id, qv) with the int8 code ARRAY itself (same arithmetic as
+    scalar_quantize_int8, which reports integrity stats instead) —
+    the integer representation downstream integer-exact operators
+    (product quantization) build on."""
+    stats = dim_stats(emb, vec_col)
+
+    def mn(i: Column) -> Column:
+        return F.element_at(F.col("mns"), i + 1)
+
+    def mx(i: Column) -> Column:
+        return F.element_at(F.col("mxs"), i + 1)
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v, i: F.when(
+            mx(i) > mn(i),
+            F.floor((v.cast("double") - mn(i)) * F.lit(QLEVELS)
+                    / (mx(i) - mn(i)) + F.lit(0.5)).cast("int") - 127)
+        .otherwise(F.lit(0)))
+    return (emb.join(F.broadcast(stats))
+            .select(F.col(id_col), qv.alias("qv")))
+
+
 def scalar_quantize_int8(emb: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id") -> DataFrame:
     """Quantize each vector against the global per-dim envelope and

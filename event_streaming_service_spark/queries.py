@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "part_hierarchy_rollup", "dataset_split_assignment",
     "curriculum_quality_buckets", "char_gini_quality",
     "bpe_merge_pairs", "vocab_coverage",
-    "embedding_quantize_int8", "funnel_steps_per_user",
+    "pq_cosine_topk", "funnel_steps_per_user",
     "cohort_retention_daily",
     # -- r4-green anchors filling the remaining slots --
     "exact_price_quantiles", "heavy_hitter_tokens",

@@ -1,0 +1,99 @@
+"""Product-quantization ANN query (operators/pq.py): the full PQ
+pipeline — SQ8 int codes, per-subspace sampled codebook, integer
+argmin code assignment, integer ADC top-k — mirrored literally in
+DuckDB SQL. Every step downstream of the (already oracle-proven) SQ8
+quantization is integer arithmetic, so even this 'approximate' index
+is hash-exact cross-engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_service_spark.operators import pq
+from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.sources import tables
+
+_K = 10
+_M = 8        # subspaces
+_DSUB = 8     # dims per subspace (64-dim fixture vectors)
+_NCODES = 16  # codebook size per subspace
+_QMOD = 125   # queries: vec_id % _QMOD == 0
+
+
+@register(
+    "pq_cosine_topk",
+    oracle=f"""
+    WITH dims AS (
+        SELECT pos, MIN(CAST(val AS DOUBLE)) AS mn,
+               MAX(CAST(val AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY pos),
+    stats AS (
+        SELECT list(mn ORDER BY pos) AS mns,
+               list(mx ORDER BY pos) AS mxs
+        FROM dims),
+    q AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1), i ->
+                   CASE WHEN mxs[i] > mns[i]
+                        THEN CAST(FLOOR((CAST(embedding[i] AS DOUBLE)
+                                         - mns[i]) * 254.0
+                                        / (mxs[i] - mns[i]) + 0.5)
+                                  AS INTEGER) - 127
+                        ELSE 0 END) AS qv
+        FROM embeddings, stats),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, qv AS cv
+        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {_NCODES})),
+    subs AS (SELECT unnest(range(0, {_M})) AS m),
+    dist AS (
+        SELECT q.vec_id, s.k, subs.m,
+               CAST(list_sum(list_transform(range(1, {_DSUB} + 1), i ->
+                   CAST(q.qv[subs.m * {_DSUB} + i]
+                        - s.cv[subs.m * {_DSUB} + i] AS BIGINT)
+                   * (q.qv[subs.m * {_DSUB} + i]
+                      - s.cv[subs.m * {_DSUB} + i]))) AS BIGINT) AS d
+        FROM q, seeds s, subs),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, k) AS rn
+            FROM dist) WHERE rn = 1),
+    queries AS (
+        SELECT vec_id AS query_id, qv AS qqv
+        FROM q WHERE vec_id % {_QMOD} = 0),
+    scores AS (
+        SELECT qu.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(list_sum(list_transform(
+                   range(1, {_DSUB} + 1), i ->
+                       CAST(qu.qqv[c.m * {_DSUB} + i] AS BIGINT)
+                       * s.cv[c.m * {_DSUB} + i])) AS BIGINT))
+                    AS BIGINT) AS adc_score
+        FROM queries qu
+        CROSS JOIN codes c
+        JOIN seeds s ON s.k = c.k
+        WHERE c.vec_id <> qu.query_id
+        GROUP BY qu.query_id, c.vec_id)
+    SELECT query_id, neighbor_id, adc_score, rank FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_score DESC,
+                                                neighbor_id)
+                    AS INTEGER) AS rank
+        FROM scores
+    ) WHERE rank <= {_K}
+    """,
+    tags=("similarity", "ann-pq", "quantize", "embedding"),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-10 self-search over the embeddings
+    fixture: 8 subspaces x 16-centroid sampled codebook over the SQ8
+    int representation; code assignment is a pure literal-codebook
+    projection (no join, no shuffle over the corpus) and the ADC scan
+    broadcasts the 4 query vectors."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return pq.pq_topk(emb, k=_K, m_sub=_M, n_codes=_NCODES,
+                      query_mod=_QMOD)

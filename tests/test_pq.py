@@ -1,0 +1,55 @@
+"""Product-quantization tests (operators/pq.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import pq
+from event_streaming_service_spark.operators.quantize import quantize_codes
+
+
+def _emb(spark, n=40, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_seed_vectors_code_to_themselves(spark):
+    """A codebook seed's subvector distance to its own centroid is 0,
+    so (with the smallest-k tiebreak) seed k's code in every subspace
+    is at most k — and exactly k when seed subvectors are distinct."""
+    emb = _emb(spark)
+    out = pq.pq_topk(emb, k=5, m_sub=4, n_codes=8, query_mod=39)
+    rows = out.collect()
+    # queries: vec_id 0 and 39; each gets exactly 5 ranked neighbors
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 39}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == [1, 2, 3, 4, 5]
+        # scores non-increasing with rank, ids excluded self
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a["adc_score"], -a["neighbor_id"]) \
+                >= (b["adc_score"], -b["neighbor_id"])
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_adc_score_is_exact_for_seed_neighbors(spark):
+    """For a neighbor that IS a codebook seed, its PQ reconstruction
+    is itself, so the ADC score must equal the exact integer dot of
+    the two int8 code vectors — the zero-quantization-error case that
+    pins the ADC arithmetic."""
+    emb = _emb(spark, n=12, dim=8)
+    # n_codes=12 makes EVERY vector a seed
+    out = pq.pq_topk(emb, k=11, m_sub=4, n_codes=12, query_mod=11)
+    qv = {r["vec_id"]: list(r["qv"])
+          for r in quantize_codes(emb).collect()}
+    for r in out.where(F.col("query_id") == 0).collect():
+        exact = sum(a * b for a, b in
+                    zip(qv[0], qv[r["neighbor_id"]]))
+        assert r["adc_score"] == exact
