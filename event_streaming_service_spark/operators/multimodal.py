@@ -276,6 +276,89 @@ def resize_png(media_df: DataFrame, target_w: int, target_h: int
     return media_df.mapInPandas(batches, PNG_RESIZE_SCHEMA)
 
 
+PNG_DHASH_SCHEMA = "doc_id bigint, width int, height int, dhash string"
+
+
+def image_dhash_png(media_df: DataFrame, grid_w: int = 9,
+                    grid_h: int = 8) -> DataFrame:
+    """Perceptual image fingerprint (difference hash): decode the PNG,
+    integer grayscale (r+g+b) DIV 3, nearest-neighbor sample to a
+    (grid_w x grid_h) grid with the same src = (dst*size)//target map
+    the resize path uses, then one bit per horizontal neighbor pair
+    (right pixel brighter). The hash renders as a hex string — two hex
+    chars per row byte — so no 64-bit sign games cross engines.
+
+    dHash is the multimodal arm of the dedup family: identical or
+    near-identical images collapse to one hash regardless of their
+    byte-level encoding, and grouping by it is the image analogue of
+    exact_canonical. Every step after the decode is integer, so an
+    SQL oracle regenerates the hash from the pixel formula."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import png_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_codec.decode_png(bytes(payload))
+                h, w, _ = arr.shape
+                gray = arr.astype("int64").sum(axis=2) // 3
+                sx = (np.arange(grid_w, dtype="int64") * w) // grid_w
+                sy = (np.arange(grid_h, dtype="int64") * h) // grid_h
+                g = gray[sy][:, sx]
+                bits = (g[:, 1:] > g[:, :-1]).astype("int64")
+                row_bytes = (bits << np.arange(grid_w - 1)).sum(axis=1)
+                dhash = "".join(f"{int(b):02x}" for b in row_bytes)
+                rows.append((int(doc_id), w, h, dhash))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "dhash"])
+
+    return media_df.mapInPandas(batches, PNG_DHASH_SCHEMA)
+
+
+WAV_FINGERPRINT_SCHEMA = "doc_id bigint, n_frames bigint, afp string"
+
+
+def audio_fingerprint_wav(media_df: DataFrame, n_points: int = 64
+                          ) -> DataFrame:
+    """Acoustic fingerprint: decode the WAV, take channel 0,
+    nearest-neighbor decimate to `n_points` samples
+    (src = (t * n_frames) // n_points), and hash the SIGN OF THE
+    DERIVATIVE — one bit per consecutive pair (later sample strictly
+    greater). Rendered as hex (8 bits per byte, final partial byte
+    zero-padded in the high bits). The shape-of-the-waveform bit
+    pattern survives level scaling and re-encoding — the audio arm of
+    the dedup family, grouped like any content hash; integer end to
+    end, so the SQL oracle regenerates it from the sample formula."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import wav_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr, _rate = wav_codec.decode_wav(bytes(payload))
+                n_frames = arr.shape[0]
+                ch0 = arr[:, 0].astype("int64")
+                src = (np.arange(n_points, dtype="int64")
+                       * n_frames) // n_points
+                s = ch0[src]
+                bits = (s[1:] > s[:-1]).astype("int64")  # n_points-1
+                n_bytes = (n_points - 1 + 7) // 8
+                row_bytes = []
+                for j in range(n_bytes):
+                    chunk = bits[j * 8:(j + 1) * 8]
+                    row_bytes.append(
+                        int((chunk << np.arange(len(chunk))).sum()))
+                afp = "".join(f"{b:02x}" for b in row_bytes)
+                rows.append((int(doc_id), int(n_frames), afp))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "afp"])
+
+    return media_df.mapInPandas(batches, WAV_FINGERPRINT_SCHEMA)
+
+
 def sample_frames(media_df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame sampling: explode one row per sampled frame index — the
     row-multiplying step runs AFTER filtering so only kept frames

@@ -80,8 +80,8 @@ PRIORITY: tuple[str, ...] = (
     "part_hierarchy_rollup", "dataset_split_assignment",
     "curriculum_quality_buckets", "char_gini_quality",
     "bpe_merge_pairs", "vocab_coverage",
-    "pq_cosine_topk", "funnel_steps_per_user",
-    "cohort_retention_daily",
+    "pq_cosine_topk", "image_dhash_groups",
+    "audio_fingerprint_dupes",
     # -- r4-green anchors filling the remaining slots --
     "exact_price_quantiles", "heavy_hitter_tokens",
     "streaming_interval_join_outer", "incremental_dedup_new_batch",

@@ -106,3 +106,48 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_bytes is checkable too — a canonical PCM16 WAV is exactly
     44 + frames * channels * 2 bytes."""
     return multimodal.resample_wav(_wav(spark, sf_dir), target_rate=4000)
+
+
+@register(
+    "audio_fingerprint_dupes",
+    oracle=f"""
+    WITH {_PARAMS},
+    ts AS (SELECT doc_id, n_frames, unnest(range(0, 64)) AS t
+           FROM params),
+    samp AS (SELECT doc_id, t,
+                    ((doc_id % 97) * 31 + ((t * n_frames) // 64) * 7)
+                        % 2048 - 1024 AS s
+             FROM ts),
+    bits AS (
+        SELECT a.doc_id, a.t,
+               CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        FROM samp a JOIN samp b
+          ON b.doc_id = a.doc_id AND b.t = a.t + 1
+        WHERE a.t < 63),
+    bytes AS (
+        SELECT doc_id, t // 8 AS j,
+               CAST(SUM(bit * (1 << CAST(t % 8 AS INTEGER)))
+                    AS INTEGER) AS byte
+        FROM bits GROUP BY doc_id, t // 8),
+    hashes AS (
+        SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY j)
+                   AS afp
+        FROM bytes GROUP BY doc_id)
+    SELECT afp, CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM hashes GROUP BY afp
+    """,
+    tags=("multimodal", "audio", "decode-wav", "dedup-exact"),
+)
+def q_audio_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup groups: REAL WAV decode, channel-0 decimation
+    to 64 points, sign-of-derivative bit fingerprint, grouped by
+    fingerprint — the audio arm of the dedup family. The oracle
+    regenerates the waveform arithmetically and rebuilds the identical
+    hex fingerprint in SQL."""
+    from pyspark.sql import functions as F
+
+    fp = multimodal.audio_fingerprint_wav(_wav(spark, sf_dir))
+    return (fp.groupBy("afp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+                 F.min("doc_id").cast("bigint").alias("min_doc_id")))

@@ -188,3 +188,50 @@ def q_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resample step itself as Arrow-batched plumbing (stub fake:
     payload clamped to the planned output size)."""
     return multimodal.resize_stub(_media(spark, sf_dir))
+
+
+@register(
+    "image_dhash_groups",
+    oracle=f"""
+    WITH {_PNG_DIMS},
+    txs AS (SELECT doc_id, w, h, unnest(range(0, 9)) AS tx FROM dims),
+    grid AS (
+        SELECT doc_id, tx, ty,
+               (doc_id % 128) + (((tx * w) // 9) % 32)
+               + (((ty * h) // 8) % 32) + 10 AS g
+        FROM (SELECT doc_id, w, h, tx, unnest(range(0, 8)) AS ty
+              FROM txs)),
+    bits AS (
+        SELECT a.doc_id, a.ty, a.tx,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        FROM grid a JOIN grid b
+          ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+        WHERE a.tx < 8),
+    rowbytes AS (
+        SELECT doc_id, ty,
+               CAST(SUM(bit * (1 << CAST(tx AS INTEGER))) AS INTEGER)
+                   AS byte
+        FROM bits GROUP BY doc_id, ty),
+    hashes AS (
+        SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY ty)
+                   AS dhash
+        FROM rowbytes GROUP BY doc_id)
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM hashes GROUP BY dhash
+    """,
+    tags=("multimodal", "decode-png", "dedup-exact", "dedup-embedding"),
+)
+def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: REAL PNG decode, integer grayscale,
+    9x8 nearest-neighbor grid, difference-hash bits, grouped by the
+    hex fingerprint — near-identical images collapse to one group
+    regardless of byte-level encoding. The oracle rebuilds the hash
+    from the synthetic pixel formula (grayscale of the three channel
+    gradients is base + x%32 + y%32 + 10 exactly)."""
+    media = multimodal.attach_png_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    fp = multimodal.image_dhash_png(media)
+    return (fp.groupBy("dhash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_images"),
+                 F.min("doc_id").cast("bigint").alias("min_doc_id")))
