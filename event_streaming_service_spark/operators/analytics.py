@@ -282,10 +282,20 @@ def last_touch_attribution(events: DataFrame, key_col: str, ts_col: str,
     touches never race on partition order. Conversions with no touch
     in the window emit NULL touch columns (left semantics).
 
-    Plan shape for 100 TB: ONE shuffle on the key; the range frame
-    [ms - window, ms - 1] bounds state by the window width, and no
-    conversions x touches pair set ever materializes (the SQL oracle's
-    join + row_number form does exactly that, quadratically per key).
+    Plan shape for 100 TB: ONE shuffle on the key, and the frame is
+    range(UNBOUNDED PRECEDING, -1) — Spark maintains that frame
+    INCREMENTALLY (rows only ever enter it), so the pass is O(n) per
+    key even when one hot key holds millions of in-window touches.
+    The naive frame [ms - window, ms - 1] is semantically identical
+    but quadratic on hot keys: a bounded-start frame evicts rows, and
+    Spark's sliding-frame MAX re-scans its buffer per row (the
+    10M-conversion scale probe with a 1M-touch hot key hung exactly
+    there). The lookback bound moves to a post-filter on the winner:
+    the most recent touch within the window IS the most recent touch
+    overall whenever that one is inside the window, and no touch
+    qualifies otherwise. No conversions x touches pair set ever
+    materializes (the SQL oracle's join + row_number form does exactly
+    that, quadratically per key).
     """
     ms = wall_clock_millis(F.col(ts_col))
     is_touch = F.col(type_col).isin(list(touch_types))
@@ -293,8 +303,10 @@ def last_touch_attribution(events: DataFrame, key_col: str, ts_col: str,
         ms.alias("ms"), F.col(id_col).alias("id"),
         F.col(type_col).alias("t")))
     w = (Window.partitionBy(key_col).orderBy(ms.alias("__ms"))
-         .rangeBetween(-window_ms, -1))
+         .rangeBetween(Window.unboundedPreceding, -1))
     best = F.max(touch).over(w)
+    in_window = F.col("__best").isNotNull() & (
+        (F.col("__ms") - F.col("__best.ms")) <= window_ms)
     return (events
             .select(F.col(id_col), F.col(key_col), F.col(type_col),
                     ms.alias("__ms"), best.alias("__best"))
@@ -302,10 +314,14 @@ def last_touch_attribution(events: DataFrame, key_col: str, ts_col: str,
             .select(F.col(id_col).alias("conversion_id"),
                     F.col(key_col),
                     F.col("__ms").alias("conversion_ms"),
-                    F.col("__best.id").alias("touch_id"),
-                    F.col("__best.t").alias("touch_type"),
-                    F.col("__best.ms").alias("touch_ms"),
-                    (F.col("__ms") - F.col("__best.ms"))
+                    F.when(in_window, F.col("__best.id"))
+                    .alias("touch_id"),
+                    F.when(in_window, F.col("__best.t"))
+                    .alias("touch_type"),
+                    F.when(in_window, F.col("__best.ms"))
+                    .alias("touch_ms"),
+                    F.when(in_window,
+                           F.col("__ms") - F.col("__best.ms"))
                     .alias("ms_since_touch")))
 
 

@@ -285,6 +285,133 @@ def probe_setjoin(spark):
     return sec, f"pairs={len(got)} planted_found=all"
 
 
+def probe_diff(spark):
+    """Two 50M-key versions with a 200-char payload and a 1% delta
+    (0.5% removed, 0.5% added, ~1% of the overlap changed): the diff
+    must carry ONLY (key, digest) through the full-outer join — the
+    optimized plan references the payload column exactly twice (once
+    inside each side's md5 digest projection); if the join ever
+    carried the payload itself the shuffle would be ~20 GB instead of
+    ~4 GB and the attribute would leak into the upper plan. Change
+    counts are asserted exactly."""
+    from event_streaming_service_spark.operators.diff import table_diff
+
+    def version(lo, hi, changed_mod):
+        payload = F.concat(
+            F.when(F.pmod("id", F.lit(100)) == 0, F.lit("w"))
+             .otherwise(F.lit("v")) if changed_mod else F.lit("v"),
+            F.col("id").cast("string"), F.lit("x" * 190))
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), payload.alias("payload"))
+
+    old = version(0, 50_000_000, changed_mod=False)
+    new = version(250_000, 50_250_000, changed_mod=True)
+    out = table_diff(old, new, ["k"], ["payload"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    n_payload_refs = plan.count("payload")
+    assert n_payload_refs <= 6, (
+        f"payload attribute appears {n_payload_refs}x in the optimized "
+        f"plan — the join is carrying tracked columns, not digests")
+    t0 = time.perf_counter()
+    kinds = {r["change_kind"]: r["n"] for r in
+             out.groupBy("change_kind").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    sec = time.perf_counter() - t0
+    # overlap keys 250k..49,999,999; multiples of 100 in it are changed
+    changed = (49_999_900 - 250_000) // 100 + 1
+    assert kinds["added"] == 250_000 and kinds["removed"] == 250_000
+    assert kinds["changed"] == changed, kinds
+    assert kinds["unchanged"] == 49_750_000 - changed
+    return sec, f"keys=50.25M delta kinds={kinds['changed']}ch"
+
+
+def probe_attribution(spark):
+    """10M conversions over 1M keys plus ONE hot key carrying 1M extra
+    touches inside the lookback window: the range-framed window must
+    bound its state by the frame, never materialize conversions x
+    touches, and still pick the immediately-preceding touch for every
+    conversion (ms_since_touch == 1 asserted for all 10M)."""
+    from event_streaming_service_spark.functions.scalars import millis_to_ts
+    from event_streaming_service_spark.operators.analytics import (
+        last_touch_attribution)
+
+    base_ms = 10_000_000
+    # per user u, 10 (touch, conversion) pairs: touch at base+2k,
+    # conversion at base+2k+1
+    ev = spark.range(0, 10_000_000).select(
+        F.col("id"),
+        F.pmod("id", F.lit(1_000_000)).alias("user_id"),
+        (F.lit(base_ms) + F.expr("id DIV 1000000") * 2).alias("t0"))
+    touches = ev.select((F.col("id") * 2).alias("event_id"), "user_id",
+                        millis_to_ts(F.col("t0")).alias("ts"),
+                        F.lit("click").alias("event_type"))
+    convs = ev.select((F.col("id") * 2 + 1).alias("event_id"), "user_id",
+                      millis_to_ts(F.col("t0") + 1).alias("ts"),
+                      F.lit("purchase").alias("event_type"))
+    # hot key: 1M extra old touches on user 0, all inside the window
+    # but strictly older than every pair, so none of them may win
+    hot = spark.range(0, 1_000_000).select(
+        (F.col("id") + 100_000_000).alias("event_id"),
+        F.lit(0).cast("bigint").alias("user_id"),
+        millis_to_ts(F.col("id") % 1_000_000).alias("ts"),
+        F.lit("click").alias("event_type"))
+    events = touches.unionByName(convs).unionByName(hot)
+    t0 = time.perf_counter()
+    out = last_touch_attribution(events, "user_id", "ts", "event_type",
+                                 "purchase", ["click"],
+                                 window_ms=base_ms + 30_000_000)
+    agg = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("ms_since_touch").alias("mn"),
+                  F.max("ms_since_touch").alias("mx"),
+                  F.sum(F.when(F.col("touch_id").isNull(), 1)
+                        .otherwise(0)).alias("unattributed")).first()
+    sec = time.perf_counter() - t0
+    assert agg["n"] == 10_000_000 and agg["unattributed"] == 0
+    assert agg["mn"] == 1 and agg["mx"] == 1, agg
+    return sec, "conversions=10M hot_key_touches=1M all ms_since=1"
+
+
+def probe_transition(spark):
+    """Transition matrix with ONE 10M-event hot key (plus 100k normal
+    keys x 50 events): the per-key lag window sorts the hot timeline
+    in one spilling task — inherently sequential per key — but the
+    (prev, next) aggregate stays k^2-bounded. Exact counts asserted
+    from the deterministic round-robin type sequence."""
+    from event_streaming_service_spark.operators.analytics import (
+        transition_matrix)
+
+    hot = spark.range(0, 10_000_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(0).cast("bigint").alias("user_id"),
+        F.col("id").alias("ts"),
+        F.concat(F.lit("t"), F.pmod("id", F.lit(5)).cast("string"))
+        .alias("event_type"))
+    spread = spark.range(0, 5_000_000).select(
+        (F.col("id") + 20_000_000).alias("event_id"),
+        (F.pmod("id", F.lit(100_000)) + 1).alias("user_id"),
+        F.expr("id DIV 100000").alias("ts"),
+        F.concat(F.lit("t"), F.pmod(F.expr("id DIV 100000"), F.lit(5))
+                 .cast("string")).alias("event_type"))
+    t0 = time.perf_counter()
+    out = transition_matrix(hot.unionByName(spread), "user_id", "ts",
+                            "event_type", order_tiebreak="event_id")
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in out.collect()}
+    sec = time.perf_counter() - t0
+    # hot key: i -> i+1 for i in 0..N-2, pair (j, j+1 mod 5) where
+    # j = i % 5; spread: 100k keys x 49 transitions, same round-robin
+    want = {}
+    for n_i, keys in ((10_000_000 - 1, 1), (50 - 1, 100_000)):
+        for j in range(5):
+            cnt = n_i // 5 + (1 if j < n_i % 5 else 0)
+            pair = (f"t{j}", f"t{(j + 1) % 5}")
+            want[pair] = want.get(pair, 0) + cnt * keys
+    assert got == want, {k: (got.get(k), want.get(k))
+                         for k in set(got) | set(want)
+                         if got.get(k) != want.get(k)}
+    return sec, "hot_key=10M spread=5M exact k^2 matrix"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -297,6 +424,9 @@ PROBES = {
     "setjoin": probe_setjoin,
     "ewma": probe_ewma,
     "gapfill": probe_gapfill,
+    "diff": probe_diff,
+    "attribution": probe_attribution,
+    "transition": probe_transition,
 }
 
 
