@@ -119,6 +119,15 @@ BENCH_QUERIES = [
     "inverted_index_terms",          # explode + 2-level agg + postings
     "set_similarity_pairs",          # prefix-filtered shingle PPJoin
     "pagerank_trade_graph",          # 5-round integer PageRank
+    # round-5 additions
+    "part_hierarchy_rollup",         # iterated-join recursive closure
+    "pq_cosine_topk",                # literal-codebook PQ codes + ADC
+    "vocab_coverage",                # top-V vocab broadcast coverage
+    "bpe_merge_pairs",               # vocab-weighted char-pair counts
+    "dataset_split_assignment",      # hash split, pure projection
+    "curriculum_quality_buckets",    # distributed global rank buckets
+    "image_dhash_groups",            # PNG decode + perceptual hash
+    "audio_fingerprint_dupes",       # WAV decode + derivative hash
 ]
 
 

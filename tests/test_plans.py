@@ -310,3 +310,57 @@ def test_centroids_are_generate_plus_hash_agg(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "embedding_centroids_by_label")
     assert "Generate" in plan and "HashAggregate" in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_setjoin_persists_shared_subtree(spark, sf_oracle):
+    """VERDICT r4 item #3: the ordered-token-set aggregate feeds the
+    prefix explode AND both verify joins; it must read from ONE cached
+    materialization (InMemoryTableScan under every consumer) and the
+    round-5 rewrite removed both per-doc windows entirely."""
+    plan = plan_of(spark, sf_oracle, "set_similarity_pairs")
+    assert plan.count("InMemoryTableScan") >= 3, plan.count(
+        "InMemoryTableScan")
+    assert "Window" not in plan
+    spark.catalog.clearCache()
+
+
+def test_pq_codes_are_pure_projection(spark, sf_oracle):
+    """PQ code assignment embeds the codebook as literals: the ONLY
+    joins in the plan are the single-row envelope broadcast and the
+    broadcast ADC scan over the query set — never a shuffle join —
+    and the one Window is the per-query top-k."""
+    import re
+
+    plan = plan_of(spark, sf_oracle, "pq_cosine_topk")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.MULTILINE)
+    assert nodes.count("Window") == 1, nodes
+
+
+def test_vocab_coverage_broadcast_and_take_ordered(spark, sf_oracle):
+    """The top-V vocabulary must come out of a distributed TakeOrdered
+    (never a global sort) and join back to the doc-token grain as a
+    broadcast — a sort-merge join here would reshuffle the corpus on
+    the token key."""
+    plan = plan_of(spark, sf_oracle, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_bpe_merge_pairs_take_ordered(spark, sf_oracle):
+    """Top-30 pair selection must be TakeOrderedAndProject over the
+    pair aggregate; the char-pair explode runs over the distinct-word
+    vocabulary, never the raw token stream."""
+    plan = plan_of(spark, sf_oracle, "bpe_merge_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_split_assignment_no_expand(spark, sf_oracle):
+    """The distinct-source count is a two-level aggregate — no Expand
+    node (a fused COUNT(DISTINCT) would route every row through it)."""
+    plan = plan_of(spark, sf_oracle, "dataset_split_assignment")
+    assert "Expand" not in plan
