@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 def ancestor_closure(edges: DataFrame, child_col: str = "child",
                      parent_col: str = "parent",
                      max_depth: int = 30,
-                     nodes: DataFrame | None = None) -> DataFrame:
+                     nodes: DataFrame | None = None,
+                     probe_empty: bool = True) -> DataFrame:
     """Transitive (ancestor, descendant, depth) closure of a
     parent/child edge list, INCLUDING the reflexive depth-0 pairs.
     `nodes` (single column `node`) is the node universe; when omitted
@@ -41,7 +42,16 @@ def ancestor_closure(edges: DataFrame, child_col: str = "child",
     or those nodes drop out of the reflexive base. Cycles are cut
     by the max_depth bound (a cycle would otherwise iterate forever —
     trees and DAG-shaped hierarchies are the contract; detecting a
-    cycle is `closure.where(depth > 0 AND anc = des)`)."""
+    cycle is `closure.where(depth > 0 AND anc = des)`).
+
+    probe_empty=True (the unknown-depth default) materializes each
+    frontier (localCheckpoint) and stops at the first empty one —
+    driver actions happen at BUILD time. Callers who know a depth
+    bound (ceil(log_b N) for a b-ary key tree) pass probe_empty=False:
+    the closure is then ONE fully-lazy plan of exactly max_depth
+    chained joins — no build-time actions, no checkpoints (keep
+    max_depth small; every level is a join in the single plan, and
+    levels past the true depth are empty and near-free under AQE)."""
     e = (edges.select(F.col(child_col).alias("__c"),
                       F.col(parent_col).alias("__p"))
          .where(F.col(parent_col).isNotNull())
@@ -62,14 +72,16 @@ def ancestor_closure(edges: DataFrame, child_col: str = "child",
                     .select(F.col("__p").alias("anc"),
                             F.col("des"),
                             (F.col("depth") + 1).alias("depth")))
-        # materialize the (shrinking) frontier: the emptiness check
-        # and the union both read it, and without a checkpoint each
-        # level would recompute the whole chain below it
-        frontier = frontier.localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
+        if probe_empty:
+            # materialize the (shrinking) frontier: the emptiness
+            # check and the union both read it, and without a
+            # checkpoint each level would recompute the chain below it
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
         out = out.unionByName(frontier)
-    e.unpersist()
+    if probe_empty:
+        e.unpersist()
     return out
 
 
@@ -77,14 +89,16 @@ def hierarchy_rollup(edges: DataFrame, values: DataFrame,
                      key_col: str, value_col: str,
                      child_col: str = "child",
                      parent_col: str = "parent",
-                     max_depth: int = 30) -> DataFrame:
+                     max_depth: int = 30,
+                     probe_empty: bool = True) -> DataFrame:
     """Subtree aggregate per node: for every node, the count and exact
     integer sum of `value_col` over ALL its descendants (itself
     included) plus its subtree height. One closure build + one hash
     aggregate keyed on the ancestor."""
     cl = ancestor_closure(
         edges, child_col, parent_col, max_depth,
-        nodes=values.select(F.col(key_col).alias("node")).distinct())
+        nodes=values.select(F.col(key_col).alias("node")).distinct(),
+        probe_empty=probe_empty)
     v = values.select(F.col(key_col).alias("des"),
                       F.col(value_col).alias("__v"))
     return (cl.join(v, "des")

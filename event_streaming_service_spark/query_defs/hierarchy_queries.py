@@ -55,8 +55,13 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("parent") >= 1))
     vals = part.select("p_partkey",
                        cents("p_retailprice").alias("price_cents"))
+    # the DIV-10 key tree has depth ceil(log10(max key)) — 8 levels
+    # covers part counts to 10^8 keys (sf~500); probe_empty=False makes
+    # the whole closure ONE lazy plan with zero build-time actions, so
+    # benchmarks time the real work
     out = hierarchy.hierarchy_rollup(edges, vals, "p_partkey",
-                                     "price_cents")
+                                     "price_cents", max_depth=8,
+                                     probe_empty=False)
     return out.select("p_partkey", "n_desc",
                       F.col("subtree_value").alias("subtree_retail_cents"),
                       "subtree_height")
