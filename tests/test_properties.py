@@ -277,3 +277,55 @@ def test_table_diff_digest_is_prefix_coded(spark):
     new = spark.createDataFrame([(1, "a", "bc")], "k bigint, x string, y string")
     row = table_diff(old, new, ["k"], ["x", "y"]).first()
     assert row["change_kind"] == "changed"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs")),
+    min_size=0, max_size=40), min_size=1, max_size=15))
+def test_char_gini_bounds_and_degenerate_cases(spark, texts):
+    """gini_ppm in [0, 1e6); 0 iff one distinct char; n and s2
+    consistent with the literal Python recount."""
+    from collections import Counter
+
+    from event_streaming_service_spark.operators.curation import char_gini
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_gini(df).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in got
+            continue
+        c = Counter(t)
+        n, s2 = len(t), sum(v * v for v in c.values())
+        r = got[i]
+        assert r["n_chars_counted"] == n
+        assert r["distinct_chars"] == len(c)
+        want = (n * n - s2) * 1_000_000 // (n * n)
+        assert r["gini_ppm"] == want
+        assert 0 <= r["gini_ppm"] < 1_000_000
+        assert (r["gini_ppm"] == 0) == (len(c) == 1)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=40, unique=True))
+def test_curriculum_buckets_partition_the_input(spark, ids):
+    """Every row lands in exactly one bucket 1..n; bucket sizes differ
+    by at most 1; ordering by (score, id) is respected."""
+    from event_streaming_service_spark.operators.curation import (
+        curriculum_buckets,
+    )
+    rows = [(i, float(abs(i) % 7)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = curriculum_buckets(df, "s", "doc_id", n_buckets=3).collect()
+    assert len(out) == len(ids)
+    sizes = {}
+    for r in out:
+        assert 1 <= r["bucket"] <= 3
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    present = [sizes.get(b, 0) for b in (1, 2, 3)]
+    assert max(present) - min(p for p in present if p) <= 1 or len(ids) < 3
+    ordered = sorted(out, key=lambda r: (r["s"], r["doc_id"]))
+    buckets_in_order = [r["bucket"] for r in ordered]
+    assert buckets_in_order == sorted(buckets_in_order)
