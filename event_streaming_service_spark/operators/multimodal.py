@@ -8,9 +8,12 @@ PNG decode is REAL (round-4): functions/png_codec.py implements the
 full container — chunk CRCs, zlib inflate, all five scanline filters —
 with nothing but the stdlib, so `attach_png_payload` /
 `extract_features_png` / `resize_png` below are byte-exact operators
-whose channel statistics an independent SQL oracle reproduces. Only
-formats that genuinely need external codec libraries absent from this
-container (JPEG, audio, video frames) remain STUBBED behind
+whose channel statistics an independent SQL oracle reproduces.
+Baseline grayscale JPEG decode is REAL too (round-5:
+functions/jpeg_codec.py — marker parse, canonical Annex-K Huffman,
+dequantize, IDCT). Only formats that genuinely need external codec
+libraries absent from this container (color/progressive JPEG, video
+frames, compressed audio) remain STUBBED behind
 `codec_libs_available` (clearly marked NotImplementedError).
 
 Scale notes: binary payloads ride the normal columnar path (parquet
@@ -369,6 +372,94 @@ def sample_frames(media_df: DataFrame, every_nth: int = 10) -> DataFrame:
         .withColumn("frame_idx", F.explode(idx))
         .select("doc_id", "frame_idx", "media.width", "media.height")
     )
+
+
+# ----------------------------------------------------------------- jpeg
+# Deterministic synthetic JPEG: the image is a grid of CONSTANT 8x8
+# tiles with tile value
+#   v(tx, ty) = 2*((doc_id % 60) + (tx % 20) + (ty % 20)) + 4
+# Constant tiles with EVEN level-shift offsets survive baseline JPEG
+# quantization bit-exactly (see functions/jpeg_codec.py), so the SQL
+# oracle regenerates every pixel while the engine runs the real
+# Huffman+IDCT decode — the same proof device as the PNG formula.
+JPEG_BASE_MOD = 60
+JPEG_TILE_MOD = 20
+
+
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    return (int(doc_id) % 8 + 2) * 8, (int(doc_id) % 6 + 2) * 8  # (w, h)
+
+
+def _jpeg_tiles(doc_id: int) -> "np.ndarray":
+    import numpy as np
+
+    w, h = _jpeg_dims(doc_id)
+    base = int(doc_id) % JPEG_BASE_MOD
+    tx = np.arange(w // 8) % JPEG_TILE_MOD
+    ty = np.arange(h // 8) % JPEG_TILE_MOD
+    return (2 * (base + np.add.outer(ty, tx)) + 4).astype("uint8")
+
+
+def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the real JPEG path: one genuine baseline
+    grayscale JPEG per document (stdlib/numpy codec, constant-tile
+    pixels derived from the doc id) plus typed metadata. Production
+    replaces this with a parquet binary column scan."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h = _jpeg_dims(doc_id)
+                img = np.kron(_jpeg_tiles(doc_id),
+                              np.ones((8, 8), dtype="uint8"))
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": jpeg_codec.encode_jpeg(img),
+                    "media": {"media_type": "image", "codec": "jpeg",
+                              "width": w, "height": h, "n_frames": 1},
+                })
+            yield pd.DataFrame(rows)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+JPEG_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_blocks int, "
+    "px_sum bigint, px_min int, px_max int"
+)
+
+
+def extract_features_jpeg(media_df: DataFrame) -> DataFrame:
+    """REAL JPEG feature extraction: full baseline decode (marker
+    parse, canonical Huffman, dequantize, IDCT) and exact integer
+    pixel statistics. Dimensions come from the DECODED SOF0 header,
+    not the metadata struct, so payload/metadata mismatches surface
+    as hash breaks."""
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = jpeg_codec.decode_jpeg(bytes(payload))
+                h, w = arr.shape
+                rows.append((int(doc_id), w, h, (h // 8) * (w // 8),
+                             int(arr.astype("int64").sum()),
+                             int(arr.min()), int(arr.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_blocks",
+                "px_sum", "px_min", "px_max"])
+
+    return media_df.mapInPandas(batches, JPEG_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------- audio

@@ -82,8 +82,10 @@ PRIORITY: tuple[str, ...] = (
     "bpe_merge_pairs", "vocab_coverage",
     "pq_cosine_topk", "image_dhash_groups",
     "audio_fingerprint_dupes",
+    # -- round-5 late addition: REAL baseline-JPEG decode --
+    "multimodal_features_jpeg",
     # -- r4-green anchors filling the remaining slots --
-    "exact_price_quantiles", "heavy_hitter_tokens",
+    "heavy_hitter_tokens",
     "streaming_interval_join_outer", "incremental_dedup_new_batch",
 )
 

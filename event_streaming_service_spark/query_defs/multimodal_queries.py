@@ -235,3 +235,41 @@ def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fp.groupBy("dhash")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_images"),
                  F.min("doc_id").cast("bigint").alias("min_doc_id")))
+
+
+@register(
+    "multimodal_features_jpeg",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 8 + 2 AS INTEGER) AS tw,
+               CAST(doc_id % 6 + 2 AS INTEGER) AS th
+        FROM documents),
+    txs AS (SELECT doc_id, tw, th, unnest(range(0, tw)) AS tx FROM dims),
+    tiles AS (
+        SELECT doc_id, tw, th,
+               2 * ((doc_id % 60) + (tx % 20) + (ty % 20)) + 4 AS v
+        FROM (SELECT doc_id, tw, th, tx, unnest(range(0, th)) AS ty
+              FROM txs))
+    SELECT doc_id,
+           CAST(MAX(tw) * 8 AS INTEGER) AS width,
+           CAST(MAX(th) * 8 AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks,
+           CAST(SUM(64 * v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM tiles GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-jpeg"),
+)
+def q_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode + feature extraction: each document
+    carries a genuine grayscale JPEG (stdlib/numpy codec — marker
+    segments, canonical Annex-K Huffman, dequantize, IDCT) built from
+    constant 8x8 tiles whose even level-shift offsets survive
+    quantization bit-exactly; the kernel decodes it and emits exact
+    pixel statistics the oracle regenerates from the tile formula.
+    A flipped bit anywhere in the entropy stream breaks the hash."""
+    media = multimodal.attach_jpeg_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features_jpeg(media)
