@@ -462,6 +462,48 @@ def extract_features_jpeg(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, JPEG_FEATURE_SCHEMA)
 
 
+JPEG_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, target_w int, target_h int, "
+    "px_sum bigint, px_min int, px_max int, out_bytes int"
+)
+
+
+def resize_jpeg(media_df: DataFrame, target_w: int, target_h: int
+                ) -> DataFrame:
+    """REAL JPEG resample: decode, nearest-neighbor resize
+    (src = (dst*size)//target, the same integer map as the PNG path),
+    re-encode (target dims must be multiples of 8), and emit the
+    resized pixel statistics plus the re-encoded size. The
+    decode→resample→encode chain exercises the codec both directions;
+    the resized stats are exact (resampling an exact decode), while
+    out_bytes reflects the lossy re-encode and is projected out by
+    the oracle-checked query (entropy-coded length is not
+    SQL-expressible)."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = jpeg_codec.decode_jpeg(bytes(payload))
+                h, w = arr.shape
+                sx = (np.arange(target_w, dtype="int64") * w) // target_w
+                sy = (np.arange(target_h, dtype="int64") * h) // target_h
+                small = arr[sy][:, sx]
+                out = jpeg_codec.encode_jpeg(small)
+                rows.append((int(doc_id), w, h, target_w, target_h,
+                             int(small.astype("int64").sum()),
+                             int(small.min()), int(small.max()),
+                             len(out)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "target_w", "target_h",
+                "px_sum", "px_min", "px_max", "out_bytes"])
+
+    return media_df.mapInPandas(batches, JPEG_RESIZE_SCHEMA)
+
+
 # ---------------------------------------------------------------- audio
 # Deterministic synthetic audio: sample(i, ch) =
 #   ((doc_id % 97) * 31 + i * 7 + ch * 13) % 2048 - 1024

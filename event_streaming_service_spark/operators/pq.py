@@ -46,6 +46,47 @@ def _codebook_literal(seeds: list[list[int]], m_sub: int,
         for m in range(m_sub)])
 
 
+def _sub(vec: Column, m: Column, d_sub: int) -> Column:
+    return F.slice(vec, m * d_sub + 1, d_sub)
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def _codes_expr(cent: Column, m_sub: int, d_sub: int,
+                n_codes: int) -> Column:
+    """codes[m] = argmin_k ||sub(qv,m) - CENT[m][k]||^2, tiebreak k."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda kk: F.struct(
+                _l2(_sub(F.col("qv"), m, d_sub),
+                    F.element_at(F.element_at(cent, m + 1), kk + 1))
+                .alias("d"),
+                kk.alias("k"))))["k"])
+
+
+def _adc_expr(cent: Column, m_sub: int, d_sub: int) -> Column:
+    """ADC score: sum_m dot(query subvector, candidate's centroid)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc + _dot(
+            _sub(F.col("qqv"), m, d_sub),
+            F.element_at(F.element_at(cent, m + 1),
+                         F.element_at(F.col("codes"), m + 1) + 1)))
+
+
 def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
             n_codes: int = 16, query_mod: int = 125,
             id_col: str = "vec_id",
@@ -68,48 +109,100 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
     d_sub = dim // m_sub
     cent = _codebook_literal(seeds, m_sub, d_sub)
 
-    def sub(vec: Column, m: Column) -> Column:
-        return F.slice(vec, m * d_sub + 1, d_sub)
-
-    def l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-
-    def dot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-
     # code assignment: argmin_k ||sub(v,m) - CENT[m][k]||^2, tiebreak
     # smallest k — array_min over (dist, k) structs, all codegen'd
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m_sub - 1)),
-        lambda m: F.array_min(F.transform(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            lambda kk: F.struct(
-                l2(sub(F.col("qv"), m),
-                   F.element_at(F.element_at(cent, m + 1), kk + 1))
-                .alias("d"),
-                kk.alias("k"))))["k"])
     coded = q.select(F.col(id_col).alias("neighbor_id"),
-                     codes.alias("codes"))
+                     _codes_expr(cent, m_sub, d_sub, n_codes)
+                     .alias("codes"))
 
     queries = (q.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
                .select(F.col(id_col).alias("query_id"),
                        F.col("qv").alias("qqv")))
 
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m_sub - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, m: acc + dot(
-            sub(F.col("qqv"), m),
-            F.element_at(F.element_at(cent, m + 1),
-                         F.element_at(F.col("codes"), m + 1) + 1)))
+    adc = _adc_expr(cent, m_sub, d_sub)
     scored = (coded.crossJoin(F.broadcast(queries))
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       adc.alias("adc_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_score", "rank"))
+
+
+def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
+                n_probe: int = 4, m_sub: int = 8, n_codes: int = 16,
+                query_mod: int = 125, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The production ANN composition the IVF and PQ docstrings each
+    point at: IVF cell probing prunes the candidate set to
+    n_probe/n_cells of the corpus, then PQ-ADC scores only the probed
+    candidates — at 100 TB the scan touches M one-byte codes per
+    candidate instead of a full-width vector, and the candidate list
+    rides an equi-join on the cell id, never a cross product.
+
+    Determinism: cell centroids are the raw float subvectors of the
+    first n_cells corpus vectors (no Lloyd refinement here — the
+    refined variant is ivf_cosine_topk's oracle-proven loop and
+    composes identically), assignment similarity rounds to 9 dp
+    before the argmax, and everything PQ-side is integer — so the
+    whole two-stage pipeline has an exact SQL twin. Output:
+    query_id, neighbor_id, adc_score, rank (ADC desc, id asc)."""
+    from event_streaming_service_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    v = emb.select(F.col(id_col).alias("__vid"),
+                   as_double(F.col(vec_col)).alias("__v"))
+    cents = F.broadcast(
+        emb.orderBy(id_col).limit(n_cells)
+        .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+                .cast("long").alias("cell"),
+                as_double(F.col(vec_col)).alias("centroid")))
+
+    def assign(df, keep, n_keep):
+        rnk = F.row_number().over(
+            Window.partitionBy(*keep).orderBy(
+                F.col("sim").desc(), F.col("cell")))
+        return (df.crossJoin(cents)
+                .withColumn("sim",
+                            F.round(cosine(F.col("__v"),
+                                           F.col("centroid")), 9))
+                .withColumn("rnk", rnk)
+                .filter(F.col("rnk") <= n_keep)
+                .select(*keep, "cell"))
+
+    c_cells = assign(v.select(F.col("__vid").alias("neighbor_id"),
+                              "__v"), ["neighbor_id"], 1)
+    q_cells = assign(v.where(F.pmod("__vid", F.lit(query_mod)) == 0)
+                     .select(F.col("__vid").alias("query_id"), "__v"),
+                     ["query_id"], n_probe)
+    cand = (q_cells.join(c_cells, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+    q = quantize_codes(emb, vec_col, id_col).persist()
+    seeds = [list(r["qv"]) for r in
+             q.orderBy(id_col).limit(n_codes).collect()]
+    dim = len(seeds[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    cent = _codebook_literal(seeds, m_sub, d_sub)
+
+    coded = q.select(F.col(id_col).alias("neighbor_id"),
+                     _codes_expr(cent, m_sub, d_sub, n_codes)
+                     .alias("codes"))
+    queries = (q.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qqv")))
+    scored = (cand
+              .join(coded, "neighbor_id")
+              .join(F.broadcast(queries), "query_id")
+              .select("query_id", "neighbor_id",
+                      _adc_expr(cent, m_sub, d_sub).alias("adc_score")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -82,11 +82,12 @@ PRIORITY: tuple[str, ...] = (
     "bpe_merge_pairs", "vocab_coverage",
     "pq_cosine_topk", "image_dhash_groups",
     "audio_fingerprint_dupes",
-    # -- round-5 late addition: REAL baseline-JPEG decode --
-    "multimodal_features_jpeg",
-    # -- r4-green anchors filling the remaining slots --
-    "heavy_hitter_tokens",
-    "streaming_interval_join_outer", "incremental_dedup_new_batch",
+    # -- round-5 late additions: REAL baseline-JPEG decode (features +
+    #    resample) and the IVF+PQ production ANN composition --
+    "multimodal_features_jpeg", "multimodal_resize_jpeg",
+    "ivfpq_cosine_topk",
+    # -- r4-green anchor filling the last slot --
+    "incremental_dedup_new_batch",
 )
 
 # Oracle-backed queries waiting for a driver slot: DRAINED in round 5

@@ -273,3 +273,40 @@ def q_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_jpeg_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features_jpeg(media)
+
+
+@register(
+    "multimodal_resize_jpeg",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST((doc_id % 8 + 2) * 8 AS INTEGER) AS w,
+               CAST((doc_id % 6 + 2) * 8 AS INTEGER) AS h
+        FROM documents),
+    txs AS (SELECT doc_id, w, h, unnest(range(0, 24)) AS tx FROM dims),
+    px AS (
+        SELECT doc_id, w, h,
+               2 * ((doc_id % 60)
+                    + ((((tx * w) // 24) // 8) % 20)
+                    + ((((ty * h) // 24) // 8) % 20)) + 4 AS v
+        FROM (SELECT doc_id, w, h, tx, unnest(range(0, 24)) AS ty
+              FROM txs))
+    SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+           CAST(24 AS INTEGER) AS target_w,
+           CAST(24 AS INTEGER) AS target_h,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-jpeg"),
+)
+def q_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG resample: decode the baseline JPEG, nearest-neighbor
+    resize to 24x24 (integer index map reproduced by the oracle from
+    the tile formula), re-encode, and emit the resized pixel stats.
+    The re-encoded byte size rides in the operator but is projected
+    out here — entropy-coded length is not SQL-expressible."""
+    media = multimodal.attach_jpeg_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_jpeg(media, 24, 24).drop("out_bytes")

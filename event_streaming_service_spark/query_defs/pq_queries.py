@@ -97,3 +97,114 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return pq.pq_topk(emb, k=_K, m_sub=_M, n_codes=_NCODES,
                       query_mod=_QMOD)
+
+
+_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))")
+_SIM_VC = "ROUND(" + _COS.format(a="v.vec", b="c.centroid") + ", 9)"
+_NCELLS = 16
+_NPROBE = 4
+
+
+@register(
+    "ivfpq_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    cells AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cell, vec AS centroid
+        FROM (SELECT vec_id, vec FROM v ORDER BY vec_id
+              LIMIT {_NCELLS})),
+    c_cells AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_SIM_VC} DESC, c.cell) AS rnk
+            FROM v, cells c) WHERE rnk = 1),
+    q_cells AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_SIM_VC} DESC, c.cell) AS rnk
+            FROM v, cells c WHERE v.vec_id % {_QMOD} = 0)
+        WHERE rnk <= {_NPROBE}),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM q_cells JOIN c_cells USING (cell)
+        WHERE query_id <> neighbor_id),
+    dims AS (
+        SELECT pos, MIN(CAST(val AS DOUBLE)) AS mn,
+               MAX(CAST(val AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY pos),
+    stats AS (
+        SELECT list(mn ORDER BY pos) AS mns,
+               list(mx ORDER BY pos) AS mxs
+        FROM dims),
+    qv_tbl AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1), i ->
+                   CASE WHEN mxs[i] > mns[i]
+                        THEN CAST(FLOOR((CAST(embedding[i] AS DOUBLE)
+                                         - mns[i]) * 254.0
+                                        / (mxs[i] - mns[i]) + 0.5)
+                                  AS INTEGER) - 127
+                        ELSE 0 END) AS qv
+        FROM embeddings, stats),
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, qv AS cv
+        FROM (SELECT vec_id, qv FROM qv_tbl ORDER BY vec_id
+              LIMIT {_NCODES})),
+    subs AS (SELECT unnest(range(0, {_M})) AS m),
+    dist AS (
+        SELECT t.vec_id, s.k, subs.m,
+               CAST(list_sum(list_transform(range(1, {_DSUB} + 1), i ->
+                   CAST(t.qv[subs.m * {_DSUB} + i]
+                        - s.cv[subs.m * {_DSUB} + i] AS BIGINT)
+                   * (t.qv[subs.m * {_DSUB} + i]
+                      - s.cv[subs.m * {_DSUB} + i]))) AS BIGINT) AS d
+        FROM qv_tbl t, seeds s, subs),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, k) AS rn
+            FROM dist) WHERE rn = 1),
+    qq AS (
+        SELECT vec_id AS query_id, qv AS qqv
+        FROM qv_tbl WHERE vec_id % {_QMOD} = 0),
+    scores AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(CAST(list_sum(list_transform(
+                   range(1, {_DSUB} + 1), i ->
+                       CAST(qq.qqv[c.m * {_DSUB} + i] AS BIGINT)
+                       * s.cv[c.m * {_DSUB} + i])) AS BIGINT))
+                    AS BIGINT) AS adc_score
+        FROM cand
+        JOIN codes c ON c.vec_id = cand.neighbor_id
+        JOIN seeds s ON s.k = c.k
+        JOIN qq ON qq.query_id = cand.query_id
+        GROUP BY cand.query_id, cand.neighbor_id)
+    SELECT query_id, neighbor_id, adc_score, rank FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_score DESC,
+                                                neighbor_id)
+                    AS INTEGER) AS rank
+        FROM scores
+    ) WHERE rank <= {_K}
+    """,
+    tags=("similarity", "ann-pq", "ann-ivf", "quantize"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ, the production ANN composition: probe the 4 nearest
+    of 16 seed cells (9dp-pinned cosine argmax), then integer PQ-ADC
+    rerank over ONLY the probed candidates — candidates ride an
+    equi-join on the cell id, scores touch 8 one-byte codes per pair.
+    The whole two-stage pipeline is deterministic and SQL-twinned."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return pq.ivf_pq_topk(emb, k=_K, n_cells=_NCELLS, n_probe=_NPROBE,
+                          m_sub=_M, n_codes=_NCODES, query_mod=_QMOD)

@@ -53,3 +53,20 @@ def test_adc_score_is_exact_for_seed_neighbors(spark):
         exact = sum(a * b for a, b in
                     zip(qv[0], qv[r["neighbor_id"]]))
         assert r["adc_score"] == exact
+
+
+def test_ivfpq_is_subset_of_pq_scores(spark):
+    """IVF probing only PRUNES candidates: every (query, neighbor)
+    pair IVF+PQ returns must carry exactly the same integer ADC score
+    the full PQ scan assigns, and the candidate set is a subset of
+    the full scan's."""
+    emb = _emb(spark, n=60, dim=16, seed=11)
+    full = {(r["query_id"], r["neighbor_id"]): r["adc_score"]
+            for r in pq.pq_topk(emb, k=59, m_sub=4, n_codes=8,
+                                query_mod=29).collect()}
+    pruned = pq.ivf_pq_topk(emb, k=10, n_cells=8, n_probe=3,
+                            m_sub=4, n_codes=8, query_mod=29).collect()
+    assert pruned, "IVF+PQ returned nothing"
+    for r in pruned:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in full and full[key] == r["adc_score"], key
