@@ -208,3 +208,39 @@ def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "adc_score", "rank"))
+
+
+def pq_codes_arrow(qdf: DataFrame, seeds: list[list[int]],
+                   m_sub: int, id_col: str = "vec_id") -> DataFrame:
+    """Arrow/numpy twin of `_codes_expr` for corpus-scale assignment:
+    Spark's higher-order lambdas evaluate interpreted per element
+    (~40x slower than vectorized numpy — the 2M-vector probe measured
+    95 s expression-side), so the hot path batches each Arrow chunk
+    into one (n, m, k) squared-distance tensor and argmins it.
+    Integer in, integer out — results are BIT-IDENTICAL to the
+    expression path (asserted by tools/scale_probe.py:pq_codes), which
+    remains the JVM-only form the oracle-checked query plans gate.
+    Input: (id, qv int array); output: (id, codes int array)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(seeds[0])
+    d_sub = dim // m_sub
+    # (m, k, d_sub) codebook tensor
+    cb = np.array(seeds, dtype=np.int64).reshape(
+        len(seeds), m_sub, d_sub).transpose(1, 0, 2)
+
+    def batches(it):
+        for pdf in it:
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.int64) \
+                .reshape(len(pdf), m_sub, d_sub)
+            # dists[n, m, k] = ||x[n, m] - cb[m, k]||^2
+            diff = x[:, :, None, :] - cb[None, :, :, :]
+            dists = (diff * diff).sum(axis=3)
+            codes = dists.argmin(axis=2)  # ties -> smallest k (argmin)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "codes": [row.astype("int32").tolist() for row in codes],
+            })
+
+    return qdf.mapInPandas(batches, f"{id_col} bigint, codes array<int>")
