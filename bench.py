@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "curriculum_quality_buckets",    # distributed global rank buckets
     "image_dhash_groups",            # PNG decode + perceptual hash
     "audio_fingerprint_dupes",       # WAV decode + derivative hash
+    "multimodal_features_jpeg",      # real baseline-JPEG decode
+    "ivfpq_cosine_topk",             # IVF probe + PQ-ADC rerank
 ]
 
 
