@@ -89,6 +89,31 @@ SHOWCASE = {
         "Grouped skyline: distinct-point aggregate then two dominance "
         "windows partitioned by brand — no join, no quadratic pass; "
         "the oracle is the quadratic NOT EXISTS definition."),
+    "purchase_attribution_last_touch": (
+        "Last-touch attribution after the round-5 hot-key fix: ONE "
+        "shuffle on the key and a range(UNBOUNDED PRECEDING, -1) frame "
+        "Spark maintains incrementally — O(n) per key where the "
+        "bounded-start frame re-scanned its buffer per row; the "
+        "lookback bound is a post-filter on the winning touch."),
+    "part_hierarchy_rollup": (
+        "Recursive hierarchy rollup as ONE lazy plan: 8 chained "
+        "equi-joins build the fixed-depth ancestor closure (no "
+        "checkpoints, no build-time actions), then a single hash "
+        "aggregate on the ancestor key."),
+    "pq_cosine_topk": (
+        "Product quantization: code assignment is a literal-codebook "
+        "projection (no join, no shuffle over the corpus); the ADC "
+        "scan broadcasts the query set; the only exchange feeds the "
+        "per-query top-k window."),
+    "ivfpq_cosine_topk": (
+        "IVF+PQ composition: broadcast 16-cell centroids assign "
+        "corpus and query cells; candidates ride an equi-join on the "
+        "cell id (n_probe/n_cells of the corpus, never a cross "
+        "product); integer PQ-ADC reranks only candidates."),
+    "vocab_coverage": (
+        "Vocabulary coverage: one cached (doc, token, count) grain "
+        "feeds both the TakeOrdered top-V vocabulary and the per-doc "
+        "aggregate; the vocab joins back as a broadcast."),
     "set_similarity_pairs": (
         "Prefix-filtered set-similarity join: candidates come only "
         "from each document's rarest-first shingle prefix (exactness "
