@@ -42,7 +42,8 @@ def pagerank(edges: DataFrame, iterations: int = 5,
              damping_num: int = 85, damping_den: int = 100,
              src_col: str = "src", dst_col: str = "dst",
              decimal: bool = False,
-             materialize: bool = False) -> DataFrame:
+             materialize: bool = False,
+             broadcast_ranks: bool = False) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (callers union
     reversed edges for the undirected form). Returns (node, rank_nano)
     after `iterations` updates from a uniform INIT_NANO start. Nodes
@@ -59,7 +60,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     (spark.catalog.clearCache(), session end). Long-lived drivers that
     invoke pagerank repeatedly should pass materialize=True: the final
     ranks are eagerly localCheckpoint-ed (small: one row per node) and
-    the two cached operands are unpersisted before returning."""
+    the two cached operands are unpersisted before returning.
+
+    broadcast_ranks=True pins the per-iteration rank table (and the
+    contribution aggregate) to the broadcast side of its joins — the
+    right plan whenever the NODE set fits an executor (the edge table
+    never re-shuffles; post-aggregate size estimates are too opaque
+    for AQE to pick this up on its own). Leave False for graphs whose
+    node set itself is cluster-scale."""
     # the graph is static across iterations — cache it WITH the
     # out-degree pre-joined, or iteration k re-derives the edge list k
     # times through the growing rank lineage and pays two joins per
@@ -92,13 +100,16 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         else:
             quot = F.floor(F.col("rank_nano") * F.lit(damping_num)
                            / (F.lit(damping_den) * F.col("__deg")))
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (e
-                   .join(ranks, e.src == ranks.node)
+                   .join(r, e.src == r.node)
                    .select(F.col("dst").alias("node"),
                            quot.alias("__c")))
+        agg = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+        if broadcast_ranks:
+            agg = F.broadcast(agg)
         ranks = (nodes
-                 .join(contrib.groupBy("node")
-                       .agg(F.sum("__c").alias("__in")), "node", "left")
+                 .join(agg, "node", "left")
                  .select("node",
                          (F.lit(TELEPORT_NANO)
                           + F.coalesce(F.col("__in"),
