@@ -107,3 +107,40 @@ def hierarchy_rollup(edges: DataFrame, values: DataFrame,
                  F.sum("__v").cast("bigint").alias("subtree_value"),
                  F.max("depth").cast("int").alias("subtree_height"))
             .withColumnRenamed("anc", key_col))
+
+
+def hierarchy_paths(edges: DataFrame, nodes: DataFrame,
+                    key_col: str,
+                    child_col: str = "child",
+                    parent_col: str = "parent",
+                    max_depth: int = 30,
+                    probe_empty: bool = True) -> DataFrame:
+    """Materialized root-to-node paths: for every node, its root
+    ancestor, its depth (chain length), and the full `root>...>node`
+    path string — the flattened-hierarchy dimension every BI layer
+    builds from a parent/child table (the read-side complement of
+    hierarchy_rollup's aggregate).
+
+    One closure build + one per-node aggregate: the node's ancestor
+    chain is exactly its closure rows, each carrying its distance, so
+    sorting by descending depth lays out root-first order; the root is
+    the chain's deepest ancestor. Path length is bounded by the tree
+    depth, so the collected per-node state is max_depth entries."""
+    cl = ancestor_closure(
+        edges, child_col, parent_col, max_depth,
+        nodes=nodes.select(F.col(key_col).alias("node")).distinct(),
+        probe_empty=probe_empty)
+    # struct(-depth, anc): ascending sort = descending depth = root
+    # first (tree chains have unique depths per descendant)
+    chain = F.array_sort(F.collect_list(
+        F.struct((-F.col("depth")).alias("nd"), F.col("anc").alias("a"))))
+    return (cl.groupBy("des")
+            .agg(F.max("depth").cast("int").alias("depth"),
+                 chain.alias("__chain"))
+            .select(F.col("des").alias(key_col),
+                    F.element_at(F.col("__chain"), 1)["a"].alias("root_key"),
+                    "depth",
+                    F.array_join(
+                        F.transform(F.col("__chain"),
+                                    lambda x: x["a"].cast("string")),
+                        ">").alias("path")))

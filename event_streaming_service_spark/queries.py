@@ -83,11 +83,10 @@ PRIORITY: tuple[str, ...] = (
     "pq_cosine_topk", "image_dhash_groups",
     "audio_fingerprint_dupes",
     # -- round-5 late additions: REAL baseline-JPEG decode (features +
-    #    resample) and the IVF+PQ production ANN composition --
+    #    resample), the IVF+PQ production ANN composition, and the
+    #    hierarchy-path dimension (recursive family, read side) --
     "multimodal_features_jpeg", "multimodal_resize_jpeg",
-    "ivfpq_cosine_topk",
-    # -- r4-green anchor filling the last slot --
-    "incremental_dedup_new_batch",
+    "ivfpq_cosine_topk", "part_hierarchy_paths",
 )
 
 # Oracle-backed queries waiting for a driver slot: DRAINED in round 5

@@ -65,3 +65,38 @@ def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "n_desc",
                       F.col("subtree_value").alias("subtree_retail_cents"),
                       "subtree_height")
+
+
+@register(
+    "part_hierarchy_paths",
+    oracle="""
+    WITH RECURSIVE up(des, anc, path, depth) AS (
+        SELECT p_partkey, p_partkey, CAST(p_partkey AS VARCHAR), 0
+        FROM part
+        UNION ALL
+        SELECT des, anc // 10,
+               CAST(anc // 10 AS VARCHAR) || '>' || path, depth + 1
+        FROM up WHERE anc // 10 >= 1
+    )
+    SELECT des AS p_partkey,
+           CAST(anc AS BIGINT) AS root_key,
+           CAST(depth AS INTEGER) AS depth,
+           path
+    FROM up
+    WHERE anc // 10 < 1
+    """,
+    tags=("hierarchy", "recursive", "listagg", "tpch"),
+)
+def q_part_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened-hierarchy dimension over the part BOM tree: every
+    part's root ancestor, depth, and materialized root>...>node path
+    string — the recursive family's read-side twin (the rollup is the
+    aggregate side). The oracle accumulates the same path inside the
+    recursion and keeps each node's full chain (the row whose ancestor
+    is a root)."""
+    part = tables.load_table(spark, sf_dir, "part")
+    edges = (part.select(F.col("p_partkey").alias("child"),
+                         F.expr("p_partkey DIV 10").alias("parent"))
+             .where(F.col("parent") >= 1))
+    return hierarchy.hierarchy_paths(
+        edges, part, "p_partkey", max_depth=8, probe_empty=False)

@@ -96,3 +96,17 @@ def test_ancestor_closure_dag_multiple_parents(spark):
     pairs = {(r["anc"], r["des"], r["depth"]) for r in cl.collect()}
     assert (1, 3, 1) in pairs and (2, 3, 1) in pairs
     assert (1, 1, 0) in pairs and (3, 3, 0) in pairs
+
+
+def test_hierarchy_paths_chain_and_roots(spark):
+    edges = spark.createDataFrame([(2, 1), (3, 2)], "child long, parent long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "k long")
+    from event_streaming_service_spark.operators.hierarchy import (
+        hierarchy_paths,
+    )
+    got = {r["k"]: (r["root_key"], r["depth"], r["path"])
+           for r in hierarchy_paths(edges, nodes, "k").collect()}
+    assert got[3] == (1, 2, "1>2>3")
+    assert got[2] == (1, 1, "1>2")
+    assert got[1] == (1, 0, "1")
+    assert got[9] == (9, 0, "9")   # isolated node is its own root
