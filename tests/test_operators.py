@@ -732,3 +732,57 @@ def test_inverted_index_cap_and_min_df(spark):
     assert out["common"]["cf"] == 8                # doc 99 has tf 3
     assert out["common"]["postings"] == "0,1,2"    # capped, id-ordered
     assert out["word"]["postings"] == "0,1,2"
+
+
+def test_ewma_segmented_matches_one_pass(spark):
+    """The segmented-scan fallback must agree with the sequential
+    one-pass form to 1e-6 on every row (the affine composition
+    reassociates float ops; both round to 6dp), across multiple keys,
+    segment boundaries, and same-timestamp tiebreaks."""
+    import random
+    from datetime import datetime, timedelta
+
+    from event_streaming_service_spark.operators.windows import (
+        ewma,
+        ewma_segmented,
+    )
+    rng = random.Random(5)
+    base = datetime(2024, 3, 1)
+    rows = []
+    for i in range(3000):
+        rows.append((i, i % 7, base + timedelta(minutes=i // 7),
+                     rng.uniform(-50, 50)))
+    # duplicate-timestamp pair disambiguated by event_id
+    rows.append((9001, 1, base, 42.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    one = {(r["user_id"], r["ts"], r["value"]): r["ewma"]
+           for r in ewma(df, "user_id", "ts", "value", 0.3,
+                         order_tiebreak="event_id").collect()}
+    segd = {(r["user_id"], r["ts"], r["value"]): r["ewma"]
+            for r in ewma_segmented(df, "user_id", "ts", "value", 0.3,
+                                    order_tiebreak="event_id",
+                                    n_segments=8).collect()}
+    assert set(one) == set(segd)
+    worst = max(abs(one[k] - segd[k]) for k in one)
+    assert worst <= 1e-6, worst
+
+
+def test_ewma_segmented_single_row_and_instant_keys(spark):
+    from datetime import datetime
+
+    from event_streaming_service_spark.operators.windows import (
+        ewma_segmented,
+    )
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 10, t, 5.0), (2, 20, t, 3.0), (3, 20, t, 9.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    rows = ewma_segmented(df, "user_id", "ts", "value", 0.5,
+                          order_tiebreak="event_id").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append((r["value"], r["ewma"]))
+    assert by_key[10] == [(5.0, 5.0)]
+    # key 20: s_1 = 3.0, s_2 = 0.5*3 + 0.5*9 = 6.0 (event_id order)
+    assert sorted(by_key[20]) == [(3.0, 3.0), (9.0, 6.0)]

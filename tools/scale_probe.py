@@ -155,7 +155,29 @@ def probe_ewma(spark):
     out = ewma(df, "user_id", "ts", "value", alpha=0.2)
     n = out.count()
     assert n == 11_000_000, n
-    return time.perf_counter() - t0, f"rows={n} (one 10M-row key)"
+    one_pass_sec = time.perf_counter() - t0
+
+    # the segmented-scan fallback on the same input: the hot key's 10M
+    # rows split across 32 time-range segments instead of one task;
+    # results must agree with the one-pass form to 1e-6 on EVERY row
+    # (joined on the (key, ts) grain — timestamps here are unique per
+    # key by construction)
+    from event_streaming_service_spark.operators.windows import (
+        ewma_segmented)
+    t0 = time.perf_counter()
+    seg = ewma_segmented(df, "user_id", "ts", "value", alpha=0.2)
+    joined = (out.select("user_id", "ts", F.col("ewma").alias("e1"))
+              .join(seg.select("user_id", "ts", F.col("ewma").alias("e2")),
+                    ["user_id", "ts"]))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("e1") - F.col("e2"))).alias("worst")).first()
+    seg_sec = time.perf_counter() - t0
+    assert agg["n"] == 11_000_000, agg
+    assert agg["worst"] <= 1e-6, agg
+    return one_pass_sec, (f"rows={n} (one 10M-row key); segmented "
+                          f"fallback agrees to {agg['worst']:.1e} "
+                          f"in {seg_sec:.0f}s")
 
 
 def probe_gapfill(spark):
