@@ -139,9 +139,60 @@ def cohort_retention(events: DataFrame, user_col: str,
             .join(F.broadcast(sizes), "cohort_day"))
 
 
+def _segmented_adjacent_pairs(events: DataFrame, key_col: str,
+                              ts_col: str, type_col: str,
+                              order_tiebreak: str | None,
+                              n_segments: int) -> DataFrame:
+    """EXACT hot-key decomposition of per-key adjacency: split each
+    key's timeline into n_segments contiguous time ranges; adjacent
+    pairs = within-segment lag pairs (the window now partitions by
+    (key, segment) — parallel sorts) UNION one boundary pair per
+    consecutive NON-EMPTY segment (previous segment's last row ->
+    this segment's first row, extremal rows via min_by/max_by on the
+    same total order). Unlike the segmented EWMA there is no float
+    state, so this is bit-identical to the single-window form —
+    asserted at 10M rows/key by tools/scale_probe.py:transition."""
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
+    is_ts = isinstance(events.schema[ts_col].dataType,
+                       (TimestampType, TimestampNTZType))
+    ms = (wall_clock_millis(F.col(ts_col)) if is_ts
+          else F.col(ts_col).cast("bigint"))
+    tb = [order_tiebreak] if order_tiebreak else []
+    span = (events.groupBy(key_col)
+            .agg(F.min(ms).alias("__mn"), F.max(ms).alias("__mx")))
+    base = (events
+            .select(key_col, ts_col, type_col, *tb)
+            .withColumn("__ms", ms)
+            .join(span, key_col)
+            .withColumn("__seg",
+                        F.expr(f"CAST((__ms - __mn) * {n_segments} "
+                               f"DIV (__mx - __mn + 1) AS INT)"))
+            .drop("__mn", "__mx"))
+    order = [F.col("__ms")] + [F.col(c) for c in tb]
+    w = Window.partitionBy(key_col, "__seg").orderBy(*order)
+    within = (base
+              .select(F.col(key_col),
+                      F.lag(F.col(type_col)).over(w).alias("prev_type"),
+                      F.col(type_col).alias("next_type"))
+              .where(F.col("prev_type").isNotNull()))
+    okey = F.struct(F.col("__ms"), *[F.col(c) for c in tb])
+    ends = (base.groupBy(key_col, "__seg")
+            .agg(F.min_by(F.col(type_col), okey).alias("__first"),
+                 F.max_by(F.col(type_col), okey).alias("__last")))
+    w_seg = Window.partitionBy(key_col).orderBy("__seg")
+    boundary = (ends
+                .select(F.col(key_col),
+                        F.lag("__last").over(w_seg).alias("prev_type"),
+                        F.col("__first").alias("next_type"))
+                .where(F.col("prev_type").isNotNull()))
+    return within.unionByName(boundary)
+
+
 def transition_matrix(events: DataFrame, key_col: str, ts_col: str,
                       type_col: str,
-                      order_tiebreak: str | None = None) -> DataFrame:
+                      order_tiebreak: str | None = None,
+                      n_segments: int | None = None) -> DataFrame:
     """First-order Markov transition counts/probabilities between
     consecutive event types within each key's timeline — the "what do
     users do next" matrix behind journey analysis and next-event
@@ -162,16 +213,26 @@ def transition_matrix(events: DataFrame, key_col: str, ts_col: str,
     map-side combine, so the agg output is bounded by the type
     vocabulary squared regardless of input size. The row-total for the
     conditional runs as a second window over those k^2 rows (no extra
-    pass over the data).
+    pass over the data). A single hot key still sorts its whole
+    timeline in one (spilling) task; pass n_segments to decompose it
+    EXACTLY into (key, time-segment) windows plus boundary pairs —
+    bit-identical counts (integer adjacency, no float state), max task
+    = rows/segment.
     """
     order = [F.col(ts_col)] + (
         [F.col(order_tiebreak)] if order_tiebreak else [])
-    w = Window.partitionBy(key_col).orderBy(*order)
-    pairs = (events
-             .select(F.col(key_col),
-                     F.lag(F.col(type_col)).over(w).alias("prev_type"),
-                     F.col(type_col).alias("next_type"))
-             .where(F.col("prev_type").isNotNull()))
+    if n_segments:
+        pairs = _segmented_adjacent_pairs(
+            events, key_col, ts_col, type_col, order_tiebreak,
+            n_segments)
+    else:
+        w = Window.partitionBy(key_col).orderBy(*order)
+        pairs = (events
+                 .select(F.col(key_col),
+                         F.lag(F.col(type_col)).over(w)
+                         .alias("prev_type"),
+                         F.col(type_col).alias("next_type"))
+                 .where(F.col("prev_type").isNotNull()))
     counts = (pairs.groupBy("prev_type", "next_type")
               .agg(F.count(F.lit(1)).alias("n_transitions")))
     row_total = Window.partitionBy("prev_type")

@@ -271,3 +271,33 @@ def test_session_paths_topn_tiebreak_is_total(spark):
                                    gap_ms=1000, max_steps=5,
                                    top_n=2).collect()]
     assert sorted(out) == [("a", 2), ("b", 1)]   # b beats c on path asc
+
+
+def test_transition_matrix_segmented_is_bit_identical(spark):
+    """n_segments decomposes per-key adjacency into within-segment
+    pairs + boundary pairs — integer counts, so the result must equal
+    the single-window form EXACTLY, including across segment
+    boundaries and same-timestamp tiebreaks."""
+    import random
+    from datetime import datetime, timedelta
+
+    from event_streaming_service_spark.operators.analytics import (
+        transition_matrix,
+    )
+    rng = random.Random(11)
+    base = datetime(2024, 6, 1)
+    rows = [(i, i % 5, base + timedelta(seconds=rng.randrange(10_000)),
+             f"t{rng.randrange(4)}")
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    plain = {(r["prev_type"], r["next_type"]):
+             (r["n_transitions"], r["prob"])
+             for r in transition_matrix(df, "user_id", "ts", "event_type",
+                                        order_tiebreak="event_id").collect()}
+    seg = {(r["prev_type"], r["next_type"]):
+           (r["n_transitions"], r["prob"])
+           for r in transition_matrix(df, "user_id", "ts", "event_type",
+                                      order_tiebreak="event_id",
+                                      n_segments=7).collect()}
+    assert plain == seg

@@ -432,7 +432,21 @@ def probe_transition(spark):
     assert got == want, {k: (got.get(k), want.get(k))
                          for k in set(got) | set(want)
                          if got.get(k) != want.get(k)}
-    return sec, "hot_key=10M spread=5M exact k^2 matrix"
+
+    # the segmented hot-key decomposition must be BIT-IDENTICAL
+    # (integer adjacency: within-segment pairs + boundary pairs), with
+    # the 10M-row key sorted across 32 parallel segment tasks instead
+    # of one spilling task
+    t0 = time.perf_counter()
+    seg = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in transition_matrix(hot.unionByName(spread), "user_id",
+                                      "ts", "event_type",
+                                      order_tiebreak="event_id",
+                                      n_segments=32).collect()}
+    seg_sec = time.perf_counter() - t0
+    assert seg == want, "segmented decomposition diverged"
+    return sec, (f"hot_key=10M spread=5M exact k^2 matrix; "
+                 f"segmented path identical in {seg_sec:.0f}s")
 
 
 def probe_hierarchy(spark):
