@@ -52,40 +52,105 @@ def sliding(df: DataFrame, ts_col: str, width_ms: int, slide_ms: int) -> DataFra
 
 def session_labels(df: DataFrame, key_col: str, ts_col: str,
                    gap_ms: int, tiebreak_col: str,
-                   seq_col: str = "session_seq") -> DataFrame:
+                   seq_col: str = "session_seq",
+                   n_segments: int | None = None) -> DataFrame:
     """Gaps-and-islands session labeling, shared by `sessionize` (the
     per-session aggregate) and analytics.session_paths (the journey
     report): appends `__ms` (wall-clock millis) and `seq_col` to every
     row. The boundary rule — a gap STRICTLY greater than gap_ms starts
     a new session; exactly gap_ms merges (the empirically-pinned
     session_window rule) — lives here and ONLY here, so the two
-    consumers can never silently disagree."""
+    consumers can never silently disagree.
+
+    A single hot key sorts its whole timeline in one task; pass
+    n_segments to decompose EXACTLY into (key, time-segment) windows:
+    each segment's first-row boundary flag comes from the previous
+    non-empty segment's last timestamp, and session numbers add the
+    integer prefix sum of per-segment boundary counts — bit-identical
+    to the single-window form (asserted in tests), max task =
+    rows/segment."""
     ms = wall_clock_millis(F.col(ts_col))
-    order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    return (df.withColumn("__ms", ms)
-            .withColumn("__prev", F.lag("__ms").over(order))
-            .withColumn(
-                "__new_session",
-                (F.col("__prev").isNull()
-                 | ((F.col("__ms") - F.col("__prev")) > gap_ms))
-                .cast("int"))
+    if not n_segments:
+        order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+        return (df.withColumn("__ms", ms)
+                .withColumn("__prev", F.lag("__ms").over(order))
+                .withColumn(
+                    "__new_session",
+                    (F.col("__prev").isNull()
+                     | ((F.col("__ms") - F.col("__prev")) > gap_ms))
+                    .cast("int"))
+                .withColumn(seq_col,
+                            F.sum("__new_session").over(
+                                order.rowsBetween(
+                                    Window.unboundedPreceding, 0)))
+                .drop("__prev", "__new_session"))
+
+    span = (df.groupBy(key_col)
+            .agg(F.min(ms).alias("__mn"), F.max(ms).alias("__mx")))
+    base = (df.withColumn("__ms", ms)
+            .join(span, key_col)
+            .withColumn("__seg",
+                        F.expr(f"CAST((__ms - __mn) * {n_segments} "
+                               f"DIV (__mx - __mn + 1) AS INT)"))
+            .drop("__mn", "__mx"))
+    w = Window.partitionBy(key_col, "__seg").orderBy(ts_col, tiebreak_col)
+    flagged = (base
+               .withColumn("__prev", F.lag("__ms").over(w))
+               .withColumn(
+                   "__flag_within",
+                   F.when(F.col("__prev").isNotNull(),
+                          ((F.col("__ms") - F.col("__prev")) > gap_ms)
+                          .cast("int"))))
+    # per-(key, segment) summaries: last timestamp (for the next
+    # segment's first-row gap) and the within-segment boundary count
+    seg_sum = (flagged.groupBy(key_col, "__seg")
+               .agg(F.min("__ms").alias("__first_ms"),
+                    F.max("__ms").alias("__last_ms"),
+                    F.sum(F.coalesce("__flag_within", F.lit(0)))
+                    .alias("__n_within")))
+    w_seg = Window.partitionBy(key_col).orderBy("__seg")
+    seg_info = (seg_sum
+                .withColumn("__prev_last",
+                            F.lag("__last_ms").over(w_seg))
+                .withColumn(
+                    "__first_flag",
+                    (F.col("__prev_last").isNull()
+                     | ((F.col("__first_ms") - F.col("__prev_last"))
+                        > gap_ms)).cast("int"))
+                .withColumn(
+                    "__offset",
+                    F.coalesce(
+                        F.sum(F.col("__n_within") + F.col("__first_flag"))
+                        .over(w_seg.rowsBetween(Window.unboundedPreceding,
+                                                -1)),
+                        F.lit(0)))
+                .select(key_col, "__seg", "__first_flag", "__offset"))
+    flag = F.when(F.col("__prev").isNull(), F.col("__first_flag")) \
+            .otherwise(F.col("__flag_within"))
+    return (flagged
+            .join(seg_info, [key_col, "__seg"])
+            .withColumn("__f", flag)
             .withColumn(seq_col,
-                        F.sum("__new_session").over(
-                            order.rowsBetween(Window.unboundedPreceding,
-                                              0)))
-            .drop("__prev", "__new_session"))
+                        F.col("__offset")
+                        + F.sum("__f").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)))
+            .drop("__prev", "__flag_within", "__first_flag",
+                  "__offset", "__f", "__seg"))
 
 
 def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_ms: int,
-               tiebreak_col: str) -> DataFrame:
+               tiebreak_col: str,
+               n_segments: int | None = None) -> DataFrame:
     """W8 session windows: gaps-and-islands — a new session starts when
     the gap to the previous event of the same key exceeds gap_ms.
 
     Returns one row per (key, session): start/end timestamps and count.
     This is the batch twin of `session_window(ts, gap)`; in streaming
     the native operator maintains the same semantics incrementally.
-    """
-    with_gap = session_labels(df, key_col, ts_col, gap_ms, tiebreak_col)
+    n_segments enables the exact hot-key decomposition (see
+    session_labels)."""
+    with_gap = session_labels(df, key_col, ts_col, gap_ms, tiebreak_col,
+                              n_segments=n_segments)
     return (
         with_gap.groupBy(key_col, "session_seq")
         .agg(

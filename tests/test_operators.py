@@ -786,3 +786,28 @@ def test_ewma_segmented_single_row_and_instant_keys(spark):
     assert by_key[10] == [(5.0, 5.0)]
     # key 20: s_1 = 3.0, s_2 = 0.5*3 + 0.5*9 = 6.0 (event_id order)
     assert sorted(by_key[20]) == [(3.0, 3.0), (9.0, 6.0)]
+
+
+def test_sessionize_segmented_is_bit_identical(spark):
+    """n_segments session labeling must equal the single-window form
+    EXACTLY — boundary flags across segment borders, prefix-sum
+    session numbers, and per-session aggregates all integer."""
+    import random
+    from datetime import datetime, timedelta
+
+    from event_streaming_service_spark.operators.windows import sessionize
+    rng = random.Random(23)
+    base = datetime(2024, 2, 1)
+    rows = [(i, i % 4, base + timedelta(seconds=rng.randrange(50_000)))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    gap = 120_000  # 2 min: plenty of genuine session breaks
+    plain = {(r["user_id"], r["session_seq"]):
+             (r["session_start"], r["session_end"], r["n_events"])
+             for r in sessionize(df, "user_id", "ts", gap,
+                                 "event_id").collect()}
+    seg = {(r["user_id"], r["session_seq"]):
+           (r["session_start"], r["session_end"], r["n_events"])
+           for r in sessionize(df, "user_id", "ts", gap, "event_id",
+                               n_segments=9).collect()}
+    assert plain == seg
