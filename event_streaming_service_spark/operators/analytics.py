@@ -169,14 +169,17 @@ def _segmented_adjacent_pairs(events: DataFrame, key_col: str,
                         F.expr(f"CAST((__ms - __mn) * {n_segments} "
                                f"DIV (__mx - __mn + 1) AS INT)"))
             .drop("__mn", "__mx"))
-    order = [F.col("__ms")] + [F.col(c) for c in tb]
+    # order and extremal selection use the FULL-precision ts the
+    # default path sorts by — __ms is only for segment assignment
+    # (millisecond truncation could flip sub-ms ties)
+    order = [F.col(ts_col)] + [F.col(c) for c in tb]
     w = Window.partitionBy(key_col, "__seg").orderBy(*order)
     within = (base
               .select(F.col(key_col),
                       F.lag(F.col(type_col)).over(w).alias("prev_type"),
                       F.col(type_col).alias("next_type"))
               .where(F.col("prev_type").isNotNull()))
-    okey = F.struct(F.col("__ms"), *[F.col(c) for c in tb])
+    okey = F.struct(F.col(ts_col), *[F.col(c) for c in tb])
     ends = (base.groupBy(key_col, "__seg")
             .agg(F.min_by(F.col(type_col), okey).alias("__first"),
                  F.max_by(F.col(type_col), okey).alias("__last")))

@@ -162,14 +162,61 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, gap_ms: int,
 
 
 def per_key_order(df: DataFrame, key_col: str, ts_col: str,
-                  tiebreak_col: str) -> DataFrame:
+                  tiebreak_col: str,
+                  n_segments: int | None = None) -> DataFrame:
     """W2: the per-key ordering guarantee, materialized — sequence number
     and previous-event pointer within each key (the result-side
-    restatement of Kafka's same-key-same-partition contract)."""
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    return (df
-            .withColumn("seq", F.row_number().over(w).cast("bigint"))
-            .withColumn("prev_event_id", F.lag(tiebreak_col).over(w)))
+    restatement of Kafka's same-key-same-partition contract).
+
+    n_segments enables the exact hot-key decomposition: seq = within-
+    (key, time-segment) row_number + the integer prefix sum of prior
+    segment row counts, and each segment's first row takes its
+    prev-pointer from the previous non-empty segment's last row —
+    bit-identical to the single-window form, max task =
+    rows/segment."""
+    if not n_segments:
+        w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+        return (df
+                .withColumn("seq", F.row_number().over(w).cast("bigint"))
+                .withColumn("prev_event_id", F.lag(tiebreak_col).over(w)))
+
+    ms = wall_clock_millis(F.col(ts_col))
+    span = (df.groupBy(key_col)
+            .agg(F.min(ms).alias("__mn"), F.max(ms).alias("__mx")))
+    base = (df.withColumn("__ms", ms)
+            .join(span, key_col)
+            .withColumn("__seg",
+                        F.expr(f"CAST((__ms - __mn) * {n_segments} "
+                               f"DIV (__mx - __mn + 1) AS INT)"))
+            .drop("__mn", "__mx"))
+    w = Window.partitionBy(key_col, "__seg").orderBy(ts_col, tiebreak_col)
+    # extremal selection must use the FULL-precision (ts, tiebreak)
+    # order the window uses — __ms is millisecond-truncated, and a
+    # sub-ms tie could pick a different "last" row than the sort
+    okey = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    seg_sum = (base.groupBy(key_col, "__seg")
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.max_by(F.col(tiebreak_col), okey).alias("__last_tb")))
+    w_seg = Window.partitionBy(key_col).orderBy("__seg")
+    seg_info = (seg_sum
+                .withColumn("__offset",
+                            F.coalesce(
+                                F.sum("__n").over(
+                                    w_seg.rowsBetween(
+                                        Window.unboundedPreceding, -1)),
+                                F.lit(0)))
+                .withColumn("__prev_last",
+                            F.lag("__last_tb").over(w_seg))
+                .select(key_col, "__seg", "__offset", "__prev_last"))
+    within_prev = F.lag(tiebreak_col).over(w)
+    return (base
+            .join(seg_info, [key_col, "__seg"])
+            .withColumn("seq",
+                        (F.col("__offset")
+                         + F.row_number().over(w)).cast("bigint"))
+            .withColumn("prev_event_id",
+                        F.coalesce(within_prev, F.col("__prev_last")))
+            .drop("__ms", "__seg", "__offset", "__prev_last"))
 
 
 def gapfill_locf(aggregated: DataFrame, key_col: str, bucket_col: str,
@@ -316,7 +363,9 @@ def ewma_segmented(df: DataFrame, key_col: str, ts_col: str,
             .persist())
 
     key_t = df.schema[key_col].dataType.simpleString()
-    sort_cols = ["__ms"] + tb
+    # kernels sort by the FULL-precision ts (not the ms-truncated
+    # segment clock) so sub-ms orderings match the one-pass form
+    sort_cols = [ts_col] + tb
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols)

@@ -811,3 +811,68 @@ def test_sessionize_segmented_is_bit_identical(spark):
            for r in sessionize(df, "user_id", "ts", gap, "event_id",
                                n_segments=9).collect()}
     assert plain == seg
+
+
+def test_per_key_order_segmented_is_bit_identical(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    from event_streaming_service_spark.operators.windows import (
+        per_key_order,
+    )
+    rng = random.Random(31)
+    base = datetime(2024, 4, 1)
+    rows = [(i, i % 3, base + timedelta(seconds=rng.randrange(40_000)))
+            for i in range(2500)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    plain = {(r["user_id"], r["event_id"]): (r["seq"], r["prev_event_id"])
+             for r in per_key_order(df, "user_id", "ts",
+                                    "event_id").collect()}
+    seg = {(r["user_id"], r["event_id"]): (r["seq"], r["prev_event_id"])
+           for r in per_key_order(df, "user_id", "ts", "event_id",
+                                  n_segments=11).collect()}
+    assert plain == seg
+
+
+def test_segmented_paths_respect_sub_millisecond_order(spark):
+    """Two events 400us apart share a millisecond (the segment clock)
+    but not a timestamp; the segmented decompositions must order by
+    FULL-precision ts exactly like the single-window forms — an
+    ms-truncated sort key would flip the pair when the tiebreak
+    disagrees with the time order."""
+    from datetime import datetime, timedelta
+
+    from event_streaming_service_spark.operators.analytics import (
+        transition_matrix,
+    )
+    from event_streaming_service_spark.operators.windows import (
+        per_key_order,
+    )
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        # event_id order CONTRADICTS time order inside one millisecond
+        (9, 1, t0 + timedelta(microseconds=500), "a"),
+        (1, 1, t0 + timedelta(microseconds=900), "b"),
+        (5, 1, t0 + timedelta(seconds=2), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    plain_o = {r["event_id"]: (r["seq"], r["prev_event_id"])
+               for r in per_key_order(df, "user_id", "ts",
+                                      "event_id").collect()}
+    seg_o = {r["event_id"]: (r["seq"], r["prev_event_id"])
+             for r in per_key_order(df, "user_id", "ts", "event_id",
+                                    n_segments=4).collect()}
+    assert plain_o == seg_o
+    assert plain_o[9] == (1, None) and plain_o[1] == (2, 9)
+
+    plain_t = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+               for r in transition_matrix(df, "user_id", "ts",
+                                          "event_type",
+                                          order_tiebreak="event_id")
+               .collect()}
+    seg_t = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+             for r in transition_matrix(df, "user_id", "ts", "event_type",
+                                        order_tiebreak="event_id",
+                                        n_segments=4).collect()}
+    assert plain_t == seg_t == {("a", "b"): 1, ("b", "c"): 1}
