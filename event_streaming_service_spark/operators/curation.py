@@ -196,7 +196,9 @@ def vocab_coverage(docs: DataFrame, id_col: str = "doc_id",
     coverage; the vocabulary selection is TakeOrdered (distributed
     top-n, never a single-task sort) and joins back as a broadcast
     (vocab_size rows). Documents with zero tokens are absent (both
-    engines compute the same inner grain)."""
+    engines compute the same inner grain). The cached token grain
+    lives until the caller clears the cache (bench does so per
+    query)."""
     doc_tok = (fan_out(docs)
                .select(F.col(id_col),
                        F.explode(tokens(F.col(text_col))).alias("tok"))

@@ -51,7 +51,9 @@ def ancestor_closure(edges: DataFrame, child_col: str = "child",
     the closure is then ONE fully-lazy plan of exactly max_depth
     chained joins — no build-time actions, no checkpoints (keep
     max_depth small; every level is a join in the single plan, and
-    levels past the true depth are empty and near-free under AQE)."""
+    levels past the true depth are empty and near-free under AQE;
+    the cached edge frame then lives until the caller clears the
+    cache — the probing path unpersists it itself)."""
     e = (edges.select(F.col(child_col).alias("__c"),
                       F.col(parent_col).alias("__p"))
          .where(F.col(parent_col).isNotNull())

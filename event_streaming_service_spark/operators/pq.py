@@ -96,7 +96,11 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
     integer ADC dot product of the query's full int8 vector against
     the candidate's per-subspace codebook centroids. Output:
     query_id, neighbor_id, adc_score (exact bigint), rank (1..k by
-    score desc, neighbor_id asc)."""
+    score desc, neighbor_id asc).
+
+    Cache lifecycle: the quantized-code frame persists for the
+    query's lifetime (lazy result; spark.catalog.clearCache() or
+    session end reclaims it — bench clears per query)."""
     q = quantize_codes(emb, vec_col, id_col).persist()
 
     # bounded collect: the K codebook seeds (<=16 rows), the same
@@ -148,7 +152,9 @@ def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
     composes identically), assignment similarity rounds to 9 dp
     before the argmax, and everything PQ-side is integer — so the
     whole two-stage pipeline has an exact SQL twin. Output:
-    query_id, neighbor_id, adc_score, rank (ADC desc, id asc)."""
+    query_id, neighbor_id, adc_score, rank (ADC desc, id asc).
+    Cache lifecycle: same as pq_topk (quantized codes persist until
+    the caller clears the cache)."""
     from event_streaming_service_spark.operators.similarity import (
         as_double,
         cosine,

@@ -344,7 +344,8 @@ def ewma_segmented(df: DataFrame, key_col: str, ts_col: str,
     ops differently from the one-pass loop, so results can differ from
     `ewma` in the last ulps (both round to 6dp; tests pin agreement to
     1e-6). The one-pass form remains the oracle-checked default —
-    reach for this one when a key outgrows a task."""
+    reach for this one when a key outgrows a task. The persisted
+    segmented base lives until the caller clears the cache."""
     import pandas as pd
 
     decay = 1.0 - alpha
