@@ -90,7 +90,8 @@ def _adc_expr(cent: Column, m_sub: int, d_sub: int) -> Column:
 def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
             n_codes: int = 16, query_mod: int = 125,
             id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            codebook: list[list[int]] | None = None) -> DataFrame:
     """PQ-ADC top-k self-search: queries are the vectors whose id is
     divisible by `query_mod`; every other vector is scored by the
     integer ADC dot product of the query's full int8 vector against
@@ -98,15 +99,24 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
     query_id, neighbor_id, adc_score (exact bigint), rank (1..k by
     score desc, neighbor_id asc).
 
+    `codebook` overrides the sampled seeds with a pre-trained one
+    (full-dim int vectors, e.g. from train_codebook's integer Lloyd).
+
     Cache lifecycle: the quantized-code frame persists for the
     query's lifetime (lazy result; spark.catalog.clearCache() or
     session end reclaims it — bench clears per query)."""
     q = quantize_codes(emb, vec_col, id_col).persist()
 
-    # bounded collect: the K codebook seeds (<=16 rows), the same
-    # convention as IVF's broadcast centroids
-    seed_rows = q.orderBy(id_col).limit(n_codes).collect()
-    seeds = [list(r["qv"]) for r in seed_rows]
+    if codebook is not None:
+        if len(codebook) != n_codes:
+            raise ValueError(
+                f"codebook has {len(codebook)} entries, want {n_codes}")
+        seeds = [list(map(int, c)) for c in codebook]
+    else:
+        # bounded collect: the K codebook seeds (<=16 rows), the same
+        # convention as IVF's broadcast centroids
+        seed_rows = q.orderBy(id_col).limit(n_codes).collect()
+        seeds = [list(r["qv"]) for r in seed_rows]
     dim = len(seeds[0])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -250,3 +260,56 @@ def pq_codes_arrow(qdf: DataFrame, seeds: list[list[int]],
             })
 
     return qdf.mapInPandas(batches, f"{id_col} bigint, codes array<int>")
+
+
+def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,
+                   lloyd_rounds: int = 2,
+                   id_col: str = "vec_id") -> list[list[int]]:
+    """INTEGER Lloyd refinement of the PQ codebook — real PQ training
+    (k-means per subspace) kept deterministic and SQL-twinnable:
+    centroid components update to the FLOOR-DIVIDED mean of exact
+    integer member sums (Python //, which the SQL twin reproduces as
+    floor division), so every round is a pure integer function of the
+    data — no float means, no tie races (assignment tiebreaks on the
+    smallest code, empty cells keep their previous centroid, exactly
+    like ivf_cosine_topk keeps its plan shape).
+
+    Per round: one Arrow code-assignment pass over the corpus + one
+    (m, k, i)-grain integer aggregate whose output is m_sub * n_codes
+    * d_sub rows — collected (bounded: 1024 values at the 8x16x8
+    default). Returns the refined seeds as nested Python lists, ready
+    for `_codebook_literal` / `pq_topk(codebook=...)`.
+
+    Registration note: written in round 5 under the registration
+    freeze; the driver-checkable query (unrolled-round SQL twin)
+    lands with the round-6 rotation."""
+    rows = qdf.orderBy(id_col).limit(n_codes).collect()
+    seeds = [list(map(int, r["qv"])) for r in rows]
+    dim = len(seeds[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+
+    for _ in range(lloyd_rounds):
+        coded = pq_codes_arrow(qdf, seeds, m_sub, id_col=id_col)
+        joined = coded.join(qdf, id_col)
+        member = (joined
+                  .select(F.explode(F.sequence(F.lit(0),
+                                               F.lit(m_sub - 1)))
+                          .alias("m"), "codes", "qv")
+                  .select("m",
+                          F.element_at("codes", F.col("m") + 1).alias("k"),
+                          F.posexplode(F.slice("qv",
+                                               F.col("m") * d_sub + 1,
+                                               d_sub))
+                          .alias("i", "val")))
+        agg = (member.groupBy("m", "k", "i")
+               .agg(F.sum("val").cast("bigint").alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+               .collect())
+        new_seeds = [list(s) for s in seeds]
+        for r in agg:
+            m, k, i = int(r["m"]), int(r["k"]), int(r["i"])
+            new_seeds[k][m * d_sub + i] = int(r["s"]) // int(r["n"])
+        seeds = new_seeds
+    return seeds

@@ -70,3 +70,40 @@ def test_ivfpq_is_subset_of_pq_scores(spark):
     for r in pruned:
         key = (r["query_id"], r["neighbor_id"])
         assert key in full and full[key] == r["adc_score"], key
+
+
+def test_train_codebook_deterministic_and_reduces_distortion(spark):
+    """Integer Lloyd: two runs produce identical codebooks (pure
+    integer function of the data) and refined codebooks do not
+    increase total quantization distortion vs the sampled init."""
+    import numpy as np
+
+    emb = _emb(spark, n=120, dim=16, seed=13)
+    qdf = quantize_codes(emb)
+    m_sub, n_codes = 4, 8
+    trained1 = pq.train_codebook(qdf, m_sub, n_codes, lloyd_rounds=2)
+    trained2 = pq.train_codebook(qdf, m_sub, n_codes, lloyd_rounds=2)
+    assert trained1 == trained2
+
+    init = [list(map(int, r["qv"]))
+            for r in qdf.orderBy("vec_id").limit(n_codes).collect()]
+    x = np.array([r["qv"] for r in qdf.orderBy("vec_id").collect()],
+                 dtype=np.int64).reshape(-1, m_sub, 4)
+
+    def distortion(seeds):
+        cb = np.array(seeds, dtype=np.int64).reshape(
+            n_codes, m_sub, 4).transpose(1, 0, 2)
+        d = ((x[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        return int(d.min(axis=2).sum())
+
+    assert distortion(trained1) <= distortion(init)
+
+
+def test_pq_topk_accepts_trained_codebook(spark):
+    emb = _emb(spark, n=60, dim=16, seed=17)
+    qdf = quantize_codes(emb)
+    trained = pq.train_codebook(qdf, 4, 8, lloyd_rounds=1)
+    out = pq.pq_topk(emb, k=5, m_sub=4, n_codes=8, query_mod=29,
+                     codebook=trained).collect()
+    assert out and all(1 <= r["rank"] <= 5 for r in out)
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
