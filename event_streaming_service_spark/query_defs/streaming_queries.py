@@ -411,3 +411,113 @@ def q_streaming_running_counts(spark: SparkSession,
             .agg(F.max("n_events").alias("n_events"),
                  F.max("value_cents").alias("value_cents"))
             .withColumn("rnk", F.row_number().over(w).cast("bigint")))
+
+
+# ---- W3 late-data drop (round-6 registration candidate) -----------
+#
+# The one watermark behavior with no driver row yet: rows arriving
+# AFTER their window was finalized are DROPPED from the aggregate.
+# Spark's actual drop rule (measured here, batch metrics): a late row
+# merges into state as long as its window has NOT been evicted yet —
+# eviction happens at the END of the first batch whose STARTING
+# watermark passed the window. So a two-file layout (on-time, then
+# late) does NOT drop: the late batch merges before the same-batch
+# eviction. The three-file layout does, deterministically:
+#   file 1  every on-time event EXCEPT the single (ts, event_id)-max
+#           row — processing it advances the watermark to ~max-delay;
+#   file 2  the max row alone — its live window absorbs it, and THIS
+#           batch's commit evicts+emits every window behind the
+#           watermark;
+#   file 3  the planted late set (event_id % 7 == 0 AND ts older than
+#           max(ts) - 6h) — their windows are gone from state and
+#           behind the watermark, so every row is dropped
+#           (numRowsDroppedByWatermark == |file 3|, asserted).
+# The batch twin therefore excludes exactly the planted set; a run
+# that failed to drop them diverges loudly (tests/test_streaming.py
+# asserts both directions). Registered with the round-6 rotation
+# (round-5 budget is full).
+
+LATE_DROP_DELAY_MS = 30 * 60 * 1000
+LATE_CUTOFF_MS = 6 * 3_600_000
+
+LATE_DROP_ORACLE = f"""
+    WITH bounds AS (
+        SELECT epoch_ms(MAX(ts)) AS max_ms FROM events),
+    on_time AS (
+        SELECT e.* FROM events e, bounds b
+        WHERE NOT (e.event_id % 7 = 0
+                   AND epoch_ms(e.ts) < b.max_ms - {LATE_CUTOFF_MS})),
+    w AS (
+        SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS ws_ms,
+               event_type, value
+        FROM on_time)
+    SELECT make_timestamp(ws_ms * 1000) AS window_start,
+           make_timestamp((ws_ms + {HOUR_MS}) * 1000) AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+    FROM w, bounds
+    WHERE ws_ms + {HOUR_MS} <= max_ms - {LATE_DROP_DELAY_MS}
+    GROUP BY 1, 2, 3
+"""
+
+
+def _late_split_src(spark: SparkSession, sf_dir: str, tmp: str) -> str:
+    """Three-file stream source with controlled arrival order (see the
+    drop-rule note above): on-time minus the max row, then the max row
+    alone, then the planted late set — mtimes stamped in that order so
+    FileStreamSource delivers three micro-batches."""
+    import os
+
+    ev = (tables.load_table(spark, sf_dir, "events")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    bounds = ev.agg(F.max(F.unix_millis("ts")).alias("mx"))
+    w_max = Window.orderBy(F.unix_millis("ts").desc(),
+                           F.col("event_id").desc())
+    tagged = (ev.join(F.broadcast(bounds))
+              .withColumn("__late",
+                          (F.col("event_id") % 7 == 0)
+                          & (F.unix_millis("ts")
+                             < F.col("mx") - LATE_CUTOFF_MS))
+              .withColumn("__is_max", F.row_number().over(w_max) == 1)
+              .drop("mx"))
+
+    src = f"{tmp}/src"
+
+    def write_slice(cond, mode):
+        before = set()
+        if os.path.isdir(src):
+            before = {f for f in os.listdir(src)
+                      if f.startswith("part-") and not f.endswith(".crc")}
+        (tagged.where(cond).drop("__late", "__is_max")
+         .orderBy("ts").coalesce(1)
+         .write.mode(mode).parquet(src))
+        after = {f for f in os.listdir(src)
+                 if f.startswith("part-") and not f.endswith(".crc")}
+        return sorted(after - before)
+
+    p1 = write_slice(~F.col("__late") & ~F.col("__is_max"), "overwrite")
+    p2 = write_slice(~F.col("__late") & F.col("__is_max"), "append")
+    p3 = write_slice(F.col("__late"), "append")
+    all_parts = p1 + p2 + p3
+    base = max(os.stat(os.path.join(src, p)).st_mtime for p in all_parts)
+    for i, p in enumerate(all_parts):
+        full = os.path.join(src, p)
+        os.utime(full, (base + i + 1, base + i + 1))
+    return src
+
+
+def build_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly tumbling aggregate over the two-batch late-split
+    stream: the second batch's rows sit behind the watermark and are
+    dropped, so the emitted windows equal the batch twin over the
+    ON-TIME set only (LATE_DROP_ORACLE)."""
+    tmp = tempfile.mkdtemp(prefix="ess-latedrop-")
+    src = _late_split_src(spark, sf_dir, tmp)
+    sink = f"latedrop_{uuid.uuid4().hex[:8]}"
+    q = (sp.tumbling_counts(
+            sp.read_event_stream(spark, src, max_files_per_trigger=1),
+            "1 hour", "30 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink).trigger(availableNow=True).start())
+    _await_or_raise(q)
+    return spark.table(sink)

@@ -176,3 +176,27 @@ def test_running_counts_update_mode_emits_changelog(spark, sf_smoke, tmpdir):
               .agg(F.count(F.lit(1)).alias("n"),
                    F.sum(cents).alias("c")).collect()}
     assert got == want
+
+
+def test_late_data_dropped_behind_watermark(spark, sf_oracle):
+    """W3 driver-checkable form (round-6 registration candidate): the
+    planted late batch must be DROPPED — the streaming result equals
+    the batch twin over the on-time set, and differs from the
+    include-everything aggregate (proving drops actually happened)."""
+    from event_streaming_service_spark.query_defs.streaming_queries import (
+        LATE_DROP_ORACLE,
+        build_late_drop_counts,
+    )
+    from tests.parity import compare, run_oracle
+
+    got = build_late_drop_counts(spark, sf_oracle)
+    compare(got, run_oracle(LATE_DROP_ORACLE, sf_oracle),
+            "late_drop_counts")
+
+    naive = run_oracle(
+        LATE_DROP_ORACLE.replace(
+            "AND epoch_ms(e.ts) < b.max_ms - 21600000", "AND FALSE"),
+        sf_oracle)
+    assert len(naive) != len(got.collect()) or \
+        int(naive["n"].sum()) != sum(r["n"] for r in got.collect()), \
+        "late rows were not dropped — stream matched the naive batch"
