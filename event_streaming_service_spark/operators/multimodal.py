@@ -11,9 +11,13 @@ with nothing but the stdlib, so `attach_png_payload` /
 whose channel statistics an independent SQL oracle reproduces.
 Baseline grayscale JPEG decode is REAL too (round-5:
 functions/jpeg_codec.py — marker parse, canonical Annex-K Huffman,
-dequantize, IDCT). Only formats that genuinely need external codec
-libraries absent from this container (color/progressive JPEG, video
-frames, compressed audio) remain STUBBED behind
+dequantize, IDCT), and VIDEO decode is REAL via APNG (round-5:
+functions/apng_codec.py — acTL/fcTL/fdAT chunks, an independent zlib
+stream per frame, reusing the PNG scanline filters): frame stats,
+frame sampling, and scene-cut detection below are byte-exact,
+oracle-checked operators. Only formats that genuinely need external
+codec libraries absent from this container (color/progressive JPEG,
+interframe-compressed video, lossy audio) remain STUBBED behind
 `codec_libs_available` (clearly marked NotImplementedError).
 
 Scale notes: binary payloads ride the normal columnar path (parquet
@@ -653,3 +657,151 @@ def resample_wav(media_df: DataFrame, target_rate: int = 4000) -> DataFrame:
                 "ch0_sum", "ch1_sum", "out_bytes"])
 
     return media_df.mapInPandas(batches, WAV_RESAMPLE_SCHEMA)
+
+
+# ---- real APNG video path (functions/apng_codec.py) -----------------
+
+# Deterministic synthetic clip: pixel(x, y, c, f) =
+#   (doc_id % 80) + (x % 32) + (y % 32) + 10*c + 8*f + 40*[f >= cut]
+# with cut = n_frames // 2, n_frames = doc_id % 6 + 2 (max value
+# 79+31+31+20+48+40 = 249, fits u8). The per-frame +8 drift gives
+# every consecutive frame pair a nonzero pixel delta; the +40 jump at
+# the midpoint plants exactly one scene cut per clip, so the cut
+# detector has a ground truth an ANSI-SQL oracle reproduces.
+APNG_PIXEL_BASE_MOD = 80
+APNG_FRAME_STEP = 8
+APNG_CUT_JUMP = 40
+
+
+def _apng_shape(doc_id: int) -> tuple[int, int, int]:
+    w, h = _png_dims(doc_id)
+    return w, h, int(doc_id) % 6 + 2  # (w, h, n_frames)
+
+
+def _apng_frames(doc_id: int) -> "np.ndarray":
+    import numpy as np
+
+    w, h, n = _apng_shape(doc_id)
+    base = int(doc_id) % APNG_PIXEL_BASE_MOD
+    xg = np.arange(w) % PNG_GRADIENT_MOD
+    yg = np.arange(h) % PNG_GRADIENT_MOD
+    plane = base + np.add.outer(yg, xg)                   # (h, w)
+    chans = np.arange(3) * PNG_CHANNEL_STEP               # (3,)
+    still = plane[:, :, None] + chans[None, None, :]      # (h, w, 3)
+    fterm = np.arange(n) * APNG_FRAME_STEP \
+        + APNG_CUT_JUMP * (np.arange(n) >= n // 2)        # (n,)
+    return (still[None] + fterm[:, None, None, None]).astype("uint8")
+
+
+def attach_apng_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the real video path: one genuine APNG clip per
+    document (pure-stdlib encoder, deterministic gradient frames with
+    a planted mid-clip scene cut) plus the typed metadata struct.
+    Production replaces this with a parquet binary column scan; the
+    schema contract downstream is identical."""
+    from event_streaming_service_spark.functions import apng_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h, n = _apng_shape(doc_id)
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": apng_codec.encode_apng(_apng_frames(doc_id)),
+                    "media": {"media_type": "video", "codec": "apng",
+                              "width": w, "height": h, "n_frames": n},
+                })
+            yield pd.DataFrame(rows)
+
+    # same fan-out rationale as attach_png_payload: the encode kernel,
+    # not the id scan, is the cost — repartition ids first
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+APNG_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, "
+    "diff_sum bigint, is_cut boolean"
+)
+
+
+def video_frame_stats_apng(media_df: DataFrame,
+                           cut_threshold: int = 20) -> DataFrame:
+    """REAL video decode + per-frame statistics + scene-cut detection:
+    decode the APNG (CRC-checked chunks, per-frame zlib streams, all
+    five scanline filters), emit one row per frame with exact integer
+    channel sums, the absolute pixel delta vs the previous frame, and
+    a cut flag (mean abs delta > cut_threshold, computed in integers
+    as diff_sum > threshold * w * h * 3). Dimensions and frame count
+    come from the DECODED stream, not the metadata struct, so any
+    payload/metadata mismatch breaks the hash.
+
+    Scale: one clip = one kernel row = the unit of parallel work (the
+    entropy stream is sequential); the per-frame explode happens on
+    the tiny stats rows AFTER decode, never on pixels."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import apng_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr = apng_codec.decode_apng(bytes(payload))
+                n, h, w, _ = fr.shape
+                sums = fr.reshape(n, -1, 3).sum(axis=1, dtype="int64")
+                deltas = np.abs(
+                    fr[1:].astype("int64") - fr[:-1].astype("int64")
+                ).reshape(n - 1, -1).sum(axis=1) if n > 1 else []
+                lim = cut_threshold * w * h * 3
+                for f in range(n):
+                    d = int(deltas[f - 1]) if f > 0 else 0
+                    rows.append((int(doc_id), f, w, h,
+                                 int(sums[f, 0]), int(sums[f, 1]),
+                                 int(sums[f, 2]), d, d > lim))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height", "ch0_sum",
+                "ch1_sum", "ch2_sum", "diff_sum", "is_cut"])
+
+    return media_df.mapInPandas(batches, APNG_FRAME_SCHEMA)
+
+
+APNG_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint"
+)
+
+
+def sample_frames_apng(media_df: DataFrame, every_nth: int = 4) -> DataFrame:
+    """REAL frame sampling: decode the clip, keep frames where
+    idx % every_nth == 0, emit their exact channel sums. The filter
+    runs INSIDE the kernel, so only sampled frames' statistics ever
+    leave Python — the 100 TB shape for 'thumbnail every Nth frame'
+    feature jobs (decode is unavoidable per clip because the entropy
+    stream is sequential, but the output is pre-pruned)."""
+    from event_streaming_service_spark.functions import apng_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr = apng_codec.decode_apng(bytes(payload))
+                n, h, w, _ = fr.shape
+                keep = fr[::every_nth]
+                sums = keep.reshape(len(keep), -1, 3).sum(
+                    axis=1, dtype="int64")
+                for j, f in enumerate(range(0, n, every_nth)):
+                    rows.append((int(doc_id), f, w, h,
+                                 int(sums[j, 0]), int(sums[j, 1]),
+                                 int(sums[j, 2])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height",
+                "ch0_sum", "ch1_sum", "ch2_sum"])
+
+    return media_df.mapInPandas(batches, APNG_SAMPLE_SCHEMA)

@@ -73,7 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "ops_catalog_surface", "routing_pipeline_surface",
     "envelope_props_surface", "joins_surface",
     "streaming_core_surface", "corpus_pipeline_surface",
-    "sampling_surface", "nation_presence_full_outer",
+    "nation_presence_full_outer",
     # -- round-5 additions (registered this round, driver-checked this
     #    round per the same-round budget rule; slots start as r4-green
     #    anchors and swap to the new queries as each lands green) --
@@ -87,6 +87,11 @@ PRIORITY: tuple[str, ...] = (
     #    hierarchy-path dimension (recursive family, read side) --
     "multimodal_features_jpeg", "multimodal_resize_jpeg",
     "ivfpq_cosine_topk", "part_hierarchy_paths",
+    # -- round-5 final addition: REAL APNG video decode (per-frame
+    #    stats + scene cuts). Takes the slot of sampling_surface,
+    #    whose tags ('sampling', '2.12-sampling') stay covered by
+    #    dataset_split_assignment and whose legs are r4 hash-green. --
+    "video_frames_apng",
 )
 
 # Oracle-backed queries waiting for a driver slot: DRAINED in round 5

@@ -310,3 +310,58 @@ def q_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_jpeg_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.resize_jpeg(media, 24, 24).drop("out_bytes")
+
+
+# The synthetic APNG clip formula (operators/multimodal.py:_apng_frames):
+#   v(x, y, c, f) = (doc_id % 80) + (x % 32) + (y % 32) + 10*c + 8*f
+#                   + 40 * [f >= n_frames // 2]
+# The +8/frame drift gives every consecutive frame a nonzero delta and
+# the +40 midpoint jump plants exactly one scene cut per clip, so the
+# oracle can regenerate every pixel of every frame and recompute the
+# frame-to-frame deltas with LAG — fully independently of the codec.
+@register(
+    "video_frames_apng",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 64 + 16 AS INTEGER) AS w,
+               CAST(doc_id % 48 + 16 AS INTEGER) AS h,
+               CAST(doc_id % 6 + 2 AS INTEGER) AS nf
+        FROM documents),
+    fs AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM dims),
+    xs AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x FROM fs),
+    xys AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y
+            FROM xs),
+    px AS (SELECT doc_id, w, h, f, x, y, c,
+                  (doc_id % 80) + (x % 32) + (y % 32) + 10 * c + 8 * f
+                  + CASE WHEN f >= nf // 2 THEN 40 ELSE 0 END AS v
+           FROM (SELECT *, unnest([0, 1, 2]) AS c FROM xys)),
+    diffs AS (SELECT doc_id, w, h, f, c, v,
+                  v - LAG(v) OVER (PARTITION BY doc_id, x, y, c ORDER BY f)
+                      AS dv
+              FROM px)
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           MAX(w) AS width, MAX(h) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS ch0_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS ch1_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS ch2_sum,
+           CAST(COALESCE(SUM(ABS(dv)), 0) AS BIGINT) AS diff_sum,
+           COALESCE(SUM(ABS(dv)), 0) > 20 * MAX(w) * MAX(h) * 3 AS is_cut
+    FROM diffs GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "frame-sample", "decode-apng", "video",
+          "scene-cut", "2.12-video"),
+)
+def q_video_frames_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + per-frame stats + scene-cut detection: each
+    document carries a genuine APNG clip (pure-stdlib codec over the
+    round-4 PNG scanline machinery — acTL/fcTL/fdAT chunks, CRC
+    checks, an independent zlib stream per frame) and the kernel
+    decodes every frame and emits exact channel sums, the absolute
+    pixel delta vs the previous frame, and the integer-threshold cut
+    flag. The oracle regenerates all pixels arithmetically and takes
+    the deltas with LAG over the frame axis, so a flipped byte
+    anywhere in any frame's filter/inflate chain breaks the hash."""
+    media = multimodal.attach_apng_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.video_frame_stats_apng(media)
