@@ -206,10 +206,8 @@ def main() -> None:
     full_line = json.dumps(full)
     with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
         f.write(full_line + "\n")
-    if len(full_line) <= 1500:
-        print(full_line)
-    else:
-        print(full_line)
+    print(full_line)
+    if len(full_line) > 1500:
         compact = dict(full)
         compact["queries_file"] = "BENCH_FULL.json"
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:8]

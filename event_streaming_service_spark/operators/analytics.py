@@ -162,7 +162,9 @@ def _segmented_adjacent_pairs(events: DataFrame, key_col: str,
     span = (events.groupBy(key_col)
             .agg(F.min(ms).alias("__mn"), F.max(ms).alias("__mx")))
     base = (events
-            .select(key_col, ts_col, type_col, *tb)
+            # dedup: order_tiebreak == ts_col/type_col must not create
+            # duplicate column names (same guard as ewma_segmented)
+            .select(*dict.fromkeys([key_col, ts_col, type_col, *tb]))
             .withColumn("__ms", ms)
             .join(span, key_col)
             .withColumn("__seg",

@@ -93,9 +93,10 @@ def char_gini(docs: DataFrame, id_col: str = "doc_id",
     transcendental log whose low bits differ across engines; Gini
     ranks near-identically for filtering and stays hash-exact). Low
     values flag degenerate documents (one repeated character);
-    high values approach uniform text. Exactness bound: n * 1000 must
-    stay under 2^31.5 (docs up to ~3e6 chars) so (n^2 - s2) * 1e6
-    fits int64 — beyond that, widen to decimal.
+    high values approach uniform text. The numerator (n^2 - s2) * 1e6
+    is computed in DECIMAL(38,0) (HUGEINT on the DuckDB side), so
+    there is no int64 wrap for oversized documents — exact up to
+    ~1e16 chars/doc, far past any real corpus row.
 
     Plan for 100 TB: explode to (doc, char) but the partial hash
     aggregate collapses to distinct pairs per partition before the one
@@ -117,9 +118,11 @@ def char_gini(docs: DataFrame, id_col: str = "doc_id",
     return agg.select(
         id_col, "n_chars_counted", "distinct_chars",
         F.when(F.col("n_chars_counted") > 0,
-               F.expr("(n_chars_counted * n_chars_counted - __s2) "
+               F.expr("(CAST(n_chars_counted AS DECIMAL(38,0)) "
+                      "* n_chars_counted - __s2) "
                       "* 1000000 DIV "
-                      "(n_chars_counted * n_chars_counted)"))
+                      "(CAST(n_chars_counted AS DECIMAL(38,0)) "
+                      "* n_chars_counted)"))
         .cast("bigint").alias("gini_ppm"))
 
 
@@ -140,8 +143,9 @@ def char_gini_sql(table: str = "documents", id_col: str = "doc_id",
         FROM per_char GROUP BY {id_col})
     SELECT {id_col}, n_chars_counted, distinct_chars,
            CAST(CASE WHEN n_chars_counted > 0 THEN
-                (n_chars_counted * n_chars_counted - s2) * 1000000
-                // (n_chars_counted * n_chars_counted)
+                (CAST(n_chars_counted AS HUGEINT) * n_chars_counted - s2)
+                * 1000000
+                // (CAST(n_chars_counted AS HUGEINT) * n_chars_counted)
                 END AS BIGINT) AS gini_ppm
     FROM agg
     """

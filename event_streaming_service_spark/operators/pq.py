@@ -112,6 +112,15 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
             raise ValueError(
                 f"codebook has {len(codebook)} entries, want {n_codes}")
         seeds = [list(map(int, c)) for c in codebook]
+        widths = {len(c) for c in seeds}
+        if len(widths) != 1:
+            raise ValueError(f"codebook entry widths differ: {sorted(widths)}")
+        # width must match the corpus dim: a short/long codebook makes
+        # F.slice/zip_with null-pad and the ADC scores silently NULL
+        probe = q.select(F.size("qv").alias("d")).first()
+        if probe is not None and widths != {int(probe["d"])}:
+            raise ValueError(
+                f"codebook width {widths.pop()} != corpus dim {probe['d']}")
     else:
         # bounded collect: the K codebook seeds (<=16 rows), the same
         # convention as IVF's broadcast centroids
