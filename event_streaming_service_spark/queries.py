@@ -52,8 +52,11 @@ PRIORITY: tuple[str, ...] = (
     # first 50 (tests/test_priority.py asserts the closure). The
     # remaining slots hold round-5 additions plus r4-green anchors.
     #
+    # -- round-6 headline (VERDICT r5 gap #1): the W3 watermark
+    #    late-drop query, the one §2 row never driver-checked --
+    "late_drop_counts",
     # -- round-4 second-wave backlog: never driver-verified --
-    "set_similarity_pairs", "pagerank_trade_graph",
+    "set_similarity_pairs",
     "table_profile_surface", "pareto_frontier_parts",
     "inverted_index_terms", "orders_grouping_sets",
     "price_histogram_by_priority", "value_outliers_mad",

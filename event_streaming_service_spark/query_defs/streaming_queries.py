@@ -506,11 +506,18 @@ def _late_split_src(spark: SparkSession, sf_dir: str, tmp: str) -> str:
     return src
 
 
+@register("late_drop_counts", oracle=LATE_DROP_ORACLE,
+          tags=("W3", "streaming"))
 def build_late_drop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the hourly tumbling aggregate over the two-batch late-split
-    stream: the second batch's rows sit behind the watermark and are
-    dropped, so the emitted windows equal the batch twin over the
-    ON-TIME set only (LATE_DROP_ORACLE)."""
+    """W3 late/old-data policy, driver-checkable (ref
+    service/BaseEventConsumer.java:150-159 drops events older than the
+    max-age policy): run the hourly tumbling aggregate over the
+    three-batch late-split stream — the planted late rows arrive after
+    the watermark passed their windows and are DROPPED, so the emitted
+    windows equal the batch twin over the ON-TIME set only
+    (LATE_DROP_ORACLE). tests/test_streaming.py additionally asserts
+    the result DIFFERS from the include-everything aggregate, proving
+    the drops happened rather than the plant being vacuous."""
     tmp = tempfile.mkdtemp(prefix="ess-latedrop-")
     src = _late_split_src(spark, sf_dir, tmp)
     sink = f"latedrop_{uuid.uuid4().hex[:8]}"
