@@ -193,3 +193,40 @@ def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return windows.ewma(ev, "user_id", "ts", "value", EWMA_ALPHA,
                         order_tiebreak="event_id")
+
+
+@register(
+    "ewma_segmented_per_user",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events),
+    walk(user_id, seq, ts, value, s) AS (
+        SELECT user_id, seq, ts, value, value FROM ordered WHERE seq = 1
+        UNION ALL
+        SELECT o.user_id, o.seq, o.ts, o.value,
+               {EWMA_ALPHA} * o.value + {1 - EWMA_ALPHA} * w.s
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.seq = w.seq + 1)
+    SELECT user_id, ts, value, ROUND(s, 6) AS ewma FROM walk
+    """,
+    tags=("W8", "ewma", "2.11", "segmented-scan"),
+)
+def q_ewma_segmented_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key EWMA fallback (windows.ewma_segmented), driver-
+    checked against the SAME sequential-recurrence oracle as
+    ewma_value_per_user: segment each user's timeline into 8
+    contiguous time ranges, fold each segment to its affine (A, B)
+    composition, combine the per-key summaries, then re-run the scan
+    per segment from the assigned incoming state. Three linear passes,
+    max task = rows/segment — the shape that survives a 10^8-rows/key
+    skew. Hash-matching the one-pass oracle at 6dp demonstrates the
+    affine composition is numerically faithful, not just approximately
+    right."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    out = windows.ewma_segmented(ev, "user_id", "ts", "value",
+                                 EWMA_ALPHA, order_tiebreak="event_id",
+                                 n_segments=8)
+    return out.select("user_id", "ts", "value", "ewma")
