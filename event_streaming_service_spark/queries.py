@@ -61,7 +61,12 @@ PRIORITY: tuple[str, ...] = (
     "inverted_index_terms", "orders_grouping_sets",
     "price_histogram_by_priority", "value_outliers_mad",
     "benford_price_audit", "price_quantity_correlation",
-    "twa_value_per_user", "value_trend_per_user",
+    # -- round-7 headline (VERDICT r6 item #1): the segmented-EWMA
+    #    hot-key fallback, registered mid-snapshot in r6 and stranded
+    #    outside the budget; takes the slot of r6-green
+    #    twa_value_per_user (tags A5/window-frames stay covered by
+    #    governance_surface / window_functions_profile) --
+    "ewma_segmented_per_user", "value_trend_per_user",
     "event_transition_matrix", "orders_snapshot_diff",
     "purchase_attribution_last_touch", "scd2_snapshot_asof",
     "session_journey_paths", "nation_revenue_share_of_region",
