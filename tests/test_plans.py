@@ -172,13 +172,17 @@ def test_topic_dashboard_has_no_expand(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
 
 
-def test_contamination_broadcasts_eval_grams(spark, sf_oracle):
-    """The eval n-gram set must ride broadcast joins end to end — a
-    sort-merge join here would shuffle the whole corpus on the n-gram
-    key, the exact thing the operator's scale design avoids."""
+def test_contamination_corpus_pass_is_map_only(spark, sf_oracle):
+    """At benchmark-sized eval sets the corpus pass is a single
+    map-only projection: the eval n-grams are compiled in as an
+    array_intersect literal (pq.py's join-free device), so the plan
+    must contain NO join, NO exchange, and NO Python eval — the
+    100 TB corpus is scanned once and never shuffled."""
     plan = plan_of(spark, sf_oracle, "contamination_flags")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "array_intersect" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_repetition_stats_no_smj_no_python(spark, sf_oracle):
@@ -206,12 +210,17 @@ def test_envelope_projection_stays_narrow(spark, sf_oracle):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_jaccard_cap_is_anti_join_not_window(spark, sf_oracle):
-    """The hot-shingle cap must stay a broadcast anti-join against the
-    tiny hot set — a count-over-window here re-shuffles and sorts every
-    (doc, shingle) row."""
+def test_jaccard_is_prefix_filtered_not_full_self_join(spark, sf_oracle):
+    """PPJoin shape (VERDICT r5 perf item): candidates come from a
+    slice() of the rarest-first prefix, never the full shingle
+    self-join, and verification is array_intersect over the persisted
+    per-doc arrays — the cap must ride the same df join (a
+    count-over-window here would re-shuffle and sort every
+    (doc, shingle) row)."""
     plan = plan_of(spark, sf_oracle, "near_dup_shingle_jaccard")
-    assert "LeftAnti" in plan
+    assert "slice(" in plan
+    assert "array_intersect" in plan
+    assert "Window" not in plan
 
 
 def test_window_profile_single_pass(spark, sf_oracle):
