@@ -107,3 +107,54 @@ def test_pq_topk_accepts_trained_codebook(spark):
                      codebook=trained).collect()
     assert out and all(1 <= r["rank"] <= 5 for r in out)
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
+def test_train_codebook_floor_division_matches_oracle_on_negatives(spark):
+    """ADVICE r5 #2: the centroid update is PYTHON floor division
+    (-7 // 2 == -4), while DuckDB's integer // truncates toward zero
+    (-7 // 2 == -3). The pq_trained_topk oracle therefore emulates the
+    floor as (s - pmod(s, n)) // n; this pins (a) that the emulation
+    equals Python floor for negative sums, and (b) that a trained
+    centroid from negative-valued members is the floored mean."""
+    import duckdb
+
+    for s in range(-17, 18):
+        for n in (1, 2, 3, 5):
+            got = duckdb.sql(
+                f"SELECT ({s} - (({s} % {n} + {n}) % {n})) // {n}"
+            ).fetchone()[0]
+            assert got == s // n, (s, n, got)
+
+    # all-negative cluster: 4 vectors quantized into one dominant code;
+    # every trained component must be the Python-floored mean of
+    # integer member values (never the toward-zero truncation)
+    rows = [(i, [-1.0 + 0.1 * ((i + j) % 3) for j in range(8)])
+            for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = quantize_codes(emb)
+    member = {r["vec_id"]: list(r["qv"]) for r in qdf.collect()}
+    trained = pq.train_codebook(qdf, m_sub=2, n_codes=2, lloyd_rounds=1)
+    # reproduce the round in pure python as the spec
+    seeds = [member[0], member[1]]
+    d_sub = 4
+
+    def code(vec, m):
+        best = None
+        for k, cv in enumerate(seeds):
+            d = sum((vec[m * d_sub + i] - cv[m * d_sub + i]) ** 2
+                    for i in range(d_sub))
+            if best is None or d < best[0]:
+                best = (d, k)
+        return best[1]
+
+    expect = [list(s) for s in seeds]
+    for m in range(2):
+        sums = {}
+        for vec in member.values():
+            k = code(vec, m)
+            for i in range(d_sub):
+                s, n = sums.get((k, i), (0, 0))
+                sums[(k, i)] = (s + vec[m * d_sub + i], n + 1)
+        for (k, i), (s, n) in sums.items():
+            expect[k][m * d_sub + i] = s // n
+    assert trained == expect
