@@ -363,3 +363,336 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     pix = np.clip(np.floor(pix + 0.5), 0, 255).astype(np.uint8)
     return (pix.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3)
             .reshape(h, w))
+
+
+# ----------------------------------------------------------- color
+# Baseline YCbCr 4:2:0 (JFIF): Y at full resolution (2x2 sampling
+# factors), Cb/Cr quarter resolution, MCU = 16x16 pixels = 4 Y blocks
+# + 1 Cb + 1 Cr, interleaved in the single scan. Chrominance uses the
+# Annex K chroma quantization + Huffman tables.
+
+STD_QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int32)
+
+DC_BITS_CHROMA = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_CHROMA = list(range(12))
+AC_BITS_CHROMA = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_CHROMA = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF RGB -> YCbCr, rounded half-up to uint8 (the integer
+    pinning that makes the downstream pipeline arithmetic)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB, rounded half-up to uint8."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8))
+
+
+def _encode_block(bw: "_BitWriter", blk: np.ndarray, prev_dc: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    zz = [int(blk[r, c]) for (r, c) in ZIGZAG]
+    diff = zz[0] - prev_dc
+    size = _category(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(_amplitude_bits(diff, size), size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        size = _category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(_amplitude_bits(v, size), size)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+    return zz[0]
+
+
+def encode_jpeg_color(img: np.ndarray,
+                      quant_y: np.ndarray = STD_QUANT,
+                      quant_c: np.ndarray = STD_QUANT_CHROMA) -> bytes:
+    """Baseline-sequential YCbCr 4:2:0 color encode. `img` is
+    (h, w, 3) uint8 RGB with h, w multiples of 16 (one MCU = 16x16).
+    Chroma is box-subsampled with the exact integer mean
+    (sum + 2) >> 2 — deterministic, no float."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_color: (h, w, 3) RGB arrays only")
+    h, w = img.shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError(
+            "encode_jpeg_color: dimensions must be multiples of 16")
+
+    ycc = rgb_to_ycbcr(img).astype(np.int64)
+    yp = ycc[..., 0]
+    sub = ycc[:, :, 1:].reshape(h // 2, 2, w // 2, 2, 2)
+    cbcr = (sub.sum(axis=(1, 3)) + 2) >> 2     # exact integer box mean
+    cbp, crp = cbcr[..., 0], cbcr[..., 1]
+
+    def quantized(plane, qt):
+        blocks = _blocks_of(plane).astype(np.float64) - 128.0
+        dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        return np.floor(dct / qt[None, :, :] + 0.5).astype(np.int64)
+
+    qy = quantized(yp, quant_y)
+    qcb = quantized(cbp, quant_c)
+    qcr = quantized(crp, quant_c)
+
+    dc_y = build_codes(DC_BITS, DC_VALS)
+    ac_y = build_codes(AC_BITS, AC_VALS)
+    dc_c = build_codes(DC_BITS_CHROMA, DC_VALS_CHROMA)
+    ac_c = build_codes(AC_BITS_CHROMA, AC_VALS_CHROMA)
+
+    mcu_w, mcu_h = w // 16, h // 16
+    yblk_w = w // 8
+    bw = _BitWriter()
+    pdc = [0, 0, 0]
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for by in range(2):
+                for bx in range(2):
+                    idx = (my * 2 + by) * yblk_w + (mx * 2 + bx)
+                    pdc[0] = _encode_block(bw, qy[idx], pdc[0],
+                                           dc_y, ac_y)
+            cidx = my * mcu_w + mx
+            pdc[1] = _encode_block(bw, qcb[cidx], pdc[1], dc_c, ac_c)
+            pdc[2] = _encode_block(bw, qcr[cidx], pdc[2], dc_c, ac_c)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zq_y = bytes(int(quant_y[r, c]) for (r, c) in ZIGZAG)
+    zq_c = bytes(int(quant_c[r, c]) for (r, c) in ZIGZAG)
+    out = b"\xFF\xD8"
+    out += seg(0xFFDB, b"\x00" + zq_y)
+    out += seg(0xFFDB, b"\x01" + zq_c)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0])       # Y: 2x2 sampling, qtable 0
+               + bytes([2, 0x11, 1])       # Cb
+               + bytes([3, 0x11, 1]))      # Cr
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(DC_BITS_CHROMA)
+               + bytes(DC_VALS_CHROMA))
+    out += seg(0xFFC4, b"\x11" + bytes(AC_BITS_CHROMA)
+               + bytes(AC_VALS_CHROMA))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bytes(bw.buf)
+    out += b"\xFF\xD9"
+    return out
+
+
+def decode_jpeg_color(data: bytes) -> np.ndarray:
+    """Full baseline YCbCr 4:2:0 color decode: marker parse (two
+    quant + four Huffman tables), MCU-interleaved entropy decode with
+    per-component DC predictors, dequantize + IDCT per block, 2x2
+    nearest-neighbor chroma upsample, integer-pinned YCbCr -> RGB.
+    Returns (h, w, 3) uint8. Closes the color half of the
+    multimodal.py JPEG guard (grayscale images go through
+    decode_jpeg)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    h = w = -1
+    comps: list[tuple[int, int, int]] = []     # (cid, sampling, tq)
+    scan_sel: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG: EOI before SOS")
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
+        if len(payload) != seglen - 2:
+            raise ValueError("JPEG: truncated segment payload")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: only 8-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = payload[p + 1 + k]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC0:
+            prec, h, w, nf = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nf != 3:
+                raise ValueError(
+                    f"JPEG: decode_jpeg_color expects 3 components, "
+                    f"got {nf} (precision {prec})")
+            for ci in range(3):
+                cid = payload[6 + 3 * ci]
+                sampling = payload[7 + 3 * ci]
+                tq = payload[8 + 3 * ci]
+                comps.append((cid, sampling, tq))
+            if (comps[0][1] != 0x22 or comps[1][1] != 0x11
+                    or comps[2][1] != 0x11):
+                raise ValueError(
+                    "JPEG: only 4:2:0 (Y 2x2, chroma 1x1) supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: non-baseline SOF 0xFF{marker:02X}")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                dmap = build_decode_map(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dmap
+                p += 17 + n
+        elif marker == 0xDA:
+            ns = payload[0]
+            if ns != 3:
+                raise ValueError("JPEG: expected 3 scan components")
+            for ci in range(3):
+                cid = payload[1 + 2 * ci]
+                sel = payload[2 + 2 * ci]
+                scan_sel[cid] = (sel >> 4, sel & 0x0F)
+            pos += seglen
+            break
+        elif marker == 0xDD:
+            raise ValueError("JPEG: restart markers unsupported")
+        pos += seglen
+    if h < 0 or h % 16 or w % 16:
+        raise ValueError("JPEG: dimensions must be multiples of 16")
+
+    end = data.rfind(b"\xFF\xD9")
+    if end < 0:
+        raise ValueError("JPEG: missing EOI")
+    br = _BitReader(data[pos:end])
+
+    def read_symbol(dmap: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            sym = dmap.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def read_block(dmap_dc: dict, dmap_ac: dict,
+                   prev_dc: int) -> tuple[np.ndarray, int]:
+        blk = np.zeros((8, 8), dtype=np.float64)
+        size = read_symbol(dmap_dc)
+        diff = _extend(br.read_bits(size), size)
+        dc = prev_dc + diff
+        blk[0, 0] = dc
+        k = 1
+        while k < 64:
+            sym = read_symbol(dmap_ac)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("JPEG: AC run past block end")
+            r, c = ZIGZAG[k]
+            blk[r, c] = _extend(br.read_bits(size), size)
+            k += 1
+        return blk, dc
+
+    mcu_w, mcu_h = w // 16, h // 16
+    yblk_w = w // 8
+    y_coeff = np.zeros(((h // 8) * (w // 8), 8, 8))
+    cb_coeff = np.zeros((mcu_h * mcu_w, 8, 8))
+    cr_coeff = np.zeros((mcu_h * mcu_w, 8, 8))
+    sel = [scan_sel[comps[i][0]] for i in range(3)]
+    pdc = [0, 0, 0]
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for by in range(2):
+                for bx in range(2):
+                    blk, pdc[0] = read_block(huff_dc[sel[0][0]],
+                                             huff_ac[sel[0][1]], pdc[0])
+                    y_coeff[(my * 2 + by) * yblk_w + mx * 2 + bx] = blk
+            ci = my * mcu_w + mx
+            blk, pdc[1] = read_block(huff_dc[sel[1][0]],
+                                     huff_ac[sel[1][1]], pdc[1])
+            cb_coeff[ci] = blk
+            blk, pdc[2] = read_block(huff_dc[sel[2][0]],
+                                     huff_ac[sel[2][1]], pdc[2])
+            cr_coeff[ci] = blk
+
+    def to_plane(coeffs, qt, ph, pw):
+        deq = coeffs * qt[None, :, :].astype(np.float64)
+        pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
+        pix = np.clip(np.floor(pix + 0.5), 0, 255)
+        return (pix.reshape(ph // 8, pw // 8, 8, 8)
+                .transpose(0, 2, 1, 3).reshape(ph, pw))
+
+    yp = to_plane(y_coeff, quant[comps[0][2]], h, w)
+    cbp = to_plane(cb_coeff, quant[comps[1][2]], h // 2, w // 2)
+    crp = to_plane(cr_coeff, quant[comps[2][2]], h // 2, w // 2)
+    cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    ycc = np.stack([yp, cb_up, cr_up], axis=-1).astype(np.uint8)
+    return ycbcr_to_rgb(ycc)

@@ -439,3 +439,160 @@ def session_paths(events: DataFrame, key_col: str, ts_col: str,
             .agg(F.count(F.lit(1)).alias("n_sessions"))
             .orderBy(F.col("n_sessions").desc(), "path")
             .limit(top_n))
+
+
+def activity_streaks(events: DataFrame, key_col: str,
+                     ts_col: str) -> DataFrame:
+    """Longest consecutive-day activity streak per key — the classic
+    gaps-and-islands decomposition: distinct (key, day), then
+    day-number minus per-key row_number is constant exactly within a
+    run of consecutive days, so one groupBy on that difference yields
+    the islands. Output: key, active_days, n_streaks,
+    longest_streak_days (all exact bigints).
+
+    Plan shape for 100 TB: the distinct and the row_number window
+    share one shuffle on the key (days per key is calendar-bounded,
+    so no island buffer can outgrow a task), then two hash aggregates
+    whose output is bounded by keys x streaks."""
+    d = (events.select(F.col(key_col),
+                       F.to_date(F.col(ts_col)).alias("__d"))
+         .distinct())
+    w = Window.partitionBy(key_col).orderBy("__d")
+    islands = (d.withColumn(
+                   "__g",
+                   F.datediff(F.col("__d"), F.lit("1970-01-01"))
+                   - F.row_number().over(w))
+               .groupBy(key_col, "__g")
+               .agg(F.count(F.lit(1)).alias("__len")))
+    return (islands.groupBy(key_col)
+            .agg(F.sum("__len").alias("active_days"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("__len").alias("longest_streak_days")))
+
+
+def rate_limit_counts(events: DataFrame, key_col: str, ts_col: str,
+                      per_hour: int,
+                      order_tiebreak: str) -> DataFrame:
+    """Per-key throttling audit: cap each key at `per_hour` events per
+    calendar hour (keep the earliest by (ts, tiebreak) — the
+    deterministic total order) and report how many rows the limiter
+    would drop. The shape every ingestion gateway runs before
+    admitting a firehose topic.
+
+    One shuffle on (key, hour-bucket) for the row_number, then a
+    key-grain aggregate; no state beyond the window sort, and the
+    per-(key, hour) sort task is bounded by the hottest key-hour."""
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    w = (Window.partitionBy(F.col(key_col), bucket)
+         .orderBy(F.col(ts_col), F.col(order_tiebreak)))
+    flagged = events.withColumn(
+        "__kept", (F.row_number().over(w) <= per_hour).cast("int"))
+    return (flagged.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("__kept").cast("bigint").alias("n_kept"),
+                 (F.count(F.lit(1)) - F.sum("__kept"))
+                 .cast("bigint").alias("n_dropped")))
+
+
+def inter_event_gaps(events: DataFrame, key_col: str, ts_col: str,
+                     type_col: str,
+                     order_tiebreak: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: gaps between
+    consecutive events of the same (key, type) timeline, aggregated to
+    type grain — the cadence statistic behind staleness alerting and
+    arrival-rate modeling. Exact integer milliseconds; the only float
+    op is the final mean (two exact bigints, one division, 6 dp).
+
+    One shuffle on (key, type) for the lag window, then a map-side
+    combined aggregate to the type-vocabulary grain."""
+    ms = wall_clock_millis(F.col(ts_col))
+    w = (Window.partitionBy(key_col, type_col)
+         .orderBy(ms, F.col(order_tiebreak)))
+    gaps = (events
+            .select(F.col(type_col).alias("event_type"),
+                    (ms - F.lag(ms).over(w)).alias("gap_ms"))
+            .where(F.col("gap_ms").isNotNull()))
+    return (gaps.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.min("gap_ms").alias("min_gap_ms"),
+                 F.max("gap_ms").alias("max_gap_ms"),
+                 F.round(F.sum("gap_ms").cast("double")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("avg_gap_ms")))
+
+
+def mode_per_key(df: DataFrame, key_col: str,
+                 val_col: str) -> DataFrame:
+    """Deterministic per-key mode: the most frequent value, ties
+    broken by the smallest value — engines' built-in mode() picks an
+    arbitrary bucket winner, so the portable form is count + rank with
+    a total-order tiebreak. One shuffle on (key, value), one on the
+    key for the rank; output is one row per key."""
+    counts = (df.groupBy(key_col, val_col)
+              .agg(F.count(F.lit(1)).alias("mode_count")))
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col("mode_count").desc(), F.col(val_col)))
+    return (counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col(key_col),
+                    F.col(val_col).alias("mode_value"),
+                    "mode_count"))
+
+
+def new_key_growth(events: DataFrame, key_col: str,
+                   ts_col: str) -> DataFrame:
+    """Daily acquisition curve: first-seen day per key, new keys per
+    day, and the running cumulative — the growth chart over an event
+    log. The cumulative window is GLOBAL but runs over the per-day
+    aggregate (calendar-bounded rows), never the raw events; the
+    per-key first-seen aggregate is the only pass that scales with
+    data."""
+    first = (events.groupBy(key_col)
+             .agg(F.min(F.to_date(F.col(ts_col))).alias("first_day")))
+    daily = (first.groupBy("first_day")
+             .agg(F.count(F.lit(1)).alias("new_keys")))
+    w = (Window.orderBy("first_day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (daily.withColumn("cumulative_keys",
+                             F.sum("new_keys").over(w))
+            # midnight timestamp, not DATE: a date column surfaces as
+            # python objects in Arrow/pandas where the SQL twin yields
+            # datetime64 — same wall clock, different dtype kind
+            .withColumn("first_day",
+                        F.col("first_day").cast("timestamp")))
+
+
+def abc_classification(revenue_by_item: DataFrame, item_col: str,
+                       revenue_col: str,
+                       a_share: float = 0.7,
+                       b_share: float = 0.9) -> DataFrame:
+    """ABC / Pareto inventory classification: items sorted by revenue
+    descending (ties: smallest item id), class A while the CUMULATIVE
+    share before this item is < a_share, B before b_share, else C.
+    The boundary test uses exact integer arithmetic — cum_before *
+    denominator vs share * total — so no float cumsum can drift the
+    class of a boundary item. Output is the 3-row class summary.
+
+    The cumulative window is global but runs at ITEM grain (a
+    dimension, not the fact table); the fact-to-item aggregate is the
+    only data-scaled pass."""
+    a_num, a_den = int(a_share * 100), 100
+    b_num = int(b_share * 100)
+    w = (Window.orderBy(F.col(revenue_col).desc(), F.col(item_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    total = Window.partitionBy()
+    ranked = (revenue_by_item
+              .withColumn("__before",
+                          F.coalesce(F.sum(revenue_col).over(w),
+                                     F.lit(0)))
+              .withColumn("__total", F.sum(revenue_col).over(total)))
+    cls = (F.when(F.col("__before") * a_den
+                  < F.col("__total") * a_num, "A")
+           .when(F.col("__before") * a_den
+                 < F.col("__total") * b_num, "B")
+           .otherwise("C"))
+    return (ranked.withColumn("abc_class", cls)
+            .groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(revenue_col).alias("class_revenue_cents"))
+            .orderBy("abc_class"))

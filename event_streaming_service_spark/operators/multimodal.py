@@ -805,3 +805,105 @@ def sample_frames_apng(media_df: DataFrame, every_nth: int = 4) -> DataFrame:
                 "ch0_sum", "ch1_sum", "ch2_sum"])
 
     return media_df.mapInPandas(batches, APNG_SAMPLE_SCHEMA)
+
+
+# ----------------------------------------------------- jpeg (color)
+# Deterministic synthetic COLOR JPEG: a grid of constant 16x16 tiles
+# (one MCU each) colored from an 8-entry RGB palette,
+#   idx(tx, ty) = (doc_id + 3*tx + 5*ty) % 8.
+# Baseline YCbCr 4:2:0 is lossy on chroma, but for a constant MCU the
+# whole pipeline collapses to scalar arithmetic: RGB -> rounded YCbCr
+# -> DC-only quantize/dequantize (luma survives exactly because every
+# palette Y is even; chroma drifts deterministically through the
+# q=17 DC quantizer) -> IDCT -> rounded RGB. JPEG_COLOR_EXPECTED holds
+# that chain's output per palette entry; palette members were chosen
+# so no rounding in the chain sits within 1e-6 of a half-way boundary
+# (and no chroma DC ≡ 4 mod 8, the one step where the float DCT's
+# ~1e-13 residue could flip a floor(x+0.5)). tests/test_multimodal
+# asserts codec-vs-chain equality so these literals cannot rot.
+JPEG_COLOR_PALETTE = (
+    (220, 40, 40), (180, 60, 200), (40, 200, 200), (90, 90, 90),
+    (210, 50, 50), (50, 190, 190), (100, 100, 100), (220, 220, 220))
+JPEG_COLOR_EXPECTED = (
+    (219, 41, 41), (181, 59, 202), (38, 200, 202), (90, 90, 90),
+    (212, 50, 48), (50, 190, 189), (100, 100, 100), (220, 220, 220))
+
+
+def _jpeg_color_dims(doc_id: int) -> tuple[int, int]:
+    return (int(doc_id) % 4 + 1) * 16, (int(doc_id) % 3 + 1) * 16  # (w, h)
+
+
+def _jpeg_color_tiles(doc_id: int) -> "np.ndarray":
+    import numpy as np
+
+    w, h = _jpeg_color_dims(doc_id)
+    tx = np.arange(w // 16)
+    ty = np.arange(h // 16)
+    idx = (int(doc_id) + 3 * tx[None, :] + 5 * ty[:, None]) % 8
+    pal = np.array(JPEG_COLOR_PALETTE, dtype=np.uint8)
+    return pal[idx]          # (th, tw, 3)
+
+
+def attach_jpeg_color_payload(docs: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the color JPEG path: one genuine baseline
+    YCbCr 4:2:0 JPEG per document (palette-tiled MCUs). Production
+    replaces this with a parquet binary column scan."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h = _jpeg_color_dims(doc_id)
+                tiles = _jpeg_color_tiles(doc_id)
+                img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": jpeg_codec.encode_jpeg_color(img),
+                    "media": {"media_type": "image", "codec": "jpeg",
+                              "width": w, "height": h, "n_frames": 1},
+                })
+            yield pd.DataFrame(rows)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+JPEG_COLOR_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_tiles int, "
+    "r_sum bigint, g_sum bigint, b_sum bigint, px_min int, px_max int"
+)
+
+
+def extract_features_jpeg_color(media_df: DataFrame) -> DataFrame:
+    """REAL color JPEG feature extraction: full baseline 4:2:0 decode
+    (two quant + four Huffman tables, MCU-interleaved entropy decode
+    with per-component DC predictors, IDCT, chroma upsample, YCbCr ->
+    RGB) and exact integer per-channel statistics. Dimensions come
+    from the decoded SOF0 header."""
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = jpeg_codec.decode_jpeg_color(bytes(payload))
+                h, w = arr.shape[:2]
+                a = arr.astype("int64")
+                rows.append((int(doc_id), w, h,
+                             (h // 16) * (w // 16),
+                             int(a[..., 0].sum()), int(a[..., 1].sum()),
+                             int(a[..., 2].sum()),
+                             int(a.min()), int(a.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_tiles",
+                "r_sum", "g_sum", "b_sum", "px_min", "px_max"])
+
+    return media_df.mapInPandas(batches, JPEG_COLOR_FEATURE_SCHEMA)

@@ -566,3 +566,39 @@ def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
                     F.round(F.col("__s").cast("double")
                             / F.col("n_vectors").cast("double")
                             / F.lit(1e6), 9).alias("centroid")))
+
+
+def knn_label_vote(emb: DataFrame, k: int = 10, n_query: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   corpus_path: str | None = None) -> DataFrame:
+    """k-NN classification by exact cosine neighbors: for each query
+    vector (id < n_query), take the k nearest corpus vectors (self
+    excluded, 6 dp-rounded cosine, id tiebreak — the proven
+    cosine_topk order), then majority-vote their labels; vote ties
+    break on the smallest label. Output: query_id, true_label,
+    predicted_label, votes, correct.
+
+    The label join is a broadcast of the (id, label) dimension against
+    the k·n_query-row neighbor set; the only data-scaled pass is
+    cosine_topk itself (broadcast matmul / cogrouped tiles)."""
+    queries = emb.filter(F.col(id_col) < n_query)
+    top = cosine_topk(queries, emb, k, id_col=id_col, vec_col=vec_col,
+                      corpus_path=corpus_path)
+    labels = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).alias("__nl"))
+    votes = (top.join(F.broadcast(labels), "neighbor_id")
+             .groupBy("query_id", "__nl")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nl"))
+    pred = (votes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("query_id", F.col("__nl").alias("predicted_label"),
+                    "votes"))
+    truth = emb.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("true_label"))
+    return (pred.join(F.broadcast(truth), "query_id")
+            .select("query_id", "true_label", "predicted_label", "votes",
+                    (F.col("predicted_label") == F.col("true_label"))
+                    .alias("correct")))

@@ -343,3 +343,144 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
                          lambda x: x.cast("string")),
                      ",").alias("postings"))
             .where(F.col("df") >= min_df))
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density quality signal (near-zero for degenerate
+    repeated-token docs, ~ln(vocab) for flat ones).
+
+    Cross-engine exactness: H = ln(n) - (1/n)·Σ c·ln(c) would sum
+    FLOATS across rows (fold-order dependent), so each ln(c) is first
+    pinned to integer nano-units (floor(ln(c)·1e9 + 0.5)) and the sum
+    runs as exact bigints; the final expression is the same fixed
+    two-float-op sequence in both engines, rounded at 6 dp.
+
+    One shuffle to (doc, token) grain, one to doc grain — both with
+    map-side combine."""
+    tok = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    q = F.floor(F.log(F.col("c").cast("double")) * 1e9 + F.lit(0.5)) \
+        .cast("long")
+    per = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.col("c") * q).alias("__s"))
+    ent = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - (F.col("__s").cast("double") / F.lit(1.0e9))
+        / F.col("n_tokens").cast("double"), 6)
+    return per.select(id_col, "n_tokens", "n_distinct_tokens",
+                      ent.alias("entropy"))
+
+
+def unigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus unigram language-model scoring: train P(tok) over the
+    whole corpus, then score every document by its total token
+    log-likelihood — the cheapest perplexity proxy LLM pipelines rank
+    training documents with.
+
+    Per-token log-probs pin to integer micro-nats (floor(·1e6 + 0.5),
+    exact toward -inf for the negative values) so per-doc totals are
+    exact bigint sums; the avg uses truncating integer division
+    (Spark DIV and DuckDB // agree on negatives — both truncate
+    toward zero).
+
+    Plan: one vocabulary aggregate (map-side combined), the 1-row
+    total crossed in broadcast, one equi-join token->logprob (the LM
+    is vocabulary-grain — broadcastable whenever the vocab is
+    bounded), one doc-grain aggregate."""
+    tok = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n_total"))
+    lp = F.floor(
+        (F.log(F.col("c").cast("double"))
+         - F.log(F.col("n_total").cast("double"))) * 1e6
+        + F.lit(0.5)).cast("long")
+    lm = vocab.crossJoin(F.broadcast(tot)).select("tok", lp.alias("lp"))
+    return (tok.join(lm, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("lp").alias("total_logprob_micro"))
+            .withColumn(
+                "avg_logprob_micro",
+                F.expr("total_logprob_micro DIV n_tokens")))
+
+
+def bm25_scores(docs: DataFrame, terms: tuple[str, ...],
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) relevance of every document to a
+    fixed query-term set — the retrieval scorer behind search-based
+    curation. Only documents containing at least one query term score
+    (inner semantics, same in the oracle).
+
+    Exactness: tf/df/dl/N are exact integers; each per-term score runs
+    the IDENTICAL literal-constant float sequence in both engines
+    (ln((N-df+0.5)/(df+0.5) + 1) · tf·2.2 / (tf + 1.2·(0.25 +
+    (0.75·dl)/avgdl))), pins to integer micro-units, and the per-doc
+    total sums those exactly — no cross-row float fold anywhere.
+
+    Plan: doc-length and vocabulary aggregates reuse the token
+    explode; the query-term side is a literal IN filter, so the tf
+    aggregate only touches matching tokens."""
+    tok = fan_out(docs).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_dl"))
+    tf = (tok.where(F.col("tok").isin(list(terms)))
+          .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = (tf.join(F.broadcast(df_), "tok")
+         .join(dl, id_col)
+         .crossJoin(F.broadcast(stats)))
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n_d
+    idf = F.log(
+        (n_d - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5)) + F.lit(1.0))
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(1.2) * (
+        F.lit(0.25) + (F.lit(0.75) * F.col("dl").cast("double")) / avgdl)
+    micro = F.floor(idf * ((tfd * F.lit(2.2)) / denom) * 1e6
+                    + F.lit(0.5)).cast("long")
+    return (j.select(F.col(id_col), micro.alias("__m"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                 F.sum("__m").alias("bm25_micro")))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word
+    n-grams that NO earlier document (smaller id — ingestion order)
+    already contains. The streaming-dedup complement: boilerplate-
+    heavy late documents score near zero, genuinely new content near
+    1e6 ppm. Documents shorter than n tokens emit no row.
+
+    One shuffle on the n-gram (the min-doc window), one to doc grain;
+    the ratio is exact integer ppm (truncating division, identical in
+    both engines for the nonnegative operands)."""
+    toked = fan_out(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    s = (toked.filter(F.size("__toks") >= n)
+         .select(F.col(id_col),
+                 F.explode(shingles_from_tokens(F.col("__toks"), n))
+                 .alias("shingle")))
+    first = F.min(id_col).over(Window.partitionBy("shingle"))
+    flagged = s.select(
+        F.col(id_col),
+        (first < F.col(id_col)).cast("long").alias("__seen"))
+    return (flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum("__seen").alias("n_seen_before"))
+            .withColumn(
+                "novelty_ppm",
+                F.expr("(n_shingles - n_seen_before) * 1000000"
+                       " DIV n_shingles")))

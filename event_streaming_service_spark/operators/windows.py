@@ -484,3 +484,30 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
                                    / (F.col("span_ms")
                                       .cast("double") * F.lit(1e6)), 9))
                     .alias("twa_value")))
+
+
+def rolling_time_sum(df: DataFrame, key_col: str, ts_col: str,
+                     units: Column, window_ms: int,
+                     out_col: str = "rolling_sum") -> DataFrame:
+    """Trailing time-window sum per key: for every row, the exact
+    integer sum of `units` over [t - window_ms, t] (inclusive, peers
+    at the same timestamp included — the frame is a RANGE frame, so
+    same-instant rows see identical totals in every engine regardless
+    of partition order). The moving-revenue / rolling-usage primitive.
+
+    Plan shape: ONE shuffle on the key; the frame is a bounded-start
+    RANGE over epoch-millis. Spark re-aggregates the in-frame buffer
+    per row (no retract op), so cost is O(rows-in-window) per row —
+    fine when the window is time-bounded and per-key arrival rate is
+    dimension-like (orders per customer); for firehose keys prefer
+    bucketed pre-aggregation (tumbling + two cumsums) instead of a
+    per-row frame."""
+    from event_streaming_service_spark.functions.scalars import (
+        wall_clock_millis)
+
+    ms = wall_clock_millis(F.col(ts_col))
+    w = (Window.partitionBy(key_col).orderBy(ms)
+         .rangeBetween(-window_ms, 0))
+    return (df.withColumn("__units", units)
+            .withColumn(out_col, F.sum("__units").over(w))
+            .drop("__units"))

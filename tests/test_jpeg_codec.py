@@ -110,3 +110,103 @@ def test_ac_coefficients_exercised_by_structured_block():
     # within-block ringing is expected; block means must stay close
     assert abs(int(out[:, :8].mean()) - 40) <= 6
     assert abs(int(out[:, 8:].mean()) - 200) <= 6
+
+
+# ----------------------------------------------------------- color
+
+
+def _palette_chain(r, g, b):
+    """The scalar decode-prediction chain for a constant 16x16 MCU
+    (the derivation behind multimodal.JPEG_COLOR_EXPECTED)."""
+    import math
+
+    y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = math.floor(128.0 - 0.168735892 * r - 0.331264108 * g
+                    + 0.5 * b + 0.5)
+    cr = math.floor(128.0 + 0.5 * r - 0.418687589 * g
+                    - 0.081312411 * b + 0.5)
+    qcb = math.floor(8 * (cb - 128) / 17 + 0.5)
+    qcr = math.floor(8 * (cr - 128) / 17 + 0.5)
+    cb2 = math.floor(qcb * 17 / 8 + 128 + 0.5)
+    cr2 = math.floor(qcr * 17 / 8 + 128 + 0.5)
+    return tuple(
+        min(255, max(0, math.floor(v + 0.5)))
+        for v in (y + 1.402 * (cr2 - 128),
+                  y - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128),
+                  y + 1.772 * (cb2 - 128)))
+
+
+def test_color_palette_literals_match_codec_and_chain():
+    """The oracle's JPEG_COLOR_EXPECTED literals must equal BOTH the
+    scalar prediction chain and the real encode->decode pipeline —
+    pinning the palette so the SQL literals cannot rot, and pinning
+    the constraints (even Y, chroma DC != 4 mod 8) that keep every
+    floor(x+0.5) off a half-way boundary."""
+    from event_streaming_service_spark.operators.multimodal import (
+        JPEG_COLOR_EXPECTED,
+        JPEG_COLOR_PALETTE,
+    )
+
+    for (r, g, b), exp in zip(JPEG_COLOR_PALETTE, JPEG_COLOR_EXPECTED):
+        assert _palette_chain(r, g, b) == exp
+        y = round(0.299 * r + 0.587 * g + 0.114 * b)
+        assert (y - 128) % 2 == 0
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:] = (r, g, b)
+        out = J.decode_jpeg_color(J.encode_jpeg_color(img))
+        assert (out == out[0, 0]).all()
+        assert tuple(int(v) for v in out[0, 0]) == exp
+
+
+def test_color_mcu_interleaving_and_dc_prediction():
+    """A 2x3 MCU grid with distinct palette colors decodes each MCU
+    to its own expected color — exercising the interleaved block
+    order and all three per-component DC predictor chains."""
+    from event_streaming_service_spark.operators.multimodal import (
+        JPEG_COLOR_EXPECTED,
+        JPEG_COLOR_PALETTE,
+    )
+
+    img = np.zeros((32, 48, 3), dtype=np.uint8)
+    k = 0
+    for ty in range(2):
+        for tx in range(3):
+            img[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = \
+                JPEG_COLOR_PALETTE[k]
+            k += 1
+    out = J.decode_jpeg_color(J.encode_jpeg_color(img))
+    k = 0
+    for ty in range(2):
+        for tx in range(3):
+            tile = out[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            assert (tile == np.array(JPEG_COLOR_EXPECTED[k],
+                                     dtype=np.uint8)).all()
+            k += 1
+
+
+def test_color_smooth_image_roundtrip_is_close():
+    x = np.linspace(30, 220, 48)
+    img = np.stack([np.tile(x, (32, 1)),
+                    np.tile(x[::-1], (32, 1)),
+                    np.full((32, 48), 128.0)], axis=-1).astype(np.uint8)
+    out = J.decode_jpeg_color(J.encode_jpeg_color(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_color_decoder_rejects_grayscale_and_vice_versa():
+    gray = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    gbytes = J.encode_jpeg(gray)
+    with pytest.raises(ValueError, match="3 components"):
+        J.decode_jpeg_color(gbytes)
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    cbytes = J.encode_jpeg_color(img)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(cbytes)
+
+
+def test_color_unsupported_dimensions_rejected():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        J.encode_jpeg_color(np.zeros((8, 16, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="RGB"):
+        J.encode_jpeg_color(np.zeros((16, 16), dtype=np.uint8))
