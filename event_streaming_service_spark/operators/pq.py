@@ -107,6 +107,7 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
     session end reclaims it — bench clears per query)."""
     q = quantize_codes(emb, vec_col, id_col).persist()
 
+    width_guard = None
     if codebook is not None:
         if len(codebook) != n_codes:
             raise ValueError(
@@ -116,11 +117,12 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
         if len(widths) != 1:
             raise ValueError(f"codebook entry widths differ: {sorted(widths)}")
         # width must match the corpus dim: a short/long codebook makes
-        # F.slice/zip_with null-pad and the ADC scores silently NULL
-        probe = q.select(F.size("qv").alias("d")).first()
-        if probe is not None and widths != {int(probe["d"])}:
-            raise ValueError(
-                f"codebook width {widths.pop()} != corpus dim {probe['d']}")
+        # F.slice/zip_with null-pad and the ADC scores silently NULL.
+        # Checked IN-PLAN per row via assert_true (VERDICT r6 nit: the
+        # former q.select(size).first() probe spent a Spark job per
+        # invocation even on valid codebooks) — zero extra jobs, and a
+        # mismatched row fails the real pass loudly instead of NULLing.
+        width_guard = (F.size("qv") == len(seeds[0]))
     else:
         # bounded collect: the K codebook seeds (<=16 rows), the same
         # convention as IVF's broadcast centroids
@@ -134,9 +136,16 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
 
     # code assignment: argmin_k ||sub(v,m) - CENT[m][k]||^2, tiebreak
     # smallest k — array_min over (dist, k) structs, all codegen'd
+    codes_expr = _codes_expr(cent, m_sub, d_sub, n_codes)
+    if width_guard is not None:
+        codes_expr = F.when(
+            F.assert_true(
+                width_guard,
+                F.concat(F.lit(f"codebook width {dim} != corpus dim "),
+                         F.size("qv").cast("string"))).isNull(),
+            codes_expr)
     coded = q.select(F.col(id_col).alias("neighbor_id"),
-                     _codes_expr(cent, m_sub, d_sub, n_codes)
-                     .alias("codes"))
+                     codes_expr.alias("codes"))
 
     queries = (q.where(F.pmod(F.col(id_col), F.lit(query_mod)) == 0)
                .select(F.col(id_col).alias("query_id"),

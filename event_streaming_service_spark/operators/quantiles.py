@@ -58,13 +58,19 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
     values yield the same VALUE even when row identity is ambiguous).
     """
     x = F.col(col)
-    base = df.filter(x.isNotNull())
+    # persisted: the head aggregate plus every refinement round's
+    # interval filter and final rank slices re-read this frame —
+    # uncached, each round re-scans (and re-computes) the full input
+    # (VERDICT r6 item #10). Safe to release before returning: the
+    # result is driver-side rows, not a plan over `base`.
+    base = df.filter(x.isNotNull()).persist()
     head = base.agg(F.count(x).alias("n"), F.min(x).alias("lo"),
                     F.max(x).alias("hi")).first()
     n, lo, hi = head["n"], head["lo"], head["hi"]
     spark = df.sparkSession
     schema = "q double, rk bigint, n bigint, value double"
     if n == 0:
+        base.unpersist()
         return spark.createDataFrame([], schema)
 
     ranks: dict[int, list[float]] = {}
@@ -128,6 +134,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float],
                 for gk, lr in sub.items():
                     resolved[gk] = float(vals[lr])
 
+    base.unpersist()
     out = [(float(q), k, n, resolved[k])
            for k, qlist in sorted(ranks.items()) for q in sorted(qlist)]
     return spark.createDataFrame(out, schema)
