@@ -331,3 +331,131 @@ def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,
             new_seeds[k][m * d_sub + i] = int(r["s"]) // int(r["n"])
         seeds = new_seeds
     return seeds
+
+
+def ivf_cells_arrow(v: DataFrame, cents: list[list[float]],
+                    n_keep: int, id_col: str = "__vid",
+                    vec_col: str = "__v") -> DataFrame:
+    """Arrow/numpy twin of ivf_pq_topk's JVM cell assignment: one
+    (batch x cells) BLAS similarity matrix per Arrow chunk instead of
+    a 16-way crossJoin with per-element interpreted cosine lambdas
+    (the 10M-vector probe measured the expression path cell-bound).
+    Rounding matches F.round's 9 dp HALF_UP away-from-zero; ties
+    break on the smaller cell (stable argsort). Output: one row per
+    kept (id, cell)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    C = np.array(cents, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None]
+                                * Cn[None, :])
+            r = np.sign(sims) * (np.floor(np.abs(sims) * 1e9 + 0.5)
+                                 / 1e9)
+            order = np.argsort(-r, axis=1, kind="stable")
+            top = order[:, :n_keep]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, n_keep),
+                "cell": top.reshape(-1).astype("int64")})
+
+    return v.mapInPandas(batches, f"{id_col} bigint, cell bigint")
+
+
+def adc_scores_lut(cand_codes: DataFrame,
+                   query_qvs: dict[int, list[int]],
+                   seeds: list[list[int]], m_sub: int) -> DataFrame:
+    """The textbook PQ-ADC lookup-table scorer: per query, an
+    (m_sub x n_codes) integer table LUT[m][k] = dot(query subvector m,
+    centroid k of subspace m) is precomputed ONCE; each candidate's
+    score is then m_sub table gathers + adds instead of m_sub
+    full-width dot products (what _adc_expr recomputes per pair,
+    interpreted). Integer in, integer out — BIT-IDENTICAL to the
+    expression path (asserted by the ivfpq scale probe). Input:
+    (query_id, neighbor_id, codes); output adds exact adc_score."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    dim = len(seeds[0])
+    d_sub = dim // m_sub
+    cb = (np.array(seeds, dtype=np.int64)
+          .reshape(len(seeds), m_sub, d_sub).transpose(1, 0, 2))
+    luts = {int(qid): np.einsum(
+                "mkd,md->mk", cb,
+                np.array(qv, dtype=np.int64).reshape(m_sub, d_sub))
+            for qid, qv in query_qvs.items()}
+    marange = np.arange(m_sub)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qids = pdf["query_id"].to_numpy()
+            scores = np.zeros(len(pdf), dtype=np.int64)
+            for qid in np.unique(qids):
+                mask = qids == qid
+                scores[mask] = luts[int(qid)][
+                    marange[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": qids,
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "adc_score": scores})
+
+    return cand_codes.mapInPandas(
+        batches, "query_id bigint, neighbor_id bigint, adc_score bigint")
+
+
+def ivf_pq_topk_arrow(emb: DataFrame, k: int = 10, n_cells: int = 16,
+                      n_probe: int = 4, m_sub: int = 8,
+                      n_codes: int = 16, query_mod: int = 125,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Corpus-scale IVF+PQ: the same two-stage pipeline as
+    ivf_pq_topk, with every per-row kernel vectorized — BLAS cell
+    assignment (ivf_cells_arrow), tensor code assignment
+    (pq_codes_arrow), LUT-gather ADC (adc_scores_lut). Ranking,
+    pruning, and all integer arithmetic identical to the JVM path
+    (scale probe asserts output parity on a slice); the oracle-gated
+    query stays on the JVM path whose plan the SQL twin mirrors."""
+    from event_streaming_service_spark.operators.similarity import (
+        as_double)
+
+    v = emb.select(F.col(id_col).alias("__vid"),
+                   as_double(F.col(vec_col)).alias("__v"))
+    cents = [list(map(float, r["__v"])) for r in
+             v.orderBy("__vid").limit(n_cells).collect()]
+    c_cells = (ivf_cells_arrow(v, cents, 1)
+               .withColumnRenamed("__vid", "neighbor_id"))
+    q_cells = (ivf_cells_arrow(
+                   v.where(F.pmod("__vid", F.lit(query_mod)) == 0),
+                   cents, n_probe)
+               .withColumnRenamed("__vid", "query_id"))
+    cand = (q_cells.join(c_cells, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+    q = quantize_codes(emb, vec_col, id_col).persist()
+    seeds = [list(r["qv"]) for r in
+             q.orderBy(id_col).limit(n_codes).collect()]
+    if len(seeds[0]) % m_sub != 0:
+        raise ValueError(
+            f"dim {len(seeds[0])} not divisible by m_sub {m_sub}")
+    coded = (pq_codes_arrow(q, seeds, m_sub, id_col=id_col)
+             .withColumnRenamed(id_col, "neighbor_id"))
+    query_qvs = {int(r[id_col]): list(r["qv"]) for r in
+                 q.where(F.pmod(F.col(id_col),
+                                F.lit(query_mod)) == 0).collect()}
+    scored = adc_scores_lut(cand.join(coded, "neighbor_id"),
+                            query_qvs, seeds, m_sub)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_score", "rank"))

@@ -472,10 +472,49 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def bucket_pairs_arrow(bucketed: DataFrame, threshold: float) -> DataFrame:
+    """Arrow/numpy twin of the in-bucket pair generation inside
+    semantic_dedup_clusters: per LSH bucket, one BLAS gram matrix
+    (V @ V.T) replaces the bucket self-join's interpreted
+    aggregate-zip cosine — Spark's higher-order lambdas evaluate per
+    element (~40x slower than vectorized numpy; the 1M-vector scale
+    probe spent >10 min expression-side, ~1 min here). Input:
+    (__id, __v double array, __bucket); output (id_a < id_b) pairs
+    with 6 dp-rounded cosine >= threshold.
+
+    Rounding matches F.round's HALF_UP away-from-zero exactly
+    (floor(|x|·1e6 + 0.5)·sign); BLAS accumulation order can differ
+    from the JVM fold by last-ulp amounts, so agreement after
+    rounding is exact except for cosines within float error of a
+    half-microunit boundary — the scale probe asserts equality on its
+    planted corpus, and the oracle-gated query keeps the JVM path."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def gen(key, pdf):
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(pdf["__v"].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        s = (V @ V.T) / np.outer(norms, norms)
+        r = np.sign(s) * (np.floor(np.abs(s) * 1e6 + 0.5) / 1e6)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = r[iu] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][keep]],
+                             "id_b": ids[iu[1][keep]]})
+
+    return bucketed.groupBy("__bucket").applyInPandas(
+        gen, "id_a long, id_b long")
+
+
 def semantic_dedup_clusters(vectors: DataFrame, threshold: float,
                             dim: int, n_planes: int = 8,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            use_arrow: bool = False) -> DataFrame:
     """Semantic (embedding-space) dedup end to end: LSH-bucketed
     candidate pairs -> exact cosine >= threshold -> connected
     components -> one canonical survivor per cluster. One row per
@@ -502,16 +541,22 @@ def semantic_dedup_clusters(vectors: DataFrame, threshold: float,
                        as_double(F.col(vec_col)).alias("__v"))
     b = v.withColumn("__bucket",
                      lsh_bucket(F.col("__v"), dim, n_planes)).cache()
-    pairs = (b.alias("a")
-             .join(b.alias("c"),
-                   (F.col("a.__bucket") == F.col("c.__bucket"))
-                   & (F.col("a.__id") < F.col("c.__id")))
-             .select(F.col("a.__id").alias("id_a"),
-                     F.col("c.__id").alias("id_b"),
-                     F.round(cosine(F.col("a.__v"), F.col("c.__v")), 6)
-                     .alias("__cos"))
-             .filter(F.col("__cos") >= threshold)
-             .select("id_a", "id_b"))
+    if use_arrow:
+        # corpus-scale hot path: one gram matrix per bucket
+        # (bucket_pairs_arrow) instead of the bucket self-join's
+        # per-element interpreted cosine
+        pairs = bucket_pairs_arrow(b, threshold)
+    else:
+        pairs = (b.alias("a")
+                 .join(b.alias("c"),
+                       (F.col("a.__bucket") == F.col("c.__bucket"))
+                       & (F.col("a.__id") < F.col("c.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("c.__id").alias("id_b"),
+                         F.round(cosine(F.col("a.__v"), F.col("c.__v")),
+                                 6).alias("__cos"))
+                 .filter(F.col("__cos") >= threshold)
+                 .select("id_a", "id_b"))
     comp = connected_components(pairs, "id_a", "id_b").cache()
     sizes = comp.groupBy("component").agg(F.count("*").alias("__sz"))
     return (vectors.select(F.col(id_col).alias("vec_id"))

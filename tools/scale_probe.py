@@ -9,7 +9,7 @@ Python, driver collects, unbounded iterative lineage.
 Usage: python tools/scale_probe.py [probe ...]
 Probes: components packing quota simhash window ewma gapfill
         heavy_hitters skyline profile setjoin diff attribution
-        transition hierarchy pq_codes
+        transition hierarchy pq_codes ivfpq semantic_dedup
 """
 
 from __future__ import annotations
@@ -526,6 +526,143 @@ def probe_pq_codes(spark):
     return sec, "vecs=2M arrow kernel; 100k slice == JVM expr path"
 
 
+def probe_ivfpq(spark):
+    """10M synthetic 64-dim vectors through the FULL IVF+PQ
+    composition (ivf_pq_topk: 16 cells, 4 probes, 8x16 PQ-ADC
+    rerank) — the r5 gap: the two stages were probed separately but
+    never end-to-end at 10^7. Asserts (a) output arity (k rows per
+    query, ranks 1..k, no self-matches) and (b) THE PRUNING CONTRACT:
+    every returned neighbor's cell — recomputed independently in
+    numpy from the collected centroids on just the returned ids — is
+    one of its query's probed cells, i.e. ADC only ever scored
+    candidates the cell probe admitted. A full-scan regression (ADC
+    before pruning) would surface neighbors from unprobed cells
+    (and a very different wall time)."""
+    import numpy as np
+
+    from event_streaming_service_spark.operators.pq import (
+        ivf_pq_topk, ivf_pq_topk_arrow)
+
+    dim, n_cells, n_probe, k = 64, 16, 4, 10
+    n = 10_000_000
+    vecs = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: ((F.pmod(F.xxhash64("id", i), F.lit(255))
+                                - 127) / F.lit(64.0)).cast("float"))
+        .alias("embedding"))
+    query_mod = 1_000_000  # 10 queries
+    t0 = time.perf_counter()
+    out = ivf_pq_topk_arrow(vecs, k=k, n_cells=n_cells,
+                            n_probe=n_probe, m_sub=8, n_codes=16,
+                            query_mod=query_mod)
+    rows = out.collect()
+    sec = time.perf_counter() - t0
+
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {q * query_mod for q in range(n // query_mod)}
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, k + 1)), q
+
+    # independent pruning check: cells of queries + returned neighbors
+    ids = sorted({r["query_id"] for r in rows}
+                 | {r["neighbor_id"] for r in rows})
+    id_vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+              for r in vecs.where(F.col("vec_id").isin(ids)).collect()}
+    cents = np.stack([np.array(r["embedding"], dtype=np.float64)
+                      for r in vecs.orderBy("vec_id")
+                      .limit(n_cells).collect()])
+
+    def cells_of(v, topn):
+        sims = np.round(cents @ v / (np.linalg.norm(cents, axis=1)
+                                     * np.linalg.norm(v)), 9)
+        order = sorted(range(n_cells), key=lambda c: (-sims[c], c))
+        return order[:topn]
+
+    probed = {q: set(cells_of(id_vec[q], n_probe)) for q in by_q}
+    for r in rows:
+        ncell = cells_of(id_vec[r["neighbor_id"]], 1)[0]
+        assert ncell in probed[r["query_id"]], (
+            f"neighbor {r['neighbor_id']} (cell {ncell}) outside "
+            f"query {r['query_id']}'s probed cells — ADC scored an "
+            f"unpruned candidate")
+
+    # Arrow-vs-JVM parity on a 200k slice: BLAS cells + tensor codes
+    # + LUT ADC must reproduce the expression path's output exactly
+    # (integer ADC is bit-identical by construction; the 9 dp cosine
+    # rounding absorbs BLAS fold-order ulps)
+    slice_ = vecs.where(F.col("vec_id") < 200_000)
+    a = {(r["query_id"], r["neighbor_id"], r["adc_score"], r["rank"])
+         for r in ivf_pq_topk_arrow(slice_, k=k, n_cells=n_cells,
+                                    n_probe=n_probe, m_sub=8,
+                                    n_codes=16,
+                                    query_mod=50_000).collect()}
+    j = {(r["query_id"], r["neighbor_id"], r["adc_score"], r["rank"])
+         for r in ivf_pq_topk(slice_, k=k, n_cells=n_cells,
+                              n_probe=n_probe, m_sub=8, n_codes=16,
+                              query_mod=50_000).collect()}
+    assert a == j, "Arrow/JVM IVF+PQ paths diverge"
+    return sec, (f"vecs=10M queries={len(by_q)} pruning contract held "
+                 f"(arrow path; 589 s JVM-expr baseline); "
+                 f"200k slice == JVM path")
+
+
+def probe_semantic_dedup(spark):
+    """1M 64-dim embeddings = 100k planted groups of 10 EXACT
+    duplicates through the full semantic-dedup pipeline (LSH buckets
+    -> exact cosine >= 0.99 -> connected components -> canonical
+    assignment). Asserted-exact output: exactly 100k clusters, every
+    one of size 10 with cluster_id = its smallest member id (planted
+    ids are contiguous per group; a cross-group merge needs cosine
+    >= 0.99 between independent 64-dim hash vectors — ~8 sigma, so
+    an assertion failure means a pipeline bug, not bad luck)."""
+    from event_streaming_service_spark.operators.similarity import (
+        semantic_dedup_clusters)
+
+    dim = 64
+    vecs = spark.range(0, 1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: ((F.pmod(F.xxhash64((F.col("id") / 10)
+                                          .cast("long"), i),
+                               F.lit(255)) - 127) / F.lit(64.0))
+            .cast("float")).alias("embedding"))
+    t0 = time.perf_counter()
+    out = semantic_dedup_clusters(vecs, threshold=0.99, dim=dim,
+                                  n_planes=16, use_arrow=True)
+    agg = (out.groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).alias("sz"),
+                F.min("vec_id").alias("mn"),
+                F.sum(F.col("is_canonical").cast("int")).alias("nc"))
+           .agg(F.count(F.lit(1)).alias("n_clusters"),
+                F.sum(F.when((F.col("sz") == 10)
+                             & (F.col("mn") == F.col("cluster_id"))
+                             & (F.col("nc") == 1), 0).otherwise(1))
+                .alias("bad")).first())
+    sec = time.perf_counter() - t0
+    assert agg["n_clusters"] == 100_000 and agg["bad"] == 0, (
+        agg["n_clusters"], agg["bad"])
+
+    # Arrow-vs-JVM parity on a 50k slice: the gram-matrix pair path
+    # and the bucket self-join's aggregate-zip cosine must produce
+    # the IDENTICAL cluster assignment (6 dp rounding absorbs BLAS
+    # fold-order ulps; the oracle-gated query stays on the JVM path)
+    slice_ = vecs.where(F.col("vec_id") < 50_000)
+    a = {(r["vec_id"], r["cluster_id"], r["cluster_size"])
+         for r in semantic_dedup_clusters(
+             slice_, 0.99, dim, n_planes=16, use_arrow=True).collect()}
+    j = {(r["vec_id"], r["cluster_id"], r["cluster_size"])
+         for r in semantic_dedup_clusters(
+             slice_, 0.99, dim, n_planes=16, use_arrow=False).collect()}
+    assert a == j, "Arrow/JVM semantic-dedup paths diverge"
+    return sec, ("vecs=1M clusters=100k all size-10 (arrow path); "
+                 "50k slice == JVM path")
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -543,6 +680,8 @@ PROBES = {
     "pq_codes": probe_pq_codes,
     "attribution": probe_attribution,
     "transition": probe_transition,
+    "ivfpq": probe_ivfpq,
+    "semantic_dedup": probe_semantic_dedup,
 }
 
 
