@@ -130,6 +130,22 @@ BENCH_QUERIES = [
     "audio_fingerprint_dupes",       # WAV decode + derivative hash
     "multimodal_features_jpeg",      # real baseline-JPEG decode
     "ivfpq_cosine_topk",             # IVF probe + PQ-ADC rerank
+    # round-7 additions
+    "multimodal_features_jpeg_color",  # real 4:2:0 color JPEG decode
+    "pq_trained_topk",               # integer-Lloyd codebook + ADC
+    "proto_wire_roundtrip",          # protobuf wire encode+decode
+    "transition_matrix_segmented",   # hot-key Markov decomposition
+    "ewma_segmented_per_user",       # hot-key EWMA decomposition
+    "rolling_7d_revenue",            # bounded-start RANGE frame
+    "activity_streaks_per_user",     # gaps-and-islands
+    "abc_classification_parts",      # global cumulative-share classes
+    "ship_delay_stats",              # fact-fact join + exact variance
+    "order_value_deciles",           # NTILE decile profile
+    "unigram_lm_scores",             # corpus LM join + doc scores
+    "token_entropy_per_doc",         # per-doc entropy, nano-nat pinned
+    "bm25_doc_scores",               # BM25 retrieval scoring
+    "ngram_novelty_ratio",           # 5-gram first-seen novelty
+    "knn_label_vote",                # kNN vote over exact cosine
 ]
 
 

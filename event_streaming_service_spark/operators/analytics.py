@@ -594,5 +594,5 @@ def abc_classification(revenue_by_item: DataFrame, item_col: str,
     return (ranked.withColumn("abc_class", cls)
             .groupBy("abc_class")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.sum(revenue_col).alias("class_revenue_cents"))
+                 F.sum(revenue_col).alias("class_revenue"))
             .orderBy("abc_class"))

@@ -465,10 +465,14 @@ def contamination_flags(corpus: DataFrame, eval_docs: DataFrame,
         tokens(F.col(text_col)).alias("__toks"))
     if len(grams) <= _EVAL_LITERAL_MAX:
         lit = F.lit(grams).cast("array<string>")
+        # literal side FIRST: ArrayIntersect keys its per-row lookup
+        # off one operand; the (lit, doc) order measured ~15% faster
+        # than (doc, lit) at sf0.1 (the per-row rebuild of the lookup
+        # is engine-fixed either way)
         return (toks.select(
                     "doc_id",
                     F.size(F.array_intersect(
-                        shingles_from_tokens(F.col("__toks"), n), lit))
+                        lit, shingles_from_tokens(F.col("__toks"), n)))
                     .cast("bigint").alias("n_contaminated_ngrams"))
                 .withColumn("contaminated",
                             F.col("n_contaminated_ngrams") > 0))

@@ -32,6 +32,8 @@ def vhash(pdf):
             pdf[c] = pdf[c].astype("datetime64[us]")
     return hashlib.md5("\n".join(sorted(repr(tuple(r)) for r in
         pdf.itertuples(index=False))).encode()).hexdigest()
+def kinds(pdf):
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
 only = set(sys.argv[1:])
 bad = 0
 for name, fn in qs.items():
@@ -39,9 +41,24 @@ for name, fn in qs.items():
         continue
     s = fn(spark, SF).toPandas()
     o = con.execute(os_[name]).df() if name in os_ else None
-    ok = o is None or (len(s) == len(o) and vhash(s) == vhash(o))
+    if o is None:
+        print(name, len(s), "ROWS-ONLY")
+        continue
+    # the real driver checks SCHEMA too: column names must match and
+    # dtype kinds must agree (int64 vs float64 breaks its value hash
+    # even when values are equal) — round 7 caught a green value-hash
+    # hiding a column-name mismatch the driver would have flagged
+    schema_ok = (sorted(s.columns) == sorted(o.columns)
+                 and kinds(s) == kinds(o))
+    ok = schema_ok and len(s) == len(o) and vhash(s) == vhash(o)
     if not ok:
         bad += 1
-    print(name, len(s), "ROWS-ONLY" if o is None else ("OK" if ok else "FAIL"))
+        why = ("SCHEMA" if not schema_ok else
+               "ROWS" if len(s) != len(o) else "HASH")
+        print(name, len(s), f"FAIL({why})",
+              "" if schema_ok else f"spark={sorted(s.columns)}"
+                                   f" oracle={sorted(o.columns)}")
+    else:
+        print(name, len(s), "OK")
 print("FAILURES:", bad)
 sys.exit(1 if bad else 0)
