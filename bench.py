@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "bm25_doc_scores",               # BM25 retrieval scoring
     "ngram_novelty_ratio",           # 5-gram first-seen novelty
     "knn_label_vote",                # kNN vote over exact cosine
+    "triangle_count_copurchase",     # degree-oriented motif census
+    "supplier_balance_rank_profile",  # percent_rank/cume_dist windows
 ]
 
 

@@ -121,3 +121,63 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         nodes.unpersist()
         return out
     return ranks
+
+
+def triangle_stats(edges: DataFrame, a_col: str = "a",
+                   b_col: str = "b") -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected simple graph — the motif statistic behind community
+    detection and spam/bot-graph screening.
+
+    Scale design: the classic DEGREE ORIENTATION (node-iterator++,
+    Chiba-Nishizeki): orient every undirected edge from its
+    (degree, id)-smaller endpoint to the larger, so each node's
+    out-degree is bounded by O(sqrt(m)) on any graph (arboricity
+    bound) — then triangles are wedges (u->v, u->w), v<w in the same
+    order, closed by an oriented edge (v->w). The wedge join fans out
+    by the ORIENTED degree, never the raw degree: a celebrity node
+    with 10^6 neighbors contributes nothing to the join fan-out
+    because its edges all point INTO it. Two equi-joins, one exact
+    aggregate; no windows, no iteration.
+
+    Returns one row: n_nodes, n_edges (undirected), n_wedges (open +
+    closed, from raw degrees: sum deg*(deg-1)/2), n_triangles, and
+    clustering_ppm = 3 * triangles * 1e6 DIV wedges (0 when no
+    wedges). All exact bigints / truncating division."""
+    und = (edges
+           .select(F.least(F.col(a_col), F.col(b_col)).alias("x"),
+                   F.greatest(F.col(a_col), F.col(b_col)).alias("y"))
+           .where(F.col("x") != F.col("y"))
+           .distinct())
+    deg = (und.select(F.col("x").alias("n"))
+           .unionAll(und.select(F.col("y").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("dy"))
+    # orient: src = endpoint with (smaller degree, then smaller id)
+    withd = und.join(dx, "x").join(dy, "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    oriented = withd.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"))
+    e1, e2, e3 = (oriented.alias(n) for n in ("e1", "e2", "e3"))
+    tri = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                   & (F.col("e1.dst") < F.col("e2.dst")))
+           .join(e3, (F.col("e3.src") == F.col("e1.dst"))
+                 & (F.col("e3.dst") == F.col("e2.dst")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("bigint")
+        .alias("n_wedges"))
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (nodes.crossJoin(counts).crossJoin(wedges).crossJoin(tri)
+            .withColumn(
+                "clustering_ppm",
+                F.when(F.col("n_wedges") > 0,
+                       F.expr("3 * n_triangles * 1000000"
+                              " DIV n_wedges"))
+                .otherwise(F.lit(0)).cast("bigint"))
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    "clustering_ppm"))

@@ -84,3 +84,60 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # host noise — keep the default shuffled join the round-4
     # plan audit already signed off on
     return graph.pagerank(edges, iterations=ITERS)
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH pair AS (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+    deg AS (
+        SELECT n, COUNT(*) AS deg FROM (
+            SELECT x AS n FROM pair
+            UNION ALL SELECT y AS n FROM pair)
+        GROUP BY n),
+    oriented AS (
+        SELECT CASE WHEN dx.deg < dy.deg
+                      OR (dx.deg = dy.deg AND p.x < p.y)
+                    THEN p.x ELSE p.y END AS src,
+               CASE WHEN dx.deg < dy.deg
+                      OR (dx.deg = dy.deg AND p.x < p.y)
+                    THEN p.y ELSE p.x END AS dst
+        FROM pair p
+        JOIN deg dx ON dx.n = p.x
+        JOIN deg dy ON dy.n = p.y),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+              AS n_wedges FROM deg),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pair),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CAST(CASE WHEN n_wedges > 0
+                     THEN 3 * n_triangles * 1000000 // n_wedges
+                     ELSE 0 END AS BIGINT) AS clustering_ppm
+    FROM nn, c, w, tri
+    """,
+    tags=("graph", "triangles", "motif"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts linked
+    when they ship in the same order): exact triangle count via
+    degree-oriented wedge joins (fan-out bounded by the oriented
+    degree — O(sqrt(m)) on any graph — so a celebrity part cannot
+    explode the join) plus the global clustering coefficient in
+    exact ppm."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("a"),
+                     F.col("l2.l_partkey").alias("b"))
+             .distinct())
+    return graph.triangle_stats(pairs, "a", "b")

@@ -145,3 +145,38 @@ def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (distinct.groupBy("tenant_id")
             .agg(F.concat_ws(",", F.array_sort(F.collect_list("event_type")))
                  .alias("types_seen")))
+
+
+@register(
+    "supplier_balance_rank_profile",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey, s_nationkey,
+               CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM supplier)
+    SELECT s_suppkey, s_nationkey, bal_cents,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY s_nationkey
+               ORDER BY bal_cents, s_suppkey), 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY s_nationkey
+               ORDER BY bal_cents, s_suppkey), 9) AS cume_dist
+    FROM s
+    """,
+    tags=("2.7", "window-frames", "A7", "rank-functions"),
+)
+def q_supplier_balance_ranks(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per nation over exact integer cents
+    with a total-order tiebreak (no peer groups -> both engines
+    evaluate the identical (rank-1)/(n-1) and rn/n divisions; 9 dp
+    pin guards the single float op)."""
+    s = tables.load_table(spark, sf_dir, "supplier")
+    w = (Window.partitionBy("s_nationkey")
+         .orderBy(F.col("bal_cents"), F.col("s_suppkey")))
+    return (s.select("s_suppkey", "s_nationkey",
+                     cents("s_acctbal").alias("bal_cents"))
+            .withColumn("pct_rank",
+                        F.round(F.percent_rank().over(w), 9))
+            .withColumn("cume_dist",
+                        F.round(F.cume_dist().over(w), 9)))
