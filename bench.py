@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "knn_label_vote",                # kNN vote over exact cosine
     "triangle_count_copurchase",     # degree-oriented motif census
     "supplier_balance_rank_profile",  # percent_rank/cume_dist windows
+    "video_frames_mjpeg",            # real AVI/MJPEG video decode
 ]
 
 

@@ -907,3 +907,124 @@ def extract_features_jpeg_color(media_df: DataFrame) -> DataFrame:
                 "r_sum", "g_sum", "b_sum", "px_min", "px_max"])
 
     return media_df.mapInPandas(batches, JPEG_COLOR_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- video (AVI/MJPEG)
+# Deterministic synthetic MJPEG clip: nf frames of palette-tiled
+# constant MCUs (the color-JPEG device), static until the planted
+# mid-clip scene cut at f >= nf // 2 where every tile's palette index
+# jumps by +4 — so per-frame deltas are exactly 0 off the cut and
+# large at it, and the oracle recomputes everything at TILE grain
+# from JPEG_COLOR_EXPECTED literals (x256 per pixel).
+
+
+def _mjpeg_shape(doc_id: int) -> tuple[int, int, int]:
+    return ((int(doc_id) % 4 + 1) * 16, (int(doc_id) % 3 + 1) * 16,
+            int(doc_id) % 3 + 2)  # (w, h, n_frames)
+
+
+def _mjpeg_tiles(doc_id: int, f: int, nf: int) -> "np.ndarray":
+    import numpy as np
+
+    w, h, _ = _mjpeg_shape(doc_id)
+    shift = 4 if f >= nf // 2 else 0
+    tx = np.arange(w // 16)
+    ty = np.arange(h // 16)
+    idx = (int(doc_id) + 3 * tx[None, :] + 5 * ty[:, None] + shift) % 8
+    pal = np.array(JPEG_COLOR_PALETTE, dtype=np.uint8)
+    return pal[idx]
+
+
+def attach_mjpeg_payload(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the general-video path: one genuine MJPG AVI
+    per document — a RIFF container (functions/avi_codec.py) holding
+    nf real baseline color JPEGs. Production replaces this with a
+    parquet binary column scan."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import (
+        avi_codec,
+        jpeg_codec,
+    )
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h, nf = _mjpeg_shape(doc_id)
+                frames = []
+                for f in range(nf):
+                    tiles = _mjpeg_tiles(doc_id, f, nf)
+                    img = np.repeat(np.repeat(tiles, 16, axis=0),
+                                    16, axis=1)
+                    frames.append(jpeg_codec.encode_jpeg_color(img))
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": avi_codec.encode_avi_mjpeg(
+                        frames, w, h, fps=10),
+                    "media": {"media_type": "video", "codec": "mjpeg",
+                              "width": w, "height": h,
+                              "n_frames": nf},
+                })
+            yield pd.DataFrame(rows)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+MJPEG_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, "
+    "diff_sum bigint, is_cut boolean"
+)
+
+
+def video_frame_stats_mjpeg(media_df: DataFrame,
+                            cut_threshold: int = 10) -> DataFrame:
+    """REAL general-video decode + per-frame statistics + scene-cut
+    detection: parse the RIFF/AVI container, decode every MJPG frame
+    through the full baseline color JPEG pipeline, and emit exact
+    per-channel sums, the absolute pixel delta vs the previous frame,
+    and the integer-threshold cut flag (diff_sum > threshold*w*h*3).
+    Dimensions come from the avih header, cross-checked against every
+    decoded frame."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import (
+        avi_codec,
+        jpeg_codec,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                avi = avi_codec.decode_avi_mjpeg(bytes(payload))
+                w, h = avi["width"], avi["height"]
+                prev = None
+                for f, jp in enumerate(avi["frames"]):
+                    arr = jpeg_codec.decode_jpeg_color(jp) \
+                        .astype("int64")
+                    if arr.shape != (h, w, 3):
+                        raise ValueError(
+                            f"AVI: frame {f} is {arr.shape[1]}x"
+                            f"{arr.shape[0]}, header says {w}x{h}")
+                    diff = (0 if prev is None
+                            else int(np.abs(arr - prev).sum()))
+                    rows.append((int(doc_id), f, w, h,
+                                 int(arr[..., 0].sum()),
+                                 int(arr[..., 1].sum()),
+                                 int(arr[..., 2].sum()),
+                                 diff,
+                                 diff > cut_threshold * w * h * 3))
+                    prev = arr
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height",
+                "ch0_sum", "ch1_sum", "ch2_sum", "diff_sum", "is_cut"])
+
+    return media_df.mapInPandas(batches, MJPEG_FRAME_SCHEMA)

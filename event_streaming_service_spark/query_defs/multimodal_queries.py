@@ -423,3 +423,69 @@ def q_features_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_jpeg_color_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features_jpeg_color(media)
+
+
+@register(
+    "video_frames_mjpeg",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 + 1 AS INTEGER) AS tw,
+               CAST(doc_id % 3 + 1 AS INTEGER) AS th,
+               CAST(doc_id % 3 + 2 AS INTEGER) AS nf
+        FROM documents),
+    fs AS (SELECT doc_id, tw, th, nf, unnest(range(0, nf)) AS f
+           FROM dims),
+    txs AS (SELECT doc_id, tw, th, nf, f, unnest(range(0, tw)) AS tx
+            FROM fs),
+    tiles AS (
+        SELECT doc_id, tw, th, nf, f, tx, ty,
+               CAST((doc_id + 3 * tx + 5 * ty
+                     + CASE WHEN f >= nf // 2 THEN 4 ELSE 0 END) % 8
+                    AS INTEGER) AS idx
+        FROM (SELECT doc_id, tw, th, nf, f, tx,
+                     unnest(range(0, th)) AS ty
+              FROM txs)),
+    chan AS (
+        SELECT doc_id, tw, th, f, tx, ty, c,
+               CASE c WHEN 0 THEN {_color_case(0)}
+                      WHEN 1 THEN {_color_case(1)}
+                      ELSE {_color_case(2)} END AS v
+        FROM (SELECT *, unnest([0, 1, 2]) AS c FROM tiles)),
+    diffs AS (
+        SELECT doc_id, tw, th, f, c, v,
+               v - LAG(v) OVER (PARTITION BY doc_id, tx, ty, c
+                                ORDER BY f) AS dv
+        FROM chan)
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(MAX(tw) * 16 AS INTEGER) AS width,
+           CAST(MAX(th) * 16 AS INTEGER) AS height,
+           CAST(256 * SUM(CASE WHEN c = 0 THEN v END) AS BIGINT)
+               AS ch0_sum,
+           CAST(256 * SUM(CASE WHEN c = 1 THEN v END) AS BIGINT)
+               AS ch1_sum,
+           CAST(256 * SUM(CASE WHEN c = 2 THEN v END) AS BIGINT)
+               AS ch2_sum,
+           CAST(256 * COALESCE(SUM(ABS(dv)), 0) AS BIGINT)
+               AS diff_sum,
+           256 * COALESCE(SUM(ABS(dv)), 0)
+               > 10 * MAX(tw) * 16 * MAX(th) * 16 * 3 AS is_cut
+    FROM diffs GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "frame-sample", "decode-jpeg-color", "video",
+          "scene-cut", "2.12-video", "avi"),
+)
+def q_video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL general-video decode: each document carries a genuine
+    MJPG AVI (RIFF container, functions/avi_codec.py) whose frames
+    are real baseline color JPEGs; the kernel parses the container,
+    runs the full 4:2:0 decode per frame, and emits exact channel
+    sums + frame deltas + the planted mid-clip scene cut. The oracle
+    recomputes everything at tile grain from the palette's
+    precomputed decode-chain literals — a wrong byte anywhere in the
+    container walk, any frame's entropy stream, or the color
+    conversion breaks the hash. Extends 2.12-video beyond APNG to
+    the capture-pipeline container format."""
+    media = multimodal.attach_mjpeg_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.video_frame_stats_mjpeg(media)

