@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "triangle_count_copurchase",     # degree-oriented motif census
     "supplier_balance_rank_profile",  # percent_rank/cume_dist windows
     "video_frames_mjpeg",            # real AVI/MJPEG video decode
+    "multimodal_features_jpeg_progressive",  # real SOF2 multi-scan decode
 ]
 
 

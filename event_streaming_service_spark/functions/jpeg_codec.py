@@ -696,3 +696,487 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
     cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
     ycc = np.stack([yp, cb_up, cr_up], axis=-1).astype(np.uint8)
     return ycbcr_to_rgb(ycc)
+
+
+# ----------------------------------------------------- progressive
+# Baseline PROGRESSIVE (SOF2, Huffman) for one 8-bit component:
+# spectral selection + successive approximation per ITU-T T.81 G.1/G.2
+# — multiple scans refine the same quantized coefficient array, so a
+# progressive stream is a LOSSLESS re-encoding of the baseline
+# quantized data: with a refinement script that reaches Al=0,
+# decode(encode_progressive(img)) is pixel-identical to the baseline
+# round trip (tests assert exactly that). The default scan script
+# mirrors the libjpeg family: DC(Al=1) -> low AC band -> high AC band
+# -> AC refine -> DC refine.
+
+DEFAULT_PROGRESSIVE_SCANS = (
+    # (Ss, Se, Ah, Al)
+    (0, 0, 0, 1),     # DC first, point transform 1
+    (1, 5, 0, 2),     # AC 1-5 first, Al=2
+    (6, 63, 0, 2),    # AC 6-63 first, Al=2
+    (1, 63, 2, 1),    # AC refine Al 2->1
+    (1, 63, 1, 0),    # AC refine Al 1->0
+    (0, 0, 1, 0),     # DC refine Al 1->0
+)
+
+
+def _quantized_blocks(img: np.ndarray,
+                      quant: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    blocks = (img.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8).astype(np.float64) - 128.0)
+    dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    return np.floor(dct / quant[None, :, :] + 0.5).astype(np.int64)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 A.4)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _encode_dc_first(bw: "_BitWriter", zz: list[list[int]],
+                     al: int, dc_codes: dict) -> None:
+    prev = 0
+    for blk in zz:
+        val = blk[0] >> al          # DC point transform: arithmetic
+        diff = val - prev
+        prev = val
+        size = _category(diff)
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(_amplitude_bits(diff, size), size)
+
+
+def _encode_dc_refine(bw: "_BitWriter", zz: list[list[int]],
+                      al: int) -> None:
+    for blk in zz:
+        bw.write((blk[0] >> al) & 1, 1)
+
+
+def _encode_ac_first(bw: "_BitWriter", zz: list[list[int]],
+                     ss: int, se: int, al: int,
+                     ac_codes: dict) -> None:
+    eobrun = 0
+
+    def flush_eob():
+        # one EOBn symbol encodes any run in [2^n, 2^(n+1)-1] via n
+        # extra bits; n = bit_length-1 covers every run below 2^15
+        # (the 0x7FFF cap below)
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw.write(c, ln)
+            if n:
+                bw.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for blk in zz:
+        band = [_pt_ac(blk[k], al) for k in range(ss, se + 1)]
+        if not any(band):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_nz = max(i for i, v in enumerate(band) if v)
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size = _category(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(_amplitude_bits(v, size), size)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_ac_refine(bw: "_BitWriter", zz: list[list[int]],
+                      ss: int, se: int, ah: int, al: int,
+                      ac_codes: dict) -> None:
+    """G.1.2.3: newly-significant coefficients (|v| >> al == 1 while
+    |v| >> ah == 0) are coded with size-1 symbols whose run counts
+    ZERO-HISTORY positions; every already-significant position on the
+    way emits one correction bit; EOB runs carry the pending
+    correction bits of the skipped blocks."""
+    eobrun = 0
+    pending_eob_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending_eob_bits
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw.write(c, ln)
+            if n:
+                bw.write(eobrun - (1 << n), n)
+            for b in pending_eob_bits:
+                bw.write(b, 1)
+            eobrun = 0
+            pending_eob_bits = []
+
+    for blk in zz:
+        band = blk[ss:se + 1]
+        hist = [_pt_ac(v, ah) for v in band]      # known so far
+        now = [_pt_ac(v, al) for v in band]       # after this scan
+        newly = [i for i in range(len(band))
+                 if hist[i] == 0 and now[i] != 0]
+        if not newly:
+            # whole band is history-only: EOB run; corrections queue
+            eobrun += 1
+            for i in range(len(band)):
+                if hist[i] != 0:
+                    pending_eob_bits.append(abs(now[i]) & 1)
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        correction: list[int] = []
+        for i in range(len(band)):
+            if hist[i] != 0:
+                # already significant: one correction bit, carried
+                # with the NEXT coded symbol
+                correction.append(abs(now[i]) & 1)
+                continue
+            if now[i] == 0:
+                run += 1
+                continue
+            # newly significant (now is +-1 by construction)
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                for b in correction:
+                    bw.write(b, 1)
+                correction = []
+                run -= 16
+            c, ln = ac_codes[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if now[i] > 0 else 0, 1)   # sign bit
+            for b in correction:
+                bw.write(b, 1)
+            correction = []
+            run = 0
+        if run or correction:
+            # trailing zero-history run with no further significance:
+            # fold into the EOB run of following blocks
+            eobrun += 1
+            pending_eob_bits.extend(correction)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+        img: np.ndarray, quant: np.ndarray = STD_QUANT,
+        scans: tuple = DEFAULT_PROGRESSIVE_SCANS) -> bytes:
+    """Progressive (SOF2) grayscale encode with the given scan script.
+    The script must end with every coefficient refined to Al=0 for the
+    lossless-reencoding property the tests assert."""
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg_progressive: grayscale only")
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError(
+            "encode_jpeg_progressive: dimensions must be multiples of 8")
+    q = _quantized_blocks(img, quant)
+    zz = [[int(blk[r, c]) for (r, c) in ZIGZAG] for blk in q]
+
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+
+    class _SymbolRecorder(dict):
+        """Stands in for an AC code table during the dry run: records
+        which symbols a scan emits (progressive scans need EOBn
+        symbols the Annex K baseline AC table does not define, so
+        each AC scan ships its own table — the spec's per-scan DHT
+        mechanism, which the decoder accepts mid-stream)."""
+
+        def __init__(self) -> None:
+            super().__init__()
+            self.used: set[int] = set()
+
+        def __getitem__(self, k: int) -> tuple[int, int]:
+            self.used.add(k)
+            return (0, 0)
+
+    def _scan_table(used: set[int]) -> tuple[list[int], list[int]]:
+        """Legal canonical table: every used symbol at one fixed code
+        length L with n < 2^L, keeping the all-ones codeword of any
+        length reserved (T.81 C.2)."""
+        syms = sorted(used)
+        length = max(2, (len(syms)).bit_length())
+        if len(syms) >= (1 << length):
+            length += 1
+        bits = [0] * 16
+        bits[length - 1] = len(syms)
+        return bits, syms
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(int(quant[r, c]) for (r, c) in ZIGZAG)
+    out = b"\xFF\xD8"
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))              # SOF2
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    for (ss, se, ah, al) in scans:
+        bw = _BitWriter()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive: DC scan must be Ss=Se=0")
+            if ah == 0:
+                _encode_dc_first(bw, zz, al, dc_codes)
+            else:
+                _encode_dc_refine(bw, zz, al)
+            sel = 0x00
+        else:
+            rec = _SymbolRecorder()
+            null = _BitWriter()
+            if ah == 0:
+                _encode_ac_first(null, zz, ss, se, al, rec)
+            else:
+                _encode_ac_refine(null, zz, ss, se, ah, al, rec)
+            bits, vals = _scan_table(rec.used or {0x00})
+            out += seg(0xFFC4, b"\x10" + bytes(bits) + bytes(vals))
+            ac_codes = build_codes(bits, vals)
+            if ah == 0:
+                _encode_ac_first(bw, zz, ss, se, al, ac_codes)
+            else:
+                _encode_ac_refine(bw, zz, ss, se, ah, al, ac_codes)
+            sel = 0x10
+        bw.flush()
+        out += seg(0xFFDA, bytes([1, 1, sel, ss, se, (ah << 4) | al]))
+        out += bytes(bw.buf)
+    out += b"\xFF\xD9"
+    return out
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Index of the next real marker (0xFF followed by neither 0x00
+    stuffing nor an RST) at/after pos."""
+    while True:
+        nxt = data.find(b"\xFF", pos)
+        if nxt < 0 or nxt + 1 >= len(data):
+            raise ValueError("JPEG: entropy stream ran off the file")
+        m = data[nxt + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = nxt + 2
+            continue
+        return nxt
+
+
+def decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Full progressive (SOF2, Huffman) grayscale decode: spectral
+    selection AND successive approximation, per T.81 G.2 — DC
+    first/refinement, AC first scans with EOBn end-of-band runs, AC
+    refinement with correction bits. Accepts tables redefined between
+    scans. Returns (h, w) uint8."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    h = w = -1
+    comp_q = 0
+    coef = None          # (n_blocks, 64) zigzag-order coefficients
+    n_blocks = 0
+    dc_pred = 0
+
+    def read_symbol(br: "_BitReader", dmap: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            sym = dmap.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:          # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
+        if len(payload) != seglen - 2:
+            raise ValueError("JPEG: truncated segment payload")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: only 8-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = payload[p + 1 + k]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC2:
+            prec, h, w, nf = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nf != 1:
+                raise ValueError(
+                    "JPEG: progressive decoder expects one 8-bit "
+                    f"component, got {nf} (precision {prec})")
+            if h % 8 or w % 8:
+                raise ValueError(
+                    "JPEG: dimensions must be multiples of 8")
+            comp_q = payload[8]
+            n_blocks = (h // 8) * (w // 8)
+            coef = np.zeros((n_blocks, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG: SOF 0xFF{marker:02X} is not progressive-"
+                f"Huffman (use decode_jpeg/_color for baseline)")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    build_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("JPEG: restart markers unsupported")
+        elif marker == 0xDA:
+            if coef is None:
+                raise ValueError("JPEG: SOS before SOF2")
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("JPEG: one scan component only")
+            sel = payload[2]
+            ss, se = payload[3], payload[4]
+            ah, al = payload[5] >> 4, payload[5] & 0x0F
+            scan_start = pos + seglen
+            scan_end = _next_marker(data, scan_start)
+            br = _BitReader(data[scan_start:scan_end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("JPEG: DC scan must be Ss=Se=0")
+                dmap = huff_dc[sel >> 4]
+                if ah == 0:
+                    dc_pred = 0
+                    for b in range(n_blocks):
+                        size = read_symbol(br, dmap)
+                        dc_pred += _extend(br.read_bits(size), size)
+                        coef[b, 0] = dc_pred << al
+                else:
+                    for b in range(n_blocks):
+                        if br.read_bit():
+                            coef[b, 0] |= 1 << al
+            else:
+                amap = huff_ac[sel & 0x0F]
+                if ah == 0:
+                    eobrun = 0
+                    for b in range(n_blocks):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = read_symbol(br, amap)
+                            r, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                k += 16          # ZRL
+                            else:
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG: AC run past band end")
+                                coef[b, k] = _extend(
+                                    br.read_bits(sz), sz) << al
+                                k += 1
+                else:
+                    p1, m1 = 1 << al, -1 << al
+                    eobrun = 0
+                    for b in range(n_blocks):
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = read_symbol(br, amap)
+                                r, sz = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if sz == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.read_bits(r)
+                                        break
+                                    # ZRL: r stays 15
+                                else:
+                                    if sz != 1:
+                                        raise ValueError(
+                                            "JPEG: refinement size "
+                                            "must be 1")
+                                    newval = p1 if br.read_bit() \
+                                        else m1
+                                # advance over r zero-HISTORY coeffs,
+                                # correcting nonzero ones on the way
+                                while k <= se:
+                                    if coef[b, k] != 0:
+                                        if br.read_bit() and \
+                                                not (abs(coef[b, k])
+                                                     & p1):
+                                            coef[b, k] += (
+                                                p1 if coef[b, k] > 0
+                                                else m1)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    coef[b, k] = newval
+                                k += 1
+                        if eobrun:
+                            # end-of-band: correction bits for the
+                            # rest of this block, then consume one
+                            while k <= se:
+                                if coef[b, k] != 0:
+                                    if br.read_bit() and \
+                                            not (abs(coef[b, k])
+                                                 & p1):
+                                        coef[b, k] += (
+                                            p1 if coef[b, k] > 0
+                                            else m1)
+                                k += 1
+                            eobrun -= 1
+            pos = scan_end
+            continue
+        pos += seglen
+
+    if coef is None:
+        raise ValueError("JPEG: no SOF2 frame found")
+    qtbl = quant[comp_q]
+    full = np.zeros((n_blocks, 8, 8), dtype=np.float64)
+    for k, (r, c) in enumerate(ZIGZAG):
+        full[:, r, c] = coef[:, k]
+    deq = full * qtbl[None, :, :]
+    pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
+    pix = np.clip(np.floor(pix + 0.5), 0, 255).astype(np.uint8)
+    return (pix.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(h, w))

@@ -1028,3 +1028,62 @@ def video_frame_stats_mjpeg(media_df: DataFrame,
                 "ch0_sum", "ch1_sum", "ch2_sum", "diff_sum", "is_cut"])
 
     return media_df.mapInPandas(batches, MJPEG_FRAME_SCHEMA)
+
+
+def attach_jpeg_progressive_payload(docs: DataFrame,
+                                    id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep for the progressive-JPEG path: the SAME
+    constant-tile image as attach_jpeg_payload, encoded as a genuine
+    PROGRESSIVE (SOF2) stream — DC successive approximation, two
+    spectral AC bands, AC+DC refinement scans, per-scan Huffman
+    tables. The feature oracle is therefore shared with the baseline
+    query; only the entropy-layer protocol under test differs."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h = _jpeg_dims(doc_id)
+                img = np.kron(_jpeg_tiles(doc_id),
+                              np.ones((8, 8), dtype="uint8"))
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": jpeg_codec.encode_jpeg_progressive(img),
+                    "media": {"media_type": "image",
+                              "codec": "jpeg-progressive",
+                              "width": w, "height": h, "n_frames": 1},
+                })
+            yield pd.DataFrame(rows)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+def extract_features_jpeg_progressive(media_df: DataFrame) -> DataFrame:
+    """REAL progressive-JPEG feature extraction: the full multi-scan
+    decode (DC first/refine, AC spectral bands with EOBn runs, AC
+    refinement correction bits) then exact integer pixel stats —
+    same output schema as extract_features_jpeg."""
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = jpeg_codec.decode_jpeg_progressive(bytes(payload))
+                h, w = arr.shape
+                rows.append((int(doc_id), w, h, (h // 8) * (w // 8),
+                             int(arr.astype("int64").sum()),
+                             int(arr.min()), int(arr.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_blocks",
+                "px_sum", "px_min", "px_max"])
+
+    return media_df.mapInPandas(batches, JPEG_FEATURE_SCHEMA)

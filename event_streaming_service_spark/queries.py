@@ -44,7 +44,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # required tag set.
 PRIORITY: tuple[str, ...] = (
     # Round-7 FULL rotation (VERDICT r6 item #2): every slot either
-    # verifies a NEVER-green query (23 round-7 registrations incl. the
+    # verifies a NEVER-green query (24 round-7 registrations incl. the
     # stranded r6 segmented EWMA), provides a sole-source tag, or
     # re-verifies the LEAST-recently-green queries (15 rows last
     # checked in round 1). Prior-green r5/r6 names rotated out; their
@@ -62,7 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "bm25_doc_scores", "ngram_novelty_ratio",
     "knn_label_vote", "multimodal_features_jpeg_color",
     "triangle_count_copurchase", "supplier_balance_rank_profile",
-    "video_frames_mjpeg",
+    "video_frames_mjpeg", "multimodal_features_jpeg_progressive",
     # -- tag-closure surfaces (multi-round hash-green; each leg
     #    delegates to the standalone operator builders) --
     "governance_surface", "window_functions_profile",
@@ -81,7 +81,7 @@ PRIORITY: tuple[str, ...] = (
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
     "events_cube_type_outcome",
-    "lag_per_partition", "lag_rollup_grand_total",
+    "lag_rollup_grand_total",
     "lag_total_by_group", "latency_percentiles",
     "minhash_lsh_pairs", "minhash_signatures",
     "offset_probe", "replay_offset_range",

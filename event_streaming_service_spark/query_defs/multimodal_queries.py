@@ -489,3 +489,46 @@ def q_video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_mjpeg_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.video_frame_stats_mjpeg(media)
+
+
+@register(
+    "multimodal_features_jpeg_progressive",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 8 + 2 AS INTEGER) AS tw,
+               CAST(doc_id % 6 + 2 AS INTEGER) AS th
+        FROM documents),
+    txs AS (SELECT doc_id, tw, th, unnest(range(0, tw)) AS tx FROM dims),
+    tiles AS (
+        SELECT doc_id, tw, th,
+               2 * ((doc_id % 60) + (tx % 20) + (ty % 20)) + 4 AS v
+        FROM (SELECT doc_id, tw, th, tx, unnest(range(0, th)) AS ty
+              FROM txs))
+    SELECT doc_id,
+           CAST(MAX(tw) * 8 AS INTEGER) AS width,
+           CAST(MAX(th) * 8 AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_blocks,
+           CAST(SUM(64 * v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INTEGER) AS px_min,
+           CAST(MAX(v) AS INTEGER) AS px_max
+    FROM tiles GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-jpeg", "decode-jpeg-progressive"),
+)
+def q_features_jpeg_progressive(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE JPEG (SOF2) decode + feature extraction: the
+    same constant-tile images as the baseline query, re-encoded as
+    genuine multi-scan progressive streams (DC successive
+    approximation, spectral AC bands with EOBn end-of-band runs, AC
+    refinement correction bits, per-scan Huffman tables) and decoded
+    through the full T.81 G.2 protocol. Sharing the baseline oracle
+    makes the comparison surgical: only the entropy layer differs, so
+    a hash break isolates a progressive-protocol bug. Closes the
+    progressive half of the round-6 JPEG gap; with this, the engine
+    decodes baseline grayscale, baseline 4:2:0 color, and progressive
+    grayscale JPEG streams for real."""
+    media = multimodal.attach_jpeg_progressive_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features_jpeg_progressive(media)

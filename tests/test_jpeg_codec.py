@@ -250,3 +250,52 @@ def test_avi_rejects_malformed():
     bad = avi.replace(b"vidsMJPG", b"vidsH264")
     with pytest.raises(ValueError, match="MJPG"):
         avi_codec.decode_avi_mjpeg(bad)
+
+
+# ----------------------------------------------------- progressive
+
+
+def test_progressive_equals_baseline_roundtrip_all_scripts():
+    """A progressive stream is a lossless re-encoding of the same
+    quantized coefficients, so with any to-Al=0 scan script the
+    decode must be PIXEL-IDENTICAL to the baseline round trip —
+    across spectral-selection-only, successive-approximation-only,
+    and deep combined scripts."""
+    rng = np.random.default_rng(5)
+    scripts = [
+        ((0, 0, 0, 0), (1, 10, 0, 0), (11, 63, 0, 0)),
+        ((0, 0, 0, 2), (1, 63, 0, 0), (0, 0, 2, 1), (0, 0, 1, 0)),
+        ((0, 0, 0, 1), (1, 3, 0, 3), (4, 63, 0, 3), (1, 63, 3, 2),
+         (1, 63, 2, 1), (1, 63, 1, 0), (0, 0, 1, 0)),
+        J.DEFAULT_PROGRESSIVE_SCANS,
+    ]
+    for scans in scripts:
+        img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img))
+        prog = J.decode_jpeg_progressive(
+            J.encode_jpeg_progressive(img, scans=scans))
+        assert (base == prog).all()
+
+
+def test_progressive_constant_tiles_exact():
+    tiles = (2 * (np.add.outer(np.arange(3), np.arange(4)) + 7)
+             + 4).astype("uint8")
+    img = np.kron(tiles, np.ones((8, 8), dtype="uint8"))
+    out = J.decode_jpeg_progressive(J.encode_jpeg_progressive(img))
+    assert (out == img).all()
+
+
+def test_progressive_decoder_rejects_baseline_and_vice_versa():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    with pytest.raises(ValueError, match="not progressive"):
+        J.decode_jpeg_progressive(J.encode_jpeg(img))
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg(J.encode_jpeg_progressive(img))
+
+
+def test_progressive_truncated_scan_fails_loudly():
+    img = np.full((16, 16), 130, dtype=np.uint8)
+    data = J.encode_jpeg_progressive(img)
+    with pytest.raises(ValueError):
+        J.decode_jpeg_progressive(data[:len(data) * 2 // 3]
+                                  + b"\xFF\xD9")
