@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "supplier_balance_rank_profile",  # percent_rank/cume_dist windows
     "video_frames_mjpeg",            # real AVI/MJPEG video decode
     "multimodal_features_jpeg_progressive",  # real SOF2 multi-scan decode
+    "multimodal_features_jpeg_progressive_color",  # SOF2 4:2:0 color
 ]
 
 

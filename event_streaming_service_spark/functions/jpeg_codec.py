@@ -1180,3 +1180,385 @@ def decode_jpeg_progressive(data: bytes) -> np.ndarray:
     pix = np.clip(np.floor(pix + 0.5), 0, 255).astype(np.uint8)
     return (pix.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3)
             .reshape(h, w))
+
+
+# ------------------------------------------- progressive (color)
+# Progressive YCbCr 4:2:0: DC scans are INTERLEAVED (MCU order, all
+# three components, per-component predictors/tables — T.81 allows
+# interleave only for DC in progressive mode); AC scans are
+# non-interleaved, one component per scan in that component's own
+# block raster order. Scan script mirrors the libjpeg family.
+
+DEFAULT_PROGRESSIVE_COLOR_SCANS = (
+    # (comp, Ss, Se, Ah, Al); comp=-1 => interleaved DC (all three)
+    (-1, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),      # Y low band
+    (1, 1, 63, 0, 1),     # Cb full band
+    (2, 1, 63, 0, 1),     # Cr full band
+    (0, 6, 63, 0, 2),     # Y high band
+    (0, 1, 63, 2, 1),     # Y refine
+    (1, 1, 63, 1, 0),     # Cb refine to full precision
+    (2, 1, 63, 1, 0),     # Cr refine
+    (0, 1, 63, 1, 0),     # Y refine to full precision
+    (-1, 0, 0, 1, 0),     # DC refine (interleaved)
+)
+
+
+def encode_jpeg_progressive_color(
+        img: np.ndarray,
+        quant_y: np.ndarray = STD_QUANT,
+        quant_c: np.ndarray = STD_QUANT_CHROMA,
+        scans: tuple = DEFAULT_PROGRESSIVE_COLOR_SCANS) -> bytes:
+    """Progressive (SOF2) YCbCr 4:2:0 color encode — the same
+    quantized planes as encode_jpeg_color re-encoded through the
+    multi-scan protocol, so the decode is pixel-identical to the
+    baseline color round trip (tests assert it)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(
+            "encode_jpeg_progressive_color: (h, w, 3) RGB arrays only")
+    h, w = img.shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError(
+            "encode_jpeg_progressive_color: dims must be multiples of 16")
+
+    ycc = rgb_to_ycbcr(img).astype(np.int64)
+    yp = ycc[..., 0]
+    sub = ycc[:, :, 1:].reshape(h // 2, 2, w // 2, 2, 2)
+    cbcr = (sub.sum(axis=(1, 3)) + 2) >> 2
+    cbp, crp = cbcr[..., 0], cbcr[..., 1]
+
+    def zz_of(plane, qt):
+        blocks = _blocks_of(plane).astype(np.float64) - 128.0
+        dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        q = np.floor(dct / qt[None, :, :] + 0.5).astype(np.int64)
+        return [[int(b[r, c]) for (r, c) in ZIGZAG] for b in q]
+
+    comp_zz = [zz_of(yp, quant_y), zz_of(cbp, quant_c),
+               zz_of(crp, quant_c)]
+    dc_tbl = [build_codes(DC_BITS, DC_VALS),
+              build_codes(DC_BITS_CHROMA, DC_VALS_CHROMA)]
+    mcu_w, mcu_h = w // 16, h // 16
+    yblk_w = w // 8
+
+    def mcu_walk():
+        """Yield (comp, block_idx) in interleaved MCU order."""
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for by in range(2):
+                    for bx in range(2):
+                        yield 0, (my * 2 + by) * yblk_w + mx * 2 + bx
+                yield 1, my * mcu_w + mx
+                yield 2, my * mcu_w + mx
+
+    class _SymbolRecorder(dict):
+        def __init__(self) -> None:
+            super().__init__()
+            self.used: set[int] = set()
+
+        def __getitem__(self, k: int) -> tuple[int, int]:
+            self.used.add(k)
+            return (0, 0)
+
+    def _scan_table(used: set[int]) -> tuple[list[int], list[int]]:
+        syms = sorted(used)
+        length = max(2, (len(syms)).bit_length())
+        if len(syms) >= (1 << length):
+            length += 1
+        bits = [0] * 16
+        bits[length - 1] = len(syms)
+        return bits, syms
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zq_y = bytes(int(quant_y[r, c]) for (r, c) in ZIGZAG)
+    zq_c = bytes(int(quant_c[r, c]) for (r, c) in ZIGZAG)
+    out = b"\xFF\xD8"
+    out += seg(0xFFDB, b"\x00" + zq_y)
+    out += seg(0xFFDB, b"\x01" + zq_c)
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1])
+               + bytes([3, 0x11, 1]))
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(DC_BITS_CHROMA)
+               + bytes(DC_VALS_CHROMA))
+
+    for (comp, ss, se, ah, al) in scans:
+        bw = _BitWriter()
+        if comp == -1:
+            if (ss, se) != (0, 0):
+                raise ValueError(
+                    "progressive color: interleaved scan must be DC")
+            if ah == 0:
+                pred = [0, 0, 0]
+                for ci, bi in mcu_walk():
+                    val = comp_zz[ci][bi][0] >> al
+                    diff = val - pred[ci]
+                    pred[ci] = val
+                    size = _category(diff)
+                    c, ln = dc_tbl[0 if ci == 0 else 1][size]
+                    bw.write(c, ln)
+                    if size:
+                        bw.write(_amplitude_bits(diff, size), size)
+            else:
+                for ci, bi in mcu_walk():
+                    bw.write((comp_zz[ci][bi][0] >> al) & 1, 1)
+            bw.flush()
+            out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10,
+                                      0, 0, (ah << 4) | al]))
+            out += bytes(bw.buf)
+            continue
+        zz = comp_zz[comp]
+        rec = _SymbolRecorder()
+        if ah == 0:
+            _encode_ac_first(_BitWriter(), zz, ss, se, al, rec)
+        else:
+            _encode_ac_refine(_BitWriter(), zz, ss, se, ah, al, rec)
+        bits, vals = _scan_table(rec.used or {0x00})
+        out += seg(0xFFC4, b"\x12" + bytes(bits) + bytes(vals))
+        ac_codes = build_codes(bits, vals)
+        if ah == 0:
+            _encode_ac_first(bw, zz, ss, se, al, ac_codes)
+        else:
+            _encode_ac_refine(bw, zz, ss, se, ah, al, ac_codes)
+        bw.flush()
+        out += seg(0xFFDA, bytes([1, comp + 1, 0x02, ss, se,
+                                  (ah << 4) | al]))
+        out += bytes(bw.buf)
+    out += b"\xFF\xD9"
+    return out
+
+
+def decode_jpeg_progressive_color(data: bytes) -> np.ndarray:
+    """Full progressive (SOF2) YCbCr 4:2:0 color decode: interleaved
+    DC scans (MCU order, per-component predictors/tables) plus
+    non-interleaved AC spectral/refinement scans per component, then
+    the same dequant + IDCT + upsample + color conversion as the
+    baseline color path. Returns (h, w, 3) uint8."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    h = w = -1
+    comp_ids: list[int] = []
+    comp_tq: list[int] = []
+    coef: list[np.ndarray] = []
+    nblk: list[int] = []
+
+    def read_symbol(br: "_BitReader", dmap: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            sym = dmap.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def ac_first_scan(br, amap, cf, ss, se, al):
+        eobrun = 0
+        for b in range(len(cf)):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = read_symbol(br, amap)
+                r, sz = sym >> 4, sym & 0x0F
+                if sz == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += 16
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC run past band end")
+                    cf[b, k] = _extend(br.read_bits(sz), sz) << al
+                    k += 1
+
+    def ac_refine_scan(br, amap, cf, ss, se, al):
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        for b in range(len(cf)):
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = read_symbol(br, amap)
+                    r, sz = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if sz == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                    else:
+                        if sz != 1:
+                            raise ValueError(
+                                "JPEG: refinement size must be 1")
+                        newval = p1 if br.read_bit() else m1
+                    while k <= se:
+                        if cf[b, k] != 0:
+                            if br.read_bit() and \
+                                    not (abs(cf[b, k]) & p1):
+                                cf[b, k] += p1 if cf[b, k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        cf[b, k] = newval
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    if cf[b, k] != 0:
+                        if br.read_bit() and not (abs(cf[b, k]) & p1):
+                            cf[b, k] += p1 if cf[b, k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + seglen]
+        if len(payload) != seglen - 2:
+            raise ValueError("JPEG: truncated segment payload")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: only 8-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = payload[p + 1 + k]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC2:
+            prec, h, w, nf = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nf != 3:
+                raise ValueError(
+                    "JPEG: decode_jpeg_progressive_color expects 3 "
+                    f"components, got {nf}")
+            if h % 16 or w % 16:
+                raise ValueError(
+                    "JPEG: dimensions must be multiples of 16")
+            samplings = []
+            for ci in range(3):
+                comp_ids.append(payload[6 + 3 * ci])
+                samplings.append(payload[7 + 3 * ci])
+                comp_tq.append(payload[8 + 3 * ci])
+            if samplings != [0x22, 0x11, 0x11]:
+                raise ValueError(
+                    "JPEG: only 4:2:0 (Y 2x2, chroma 1x1) supported")
+            nblk = [(h // 8) * (w // 8), (h // 16) * (w // 16),
+                    (h // 16) * (w // 16)]
+            coef = [np.zeros((n, 64), dtype=np.int64) for n in nblk]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG: SOF 0xFF{marker:02X} is not progressive-"
+                f"Huffman color")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    build_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("JPEG: restart markers unsupported")
+        elif marker == 0xDA:
+            if not coef:
+                raise ValueError("JPEG: SOS before SOF2")
+            ns = payload[0]
+            scan_comps = []
+            for i in range(ns):
+                cid = payload[1 + 2 * i]
+                sel = payload[2 + 2 * i]
+                scan_comps.append((comp_ids.index(cid), sel))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            scan_start = pos + seglen
+            scan_end = _next_marker(data, scan_start)
+            br = _BitReader(data[scan_start:scan_end])
+            mcu_w, mcu_h = w // 16, h // 16
+            yblk_w = w // 8
+            if ns == 3:
+                if (ss, se) != (0, 0):
+                    raise ValueError(
+                        "JPEG: interleaved progressive scan must be DC")
+
+                def mcu_walk():
+                    for my in range(mcu_h):
+                        for mx in range(mcu_w):
+                            for by in range(2):
+                                for bx in range(2):
+                                    yield 0, ((my * 2 + by) * yblk_w
+                                              + mx * 2 + bx)
+                            yield 1, my * mcu_w + mx
+                            yield 2, my * mcu_w + mx
+
+                if ah == 0:
+                    pred = [0, 0, 0]
+                    for ci, bi in mcu_walk():
+                        dmap = huff_dc[scan_comps[ci][1] >> 4]
+                        size = read_symbol(br, dmap)
+                        pred[ci] += _extend(br.read_bits(size), size)
+                        coef[ci][bi, 0] = pred[ci] << al
+                else:
+                    for ci, bi in mcu_walk():
+                        if br.read_bit():
+                            coef[ci][bi, 0] |= 1 << al
+            elif ns == 1:
+                ci, sel = scan_comps[0]
+                if ss == 0:
+                    raise ValueError(
+                        "JPEG: non-interleaved DC scans unsupported "
+                        "(this encoder family interleaves DC)")
+                amap = huff_ac[sel & 0x0F]
+                if ah == 0:
+                    ac_first_scan(br, amap, coef[ci], ss, se, al)
+                else:
+                    ac_refine_scan(br, amap, coef[ci], ss, se, al)
+            else:
+                raise ValueError("JPEG: 1 or 3 scan components only")
+            pos = scan_end
+            continue
+        pos += seglen
+
+    if not coef:
+        raise ValueError("JPEG: no SOF2 frame found")
+
+    def to_plane(cf, qt, ph, pw):
+        full = np.zeros((len(cf), 8, 8), dtype=np.float64)
+        for k, (r, c) in enumerate(ZIGZAG):
+            full[:, r, c] = cf[:, k]
+        deq = full * qt[None, :, :].astype(np.float64)
+        pix = np.einsum("ji,njk,kl->nil", _C, deq, _C) + 128.0
+        pix = np.clip(np.floor(pix + 0.5), 0, 255)
+        return (pix.reshape(ph // 8, pw // 8, 8, 8)
+                .transpose(0, 2, 1, 3).reshape(ph, pw))
+
+    yp = to_plane(coef[0], quant[comp_tq[0]], h, w)
+    cbp = to_plane(coef[1], quant[comp_tq[1]], h // 2, w // 2)
+    crp = to_plane(coef[2], quant[comp_tq[2]], h // 2, w // 2)
+    cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    ycc = np.stack([yp, cb_up, cr_up], axis=-1).astype(np.uint8)
+    return ycbcr_to_rgb(ycc)

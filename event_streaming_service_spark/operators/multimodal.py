@@ -1087,3 +1087,65 @@ def extract_features_jpeg_progressive(media_df: DataFrame) -> DataFrame:
                 "px_sum", "px_min", "px_max"])
 
     return media_df.mapInPandas(batches, JPEG_FEATURE_SCHEMA)
+
+
+def attach_jpeg_progressive_color_payload(
+        docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture prep: the SAME palette-tiled MCU images as
+    attach_jpeg_color_payload, encoded as genuine PROGRESSIVE color
+    streams (interleaved DC scans, per-component spectral AC bands,
+    refinement passes). Shares the color feature oracle."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h = _jpeg_color_dims(doc_id)
+                tiles = _jpeg_color_tiles(doc_id)
+                img = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload":
+                        jpeg_codec.encode_jpeg_progressive_color(img),
+                    "media": {"media_type": "image",
+                              "codec": "jpeg-progressive",
+                              "width": w, "height": h, "n_frames": 1},
+                })
+            yield pd.DataFrame(rows)
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+def extract_features_jpeg_progressive_color(
+        media_df: DataFrame) -> DataFrame:
+    """REAL progressive color decode (interleaved DC + per-component
+    AC scans + refinement + upsample + color conversion) and exact
+    per-channel stats — same schema as extract_features_jpeg_color."""
+    from event_streaming_service_spark.functions import jpeg_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = jpeg_codec.decode_jpeg_progressive_color(
+                    bytes(payload))
+                h, w = arr.shape[:2]
+                a = arr.astype("int64")
+                rows.append((int(doc_id), w, h,
+                             (h // 16) * (w // 16),
+                             int(a[..., 0].sum()), int(a[..., 1].sum()),
+                             int(a[..., 2].sum()),
+                             int(a.min()), int(a.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_tiles",
+                "r_sum", "g_sum", "b_sum", "px_min", "px_max"])
+
+    return media_df.mapInPandas(batches, JPEG_COLOR_FEATURE_SCHEMA)

@@ -44,7 +44,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # required tag set.
 PRIORITY: tuple[str, ...] = (
     # Round-7 FULL rotation (VERDICT r6 item #2): every slot either
-    # verifies a NEVER-green query (24 round-7 registrations incl. the
+    # verifies a NEVER-green query (25 round-7 registrations incl. the
     # stranded r6 segmented EWMA), provides a sole-source tag, or
     # re-verifies the LEAST-recently-green queries (15 rows last
     # checked in round 1). Prior-green r5/r6 names rotated out; their
@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_label_vote", "multimodal_features_jpeg_color",
     "triangle_count_copurchase", "supplier_balance_rank_profile",
     "video_frames_mjpeg", "multimodal_features_jpeg_progressive",
+    "multimodal_features_jpeg_progressive_color",
     # -- tag-closure surfaces (multi-round hash-green; each leg
     #    delegates to the standalone operator builders) --
     "governance_surface", "window_functions_profile",
@@ -81,8 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
     "events_cube_type_outcome",
-    "lag_rollup_grand_total",
-    "lag_total_by_group", "latency_percentiles",
+    "lag_rollup_grand_total", "latency_percentiles",
     "minhash_lsh_pairs", "minhash_signatures",
     "offset_probe", "replay_offset_range",
     "replay_time_range", "retry_routing",

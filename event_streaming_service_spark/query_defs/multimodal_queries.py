@@ -532,3 +532,52 @@ def q_features_jpeg_progressive(spark: SparkSession,
     media = multimodal.attach_jpeg_progressive_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features_jpeg_progressive(media)
+
+
+@register(
+    "multimodal_features_jpeg_progressive_color",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 4 + 1 AS INTEGER) AS tw,
+               CAST(doc_id % 3 + 1 AS INTEGER) AS th
+        FROM documents),
+    txs AS (SELECT doc_id, tw, th, unnest(range(0, tw)) AS tx FROM dims),
+    tiles AS (
+        SELECT doc_id, tw, th,
+               CAST((doc_id + 3 * tx + 5 * ty) % 8 AS INTEGER) AS idx
+        FROM (SELECT doc_id, tw, th, tx, unnest(range(0, th)) AS ty
+              FROM txs)),
+    ev AS (SELECT doc_id, tw, th,
+                  {_color_case(0)} AS er,
+                  {_color_case(1)} AS eg,
+                  {_color_case(2)} AS eb
+           FROM tiles)
+    SELECT doc_id,
+           CAST(MAX(tw) * 16 AS INTEGER) AS width,
+           CAST(MAX(th) * 16 AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_tiles,
+           CAST(SUM(256 * er) AS BIGINT) AS r_sum,
+           CAST(SUM(256 * eg) AS BIGINT) AS g_sum,
+           CAST(SUM(256 * eb) AS BIGINT) AS b_sum,
+           CAST(MIN(LEAST(er, eg, eb)) AS INTEGER) AS px_min,
+           CAST(MAX(GREATEST(er, eg, eb)) AS INTEGER) AS px_max
+    FROM ev GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-jpeg-color",
+          "decode-jpeg-progressive"),
+)
+def q_features_jpeg_progressive_color(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE COLOR JPEG decode: the same palette-tiled
+    4:2:0 images as the baseline color query, re-encoded as genuine
+    multi-scan progressive streams — interleaved MCU-order DC scans
+    with per-component predictors, non-interleaved spectral AC bands
+    per component, AC/DC refinement, per-scan Huffman tables — and
+    decoded through the full protocol. Shares the baseline color
+    oracle, so a hash break isolates a progressive-color protocol
+    bug. Completes the JPEG matrix: baseline/progressive x
+    grayscale/4:2:0-color all decode for real."""
+    media = multimodal.attach_jpeg_progressive_color_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features_jpeg_progressive_color(media)

@@ -299,3 +299,51 @@ def test_progressive_truncated_scan_fails_loudly():
     with pytest.raises(ValueError):
         J.decode_jpeg_progressive(data[:len(data) * 2 // 3]
                                   + b"\xFF\xD9")
+
+
+def test_progressive_color_equals_baseline_color_roundtrip():
+    """Progressive color (interleaved DC scans, per-component AC
+    bands, refinement) must decode PIXEL-IDENTICAL to the baseline
+    color round trip — the lossless-reencoding property, color
+    edition."""
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        img = rng.integers(0, 256, (32, 16 * (trial + 1), 3),
+                           dtype=np.uint8)
+        base = J.decode_jpeg_color(J.encode_jpeg_color(img))
+        prog = J.decode_jpeg_progressive_color(
+            J.encode_jpeg_progressive_color(img))
+        assert (base == prog).all()
+
+
+def test_progressive_color_palette_matches_expected_literals():
+    from event_streaming_service_spark.operators.multimodal import (
+        JPEG_COLOR_EXPECTED,
+        JPEG_COLOR_PALETTE,
+    )
+
+    img = np.zeros((32, 48, 3), dtype=np.uint8)
+    k = 0
+    for ty in range(2):
+        for tx in range(3):
+            img[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = \
+                JPEG_COLOR_PALETTE[k]
+            k += 1
+    out = J.decode_jpeg_progressive_color(
+        J.encode_jpeg_progressive_color(img))
+    k = 0
+    for ty in range(2):
+        for tx in range(3):
+            tile = out[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            assert (tile == np.array(JPEG_COLOR_EXPECTED[k],
+                                     dtype=np.uint8)).all()
+            k += 1
+
+
+def test_progressive_color_rejects_wrong_family():
+    img3 = np.zeros((16, 16, 3), dtype=np.uint8)
+    gray = np.zeros((16, 16), dtype=np.uint8)
+    with pytest.raises(ValueError, match="3"):
+        J.decode_jpeg_progressive_color(J.encode_jpeg_progressive(gray))
+    with pytest.raises(ValueError, match="not progressive"):
+        J.decode_jpeg_progressive_color(J.encode_jpeg_color(img3))
