@@ -161,11 +161,19 @@ def triangle_stats(edges: DataFrame, a_col: str = "a",
     oriented = withd.select(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"))
-    e1, e2, e3 = (oriented.alias(n) for n in ("e1", "e2", "e3"))
+    # wedge (u->v, u->w) pairs dedup by dst ID; the closing edge is
+    # oriented by the (degree, id) order, which need NOT match the id
+    # order — so close against the UNDIRECTED id-ordered edge set
+    # (checking the oriented form here silently dropped every triangle
+    # whose closing edge points id-backwards; caught by the planted
+    # 1M-triangle scale probe, which knows the true count)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    closing = und.select(F.col("x").alias("__cx"),
+                         F.col("y").alias("__cy"))
     tri = (e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
                    & (F.col("e1.dst") < F.col("e2.dst")))
-           .join(e3, (F.col("e3.src") == F.col("e1.dst"))
-                 & (F.col("e3.dst") == F.col("e2.dst")))
+           .join(closing, (F.col("__cx") == F.col("e1.dst"))
+                 & (F.col("__cy") == F.col("e2.dst")))
            .agg(F.count(F.lit(1)).alias("n_triangles")))
     wedges = deg.agg(
         F.sum(F.expr("deg * (deg - 1) DIV 2")).cast("bigint")

@@ -110,10 +110,12 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN deg dx ON dx.n = p.x
         JOIN deg dy ON dy.n = p.y),
     tri AS (
+        -- close the wedge against the UNDIRECTED id-ordered edge set:
+        -- the closing edge's orientation follows (degree, id), not id
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM oriented e1
         JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
-        JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        JOIN pair p3 ON p3.x = e1.dst AND p3.y = e2.dst),
     w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
               AS n_wedges FROM deg),
     c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pair),

@@ -10,6 +10,7 @@ Usage: python tools/scale_probe.py [probe ...]
 Probes: components packing quota simhash window ewma gapfill
         heavy_hitters skyline profile setjoin diff attribution
         transition hierarchy pq_codes ivfpq semantic_dedup
+        triangles
 """
 
 from __future__ import annotations
@@ -663,6 +664,50 @@ def probe_semantic_dedup(spark):
                  "50k slice == JVM path")
 
 
+def probe_triangles(spark):
+    """1M-edge planted-clique graph through the degree-oriented
+    triangle census: 100k disjoint 5-cliques (10 edges, 10 triangles
+    each) plus 500k chain edges linking cliques (zero extra
+    triangles). Asserted-exact: n_triangles == 1,000,000 and the
+    wedge count matches the closed form — a wedge-join regression
+    (wrong orientation, lost dedup) cannot hide in a wall time."""
+    from event_streaming_service_spark.operators.graph import (
+        triangle_stats)
+
+    # clique g occupies nodes 5g..5g+4; edges = all 10 pairs
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    cliques = None
+    for (i, j) in pairs:
+        e = spark.range(0, 100_000).select(
+            (F.col("id") * 5 + i).alias("a"),
+            (F.col("id") * 5 + j).alias("b"))
+        cliques = e if cliques is None else cliques.unionAll(e)
+    # chain edges between consecutive cliques' node 0: no triangles
+    chain = spark.range(0, 99_999).select(
+        (F.col("id") * 5).alias("a"),
+        ((F.col("id") + 1) * 5).alias("b"))
+    edges = cliques.unionAll(chain)
+    # duplicate + reversed edges must not change anything
+    edges = edges.unionAll(edges.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+    t0 = time.perf_counter()
+    row = triangle_stats(edges, "a", "b").first()
+    sec = time.perf_counter() - t0
+    assert row["n_nodes"] == 500_000, row
+    assert row["n_edges"] == 100_000 * 10 + 99_999, row
+    assert row["n_triangles"] == 1_000_000, row
+    # wedges: 2 nodes/clique of deg 4+? node 0 of cliques 1..99998 has
+    # deg 4+2, endpoints deg 4+1, others deg 4 — closed form:
+    import math
+    def c2(d): return d * (d - 1) // 2
+    exp_wedges = (2 * c2(5)                    # endpoint cliques' node 0
+                  + 99_998 * c2(6)             # middle cliques' node 0
+                  + (100_000 * 4) * c2(4))     # all non-0 clique nodes
+    assert row["n_wedges"] == exp_wedges, (row["n_wedges"], exp_wedges)
+    return sec, (f"edges=1.1M(+dups/reversals) triangles=1M exact, "
+                 f"wedges closed-form exact")
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -682,6 +727,7 @@ PROBES = {
     "transition": probe_transition,
     "ivfpq": probe_ivfpq,
     "semantic_dedup": probe_semantic_dedup,
+    "triangles": probe_triangles,
 }
 
 
