@@ -84,8 +84,10 @@ PRIORITY: tuple[str, ...] = (
     "events_cube_type_outcome",
     "lag_rollup_grand_total", "latency_percentiles",
     "minhash_lsh_pairs", "minhash_signatures",
-    "offset_probe", "replay_offset_range",
-    "replay_time_range", "retry_routing",
+    "offset_probe", "retry_routing",
+    # -- round-7 second wave (this session): never-green swap-ins for
+    #    the two re-verification rows they displaced --
+    "winnow_fingerprint_stats", "winnow_shared_pairs",
 )
 
 # Oracle-backed queries waiting for a driver slot: DRAINED in round 5
