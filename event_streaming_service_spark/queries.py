@@ -82,9 +82,10 @@ PRIORITY: tuple[str, ...] = (
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
     "events_cube_type_outcome",
-    "lag_rollup_grand_total", "latency_percentiles",
-    "minhash_lsh_pairs", "minhash_signatures",
+    "lag_rollup_grand_total",
+    "minhash_lsh_pairs",
     "offset_probe", "retry_routing",
+    "hll_distinct_users", "kmv_distinct_users_by_type",
     # -- round-7 second wave (this session): never-green swap-ins for
     #    the two re-verification rows they displaced --
     "winnow_fingerprint_stats", "winnow_shared_pairs",
