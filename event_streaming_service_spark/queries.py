@@ -81,8 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_outer",        # 2.6  (r4)
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
-    "events_cube_type_outcome",
-    "lag_rollup_grand_total",
+    "events_cube_type_outcome", "mmr_diverse_topk",
     "minhash_lsh_pairs",
     "offset_probe", "retry_routing",
     "hll_distinct_users", "kmv_distinct_users_by_type",
