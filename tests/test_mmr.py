@@ -17,8 +17,13 @@ def test_mmr_is_deterministic_and_diverse(spark, sf_smoke):
     # relevance-only upper bound
     top = out1[0]
     assert top["mmr_score_scaled"] == mmr.MMR_LAMBDA_NUM * top["rel_micro"]
+    lam_c = mmr.MMR_LAMBDA_DEN - mmr.MMR_LAMBDA_NUM
     for r in out1[1:]:
-        assert r["mmr_score_scaled"] <= mmr.MMR_LAMBDA_NUM * r["rel_micro"]
+        # score = 7*rel - 3*max_sim with max_sim a cosine in micro
+        # units (can be NEGATIVE, which raises the score)
+        diff = mmr.MMR_LAMBDA_NUM * r["rel_micro"] - r["mmr_score_scaled"]
+        assert diff % lam_c == 0
+        assert abs(diff // lam_c) <= 1_000_000
     # picked ids unique
     ids = [r["vec_id"] for r in out1]
     assert len(set(ids)) == len(ids)
