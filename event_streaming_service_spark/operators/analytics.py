@@ -596,3 +596,40 @@ def abc_classification(revenue_by_item: DataFrame, item_col: str,
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum(revenue_col).alias("class_revenue"))
             .orderBy("abc_class"))
+
+
+def ohlc_bars(df: DataFrame, key_col: str, ts_col: str, cents_col: Column,
+              bucket: Column) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (key, bucket) the
+    opening/closing value by event time plus high/low/volume/total —
+    the classic hypertable "candlestick" rollup.
+
+    Open/close are row_number picks over (ts, tiebreak) windows rather
+    than min_by/max_by so the deterministic total order is explicit and
+    identical in the SQL twin (arg_min/arg_max tiebreak rules differ
+    between engines on duplicate timestamps). One shuffle on
+    (key, bucket): the window partition key equals the aggregation key,
+    so AQE reuses the same exchange for both steps — the plan scales
+    as a single repartition + per-partition sort at any volume.
+
+    cents_col must be an exact integer expression (functions/money.py
+    convention) so SUM never sees doubles."""
+    w_open = Window.partitionBy(key_col, "__bucket").orderBy(
+        F.col(ts_col).asc(), F.col("__cents").asc())
+    w_close = Window.partitionBy(key_col, "__bucket").orderBy(
+        F.col(ts_col).desc(), F.col("__cents").desc())
+    prepared = (df.withColumn("__bucket", bucket)
+                .withColumn("__cents", cents_col)
+                .withColumn("__rn_o", F.row_number().over(w_open))
+                .withColumn("__rn_c", F.row_number().over(w_close)))
+    return (
+        prepared.groupBy(F.col(key_col), F.col("__bucket").alias("bar_ts"))
+        .agg(F.max(F.when(F.col("__rn_o") == 1, F.col("__cents")))
+             .alias("open_cents"),
+             F.max("__cents").alias("high_cents"),
+             F.min("__cents").alias("low_cents"),
+             F.max(F.when(F.col("__rn_c") == 1, F.col("__cents")))
+             .alias("close_cents"),
+             F.count(F.lit(1)).alias("volume"),
+             F.sum("__cents").alias("total_cents"))
+    )

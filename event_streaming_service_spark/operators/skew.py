@@ -50,3 +50,34 @@ def salted_sum_count(df: DataFrame, key_cols: list[str],
     return (phase1.groupBy(*key_cols)
             .agg(F.sum("__n").alias("n"),
                  *[F.sum(f"__s_{name}").alias(name) for name in sum_cols]))
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10
+                     ) -> DataFrame:
+    """Shuffle-key skew diagnostics: the top_n heaviest keys with their
+    exact share and hot-factor (key count vs the all-keys average) in
+    truncated ppm — the profile a 100 TB job runs BEFORE choosing salt
+    factors / AQE skew thresholds for a join or aggregation key.
+
+    Plan: one map-side-combined count per key, a 1-row global summary
+    joined back broadcast, TakeOrderedAndProject for the top_n — the
+    key domain is shuffled once at (key) grain and nothing else moves.
+    hot_x_avg_ppm = cnt * n_keys * 1e6 DIV total: >> 1e6 means the key
+    is that many times hotter than average (the salt-factor signal)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key", "cnt",
+            F.expr("CAST(cnt * 1000000 DIV total AS BIGINT)")
+            .alias("share_ppm"),
+            F.expr("CAST(cnt * n_keys * 1000000 DIV total AS BIGINT)")
+            .alias("hot_x_avg_ppm"),
+            F.col("n_keys").cast("bigint").alias("n_keys"))
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_n)
+    )

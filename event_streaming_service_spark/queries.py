@@ -81,9 +81,9 @@ PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_outer",        # 2.6  (r4)
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
-    "events_cube_type_outcome", "mmr_diverse_topk",
+    "mmr_diverse_topk", "ohlc_bars_daily", "skew_key_diagnostics",
     "minhash_lsh_pairs",
-    "offset_probe", "retry_routing",
+    "retry_routing",
     "hll_distinct_users", "kmv_distinct_users_by_type",
     # -- round-7 second wave (this session): never-green swap-ins for
     #    the two re-verification rows they displaced --
