@@ -189,3 +189,52 @@ def triangle_stats(edges: DataFrame, a_col: str = "a",
                 .otherwise(F.lit(0)).cast("bigint"))
             .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
                     "clustering_ppm"))
+
+
+def adamic_adar_links(edges: DataFrame, top_n: int = 20,
+                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge set
+    (a < b distinct pairs): for every NON-adjacent 2-hop pair (u, v),
+    AA(u, v) = sum over common neighbors w of 1 / ln(deg(w)),
+    plus the raw common-neighbor count. Returns the top_n by score.
+
+    Per-neighbor terms are pinned to integer micro-units
+    (floor(1e6 / ln(deg) + 0.5)) BEFORE the cross-row sum — the
+    repo-wide rule that keeps a float-log pipeline hash-exact across
+    engines (common neighbors have deg >= 2, so ln > 0 always).
+
+    Scale shape: wedges are enumerated through the center node w —
+    one self-join of the adjacency list on w, cost sum_w deg(w)^2.
+    A hub node dominates that sum; production caps the expansion
+    per center (exactly like text.inverted_index caps postings) or
+    routes hubs through the degree-oriented path triangle_stats uses.
+    The final anti-join against the edge set removes already-linked
+    pairs, and TakeOrderedAndProject folds to top_n without a global
+    sort."""
+    und = edges.select(F.col(a_col).alias("x"),
+                       F.col(b_col).alias("y")).distinct()
+    adj = (und.select(F.col("x").alias("w"), F.col("y").alias("n"))
+           .union(und.select(F.col("y").alias("w"),
+                             F.col("x").alias("n"))))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    # deg-1 leaves never center a wedge, but ANSI mode evaluates the
+    # projection for every row — guard so ln(1) = 0 never divides
+    term = F.when(
+        F.col("deg") >= 2,
+        F.floor(F.lit(1_000_000.0)
+                / F.log(F.col("deg").cast("double"))
+                + F.lit(0.5)).cast("bigint"))
+    centers = deg.withColumn("term_micro", term)
+    l = adj.select(F.col("w"), F.col("n").alias("u"))
+    r = adj.select(F.col("w"), F.col("n").alias("v"))
+    wedges = l.join(r, "w").filter(F.col("u") < F.col("v"))
+    scored = (wedges.join(centers.select("w", "term_micro"), "w")
+              .groupBy("u", "v")
+              .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                   F.sum("term_micro").alias("aa_micro")))
+    non_adj = scored.join(
+        und, (scored["u"] == und["x"]) & (scored["v"] == und["y"]),
+        "left_anti")
+    return (non_adj
+            .orderBy(F.col("aa_micro").desc(), F.col("u"), F.col("v"))
+            .limit(top_n))

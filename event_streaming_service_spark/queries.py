@@ -82,7 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
     "mmr_diverse_topk", "ohlc_bars_daily", "skew_key_diagnostics",
-    "minhash_lsh_pairs",
+    "adamic_adar_copurchase",
     "retry_routing",
     "hll_distinct_users", "kmv_distinct_users_by_type",
     # -- round-7 second wave (this session): never-green swap-ins for

@@ -143,3 +143,54 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("l2.l_partkey").alias("b"))
              .distinct())
     return graph.triangle_stats(pairs, "a", "b")
+
+
+@register(
+    "adamic_adar_copurchase",
+    oracle="""
+    WITH pair AS (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+    adj AS (
+        SELECT x AS w, y AS n FROM pair
+        UNION ALL SELECT y AS w, x AS n FROM pair),
+    deg AS (
+        SELECT w, COUNT(*) AS deg,
+               CAST(FLOOR(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS term_micro
+        FROM adj GROUP BY w),
+    wedges AS (
+        SELECT l.w, l.n AS u, r.n AS v
+        FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n),
+    scored AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(term_micro) AS BIGINT) AS aa_micro
+        FROM wedges JOIN deg USING (w)
+        GROUP BY u, v),
+    non_adj AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM pair p
+                          WHERE p.x = s.u AND p.y = s.v))
+    SELECT u, v, common_neighbors, aa_micro
+    FROM non_adj
+    ORDER BY aa_micro DESC, u, v LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "2.12-graph"),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part copurchase graph: top-20
+    non-adjacent pairs by summed 1/ln(deg) over common neighbors, each
+    term pinned to integer micro-units before summation
+    (operators/graph.py:adamic_adar_links)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "o")
+             .filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+             .distinct())
+    return graph.adamic_adar_links(edges, top_n=20)

@@ -43,3 +43,18 @@ def test_key_skew_profile_exact(spark):
     assert hot["share_ppm"] == 600_000          # 60/100
     assert hot["hot_x_avg_ppm"] == 1_800_000    # 60 vs avg 33.3 -> 1.8x
     assert hot["n_keys"] == 3
+
+
+def test_adamic_adar_path_graph(spark):
+    import math
+    from event_streaming_service_spark.operators import graph
+    edges = spark.createDataFrame([(1, 2), (2, 3), (2, 4), (3, 4)],
+                                  "a bigint, b bigint")
+    out = {(r["u"], r["v"]): r for r in
+           graph.adamic_adar_links(edges, top_n=10).collect()}
+    # non-adjacent 2-hop pairs: (1,3) via 2; (1,4) via 2
+    assert set(out) == {(1, 3), (1, 4)}
+    term_deg3 = math.floor(1e6 / math.log(3) + 0.5)  # node 2 has deg 3
+    assert out[(1, 3)]["common_neighbors"] == 1
+    assert out[(1, 3)]["aa_micro"] == term_deg3
+    assert out[(1, 4)]["aa_micro"] == term_deg3
