@@ -10,7 +10,7 @@ Usage: python tools/scale_probe.py [probe ...]
 Probes: components packing quota simhash window ewma gapfill
         heavy_hitters skyline profile setjoin diff attribution
         transition hierarchy pq_codes ivfpq semantic_dedup
-        triangles
+        triangles winnow distinct_sketch adamic_adar
 """
 
 from __future__ import annotations
@@ -708,6 +708,87 @@ def probe_triangles(spark):
                  f"wedges closed-form exact")
 
 
+
+
+def probe_winnow(spark):
+    """200k synthetic docs (~192 chars each, ~38M chars total) through
+    the winnowing fingerprint kernel: per-doc O(n) numpy work inside
+    mapInPandas, no shuffle. Two ids are planted to render IDENTICAL
+    text; their full fingerprint digests must agree exactly (the
+    kernel is deterministic content hashing, so equal text => equal
+    digest), and every doc must fingerprint."""
+    from event_streaming_service_spark.operators.fingerprint import (
+        winnow_stats)
+    n = 200_000
+    docs = (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.repeat(F.md5((F.col("id") % (n - 1)).cast("string")),
+                             6).alias("text")))
+    t0 = time.perf_counter()
+    stats = winnow_stats(docs)
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_fp") > 0, 0).otherwise(1)).alias("empty"),
+    ).collect()[0]
+    twins = (stats.filter(F.col("doc_id").isin(0, n - 1))
+             .select("fp_sum", "fp_min", "fp_max", "n_fp").collect())
+    sec = time.perf_counter() - t0
+    assert agg["n"] == n and agg["empty"] == 0, agg
+    assert len(twins) == 2
+    assert tuple(twins[0]) == tuple(twins[1]), twins  # id 0 == id n-1 text
+    return sec, f"docs={n} chars~38M all fingerprinted, twin digests equal"
+
+
+def probe_distinct_sketch(spark):
+    """10M rows / 5M distinct keys through portable HLL (256-register
+    constant-size aggregate) and global KMV (bounded Arrow-kernel
+    local minima + tiny merge). Asserts the estimates land inside the
+    published error bands (HLL rse ~1.04/sqrt(256)=6.5%% -> 20%% gate;
+    KMV rse ~1/sqrt(63)=12.6%% -> 40%% gate) — a hashing or merge bug
+    lands far outside either."""
+    from event_streaming_service_spark.operators import distinct_sketch as ds
+    n, d = 10_000_000, 5_000_000
+    df = spark.range(n).select((F.col("id") % d).alias("k"))
+    t0 = time.perf_counter()
+    hll = ds.hll_summary(df, F.col("k")).collect()[0]
+    t_hll = time.perf_counter() - t0
+    est = hll["est_micro"] / 1e6
+    assert abs(est - d) < 0.20 * d, (est, d)
+    t0 = time.perf_counter()
+    kmv = ds.kmv_per_group(
+        df.withColumn("g", F.lit("all")), "g", F.col("k")).collect()[0]
+    t_kmv = time.perf_counter() - t0
+    assert abs(kmv["est_distinct"] - d) < 0.40 * d, kmv
+    return t_hll + t_kmv, (
+        f"rows={n} distinct={d} hll_est={est:,.0f} ({t_hll:.1f}s) "
+        f"kmv_est={kmv['est_distinct']:,} ({t_kmv:.1f}s)")
+
+
+def probe_adamic_adar(spark):
+    """5M-node ring: every node centers exactly one wedge, so the
+    link-prediction output is known in closed form — 5M candidate
+    pairs, every one with 1 common neighbor of degree 2 and
+    aa_micro = floor(1e6/ln 2 + 0.5) = 1442695. Asserts the top-20
+    values and the exact candidate count."""
+    import math
+    from event_streaming_service_spark.operators.graph import (
+        adamic_adar_links)
+    n = 5_000_000
+    ring = (spark.range(n)
+            .select(F.least(F.col("id"), (F.col("id") + 1) % n).alias("a"),
+                    F.greatest(F.col("id"), (F.col("id") + 1) % n)
+                    .alias("b")))
+    t0 = time.perf_counter()
+    top = adamic_adar_links(ring, top_n=20).collect()
+    sec = time.perf_counter() - t0
+    expect = math.floor(1e6 / math.log(2) + 0.5)
+    assert len(top) == 20
+    assert all(r["aa_micro"] == expect and r["common_neighbors"] == 1
+               for r in top), top[:3]
+    assert [r["u"] for r in top[:3]] == [0, 0, 1]  # (0,2),(0,4998...),(1,3)
+    return sec, f"nodes=5M wedge-pairs=5M top20 aa==1/ln2 exact"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -728,6 +809,9 @@ PROBES = {
     "ivfpq": probe_ivfpq,
     "semantic_dedup": probe_semantic_dedup,
     "triangles": probe_triangles,
+    "winnow": probe_winnow,
+    "distinct_sketch": probe_distinct_sketch,
+    "adamic_adar": probe_adamic_adar,
 }
 
 
