@@ -148,6 +148,15 @@ BENCH_QUERIES = [
     "knn_label_vote",                # kNN vote over exact cosine
     "triangle_count_copurchase",     # degree-oriented motif census
     "supplier_balance_rank_profile",  # percent_rank/cume_dist windows
+    # round-7 second wave
+    "winnow_fingerprint_stats",      # rolling-hash winnow kernel
+    "winnow_shared_pairs",           # fingerprint posting-list join
+    "hll_distinct_users",            # 256-register portable HLL
+    "kmv_distinct_users_by_type",    # bottom-k theta sketch merge
+    "mmr_diverse_topk",              # candidate top-C + greedy rerank
+    "ohlc_bars_daily",               # candlestick downsample windows
+    "skew_key_diagnostics",          # shuffle-key skew profile
+    "adamic_adar_copurchase",        # wedge link prediction
     "video_frames_mjpeg",            # real AVI/MJPEG video decode
     "multimodal_features_jpeg_progressive",  # real SOF2 multi-scan decode
     "multimodal_features_jpeg_progressive_color",  # SOF2 4:2:0 color
