@@ -94,9 +94,12 @@ def char_gini(docs: DataFrame, id_col: str = "doc_id",
     ranks near-identically for filtering and stays hash-exact). Low
     values flag degenerate documents (one repeated character);
     high values approach uniform text. The numerator (n^2 - s2) * 1e6
-    is computed in DECIMAL(38,0) (HUGEINT on the DuckDB side), so
-    there is no int64 wrap for oversized documents — exact up to
-    ~1e16 chars/doc, far past any real corpus row.
+    AND the per-character square sum s2 are computed in DECIMAL(38,0)
+    (HUGEINT on the DuckDB side) — with s2 in BIGINT a single
+    character repeated past ~3e9 times wrapped Spark-side while
+    DuckDB's HUGEINT did not (round-6 ADVICE); both engines now stay
+    exact to the DECIMAL(38,0) bound, n^2 * 1e6 < 1e38 =>
+    ~3e15 chars/doc.
 
     Plan for 100 TB: explode to (doc, char) but the partial hash
     aggregate collapses to distinct pairs per partition before the one
@@ -114,7 +117,8 @@ def char_gini(docs: DataFrame, id_col: str = "doc_id",
     agg = per_char.groupBy(id_col).agg(
         F.sum("c").cast("bigint").alias("n_chars_counted"),
         F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("__s2"))
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .alias("__s2"))
     return agg.select(
         id_col, "n_chars_counted", "distinct_chars",
         F.when(F.col("n_chars_counted") > 0,
@@ -139,7 +143,7 @@ def char_gini_sql(table: str = "documents", id_col: str = "doc_id",
     agg AS (
         SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_chars_counted,
                CAST(COUNT(*) AS BIGINT) AS distinct_chars,
-               CAST(SUM(c * c) AS BIGINT) AS s2
+               SUM(CAST(c AS HUGEINT) * c) AS s2
         FROM per_char GROUP BY {id_col})
     SELECT {id_col}, n_chars_counted, distinct_chars,
            CAST(CASE WHEN n_chars_counted > 0 THEN
