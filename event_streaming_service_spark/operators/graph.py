@@ -211,11 +211,17 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
     The final anti-join against the edge set removes already-linked
     pairs, and TakeOrderedAndProject folds to top_n without a global
     sort."""
-    und = edges.select(F.col(a_col).alias("x"),
-                       F.col(b_col).alias("y")).distinct()
+    # The edge set feeds SIX consumers (adjacency twice per side, the
+    # degree count, the final anti-join): without a persist Catalyst
+    # re-derives the upstream edge pipeline (often a fact-table
+    # self-join) once per consumer. Cache lifecycle: query lifetime
+    # (lazy result; session end or clearCache reclaims — the pq.py
+    # convention).
+    und = (edges.select(F.col(a_col).alias("x"),
+                        F.col(b_col).alias("y")).distinct().persist())
     adj = (und.select(F.col("x").alias("w"), F.col("y").alias("n"))
            .union(und.select(F.col("y").alias("w"),
-                             F.col("x").alias("n"))))
+                             F.col("x").alias("n")))).persist()
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
     # deg-1 leaves never center a wedge, but ANSI mode evaluates the
     # projection for every row — guard so ln(1) = 0 never divides
