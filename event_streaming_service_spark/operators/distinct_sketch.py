@@ -170,43 +170,16 @@ def kmv_per_group(df: DataFrame, group_col: str, col: Column,
     k smallest distinct local hashes (state <= |groups| * k per
     partition, independent of row count), then the union of partition
     summaries — at most k * P rows per group — is merged by one
-    ordinary window rank. No full distinct shuffle ever happens.
+    ordinary window rank (kmv_per_group_detail). No full distinct
+    shuffle ever happens.
 
-    Estimator: distinct ≈ (k-1) * H / h_k (truncating integer divide,
+    Estimator: distinct ~= (k-1) * H / h_k (truncating integer divide,
     exact and identical in both engines); when a group holds fewer
     than k distinct hashes the sketch IS the exact distinct set and
     the estimate is n_kept."""
-
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        state: dict[object, np.ndarray] = {}
-        for pdf in batches:
-            for g, vals in pdf.groupby("g", sort=False)["h"]:
-                batch_u = np.unique(vals.to_numpy())[:k]
-                prev = state.get(g)
-                merged = (batch_u if prev is None
-                          else np.union1d(prev, batch_u)[:k])
-                state[g] = merged
-        rows_g, rows_h = [], []
-        for g, arr in state.items():
-            rows_g.extend([g] * len(arr))
-            rows_h.extend(arr.tolist())
-        yield pd.DataFrame({"g": pd.Series(rows_g, dtype=object),
-                            "h": pd.Series(rows_h, dtype="int64")})
-
-    g_type = df.schema[group_col].dataType.simpleString()
-    local = (
-        df.select(F.col(group_col).alias("g"), portable_hash48(col).alias("h"))
-        .mapInPandas(local_topk, schema=f"g {g_type}, h bigint")
-    )
-    w = Window.partitionBy("g").orderBy("h")
-    merged = (
-        local.dropDuplicates(["g", "h"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    merged = kmv_per_group_detail(df, group_col, col, k)
     return (
-        merged.groupBy(F.col("g").alias(group_col))
+        merged.groupBy(group_col)
         .agg(F.count("*").alias("n_kept"),
              F.max("h").alias("kth_hash"))
         .select(group_col, "n_kept", "kth_hash",
@@ -232,3 +205,85 @@ def kmv_per_group_sql(expr: str, group_col: str, rel: str,
                 ELSE {(k - 1) * KMV_SPACE} // MAX(h) END AS BIGINT)
                AS est_distinct
     FROM ranked GROUP BY g"""
+
+
+def kmv_intersection(df: DataFrame, group_col: str, col: Column,
+                     group_a: str, group_b: str,
+                     k: int = KMV_K) -> DataFrame:
+    """Theta-sketch set intersection (the DataSketches A-and-B
+    operation): estimate |distinct(A) ∩ distinct(B)| from the two
+    groups' bottom-k sketches alone — never intersecting the full
+    domains.
+
+    theta = min(kth_min_A, kth_min_B); every retained hash below theta
+    is a uniform sample of the union domain, so
+
+        |A ∩ B| ~= |{h : h in sketch_A ∩ sketch_B, h < theta}|
+                   * H / theta          (H = hash space size)
+
+    computed here as exact integers (truncating DIV). When either
+    group holds fewer than k distinct hashes its sketch IS the exact
+    set and theta degrades gracefully to the other side's bound.
+    Returns one row: (n_common_below_theta, theta_hash, est_intersection)
+    — the caller joins the exact intersection alongside if wanted.
+
+    Scale shape: each sketch is the bounded kmv_per_group kernel; the
+    intersection itself touches <= 2k driver-free rows (a join of two
+    k-row frames)."""
+    sketches = kmv_per_group_detail(df, group_col, col, k)
+    a = sketches.filter(F.col(group_col) == group_a)
+    b = sketches.filter(F.col(group_col) == group_b)
+    bounds = (a.groupBy().agg(F.max("h").alias("kth_a"),
+                              F.count(F.lit(1)).alias("n_a"))
+              .crossJoin(b.groupBy().agg(F.max("h").alias("kth_b"),
+                                         F.count(F.lit(1)).alias("n_b")))
+              .select(F.least("kth_a", "kth_b").alias("theta_hash"),
+                      "n_a", "n_b"))
+    common = (a.select(F.col("h"))
+              .join(b.select(F.col("h")), "h")
+              .crossJoin(F.broadcast(bounds))
+              .filter(F.col("h") <= F.col("theta_hash"))
+              .groupBy("theta_hash")
+              .agg(F.count(F.lit(1)).alias("n_common_below_theta")))
+    return (bounds.join(common, "theta_hash", "left")
+            .select(
+                F.coalesce("n_common_below_theta", F.lit(0))
+                .cast("bigint").alias("n_common_below_theta"),
+                "theta_hash",
+                F.expr(f"CAST(COALESCE(n_common_below_theta, 0)"
+                       f" * {KMV_SPACE} DIV theta_hash AS BIGINT)")
+                .alias("est_intersection")))
+
+
+def kmv_per_group_detail(df: DataFrame, group_col: str, col: Column,
+                         k: int = KMV_K) -> DataFrame:
+    """The per-group bottom-k sketch as (group, h) rows — the
+    mergeable representation set operations consume (kmv_per_group
+    folds the same frame to its summary)."""
+    from pyspark.sql import Window as W
+
+    def local_topk(batches):
+        import numpy as np
+        state: dict[object, object] = {}
+        for pdf in batches:
+            for g, vals in pdf.groupby("g", sort=False)["h"]:
+                batch_u = np.unique(vals.to_numpy())[:k]
+                prev = state.get(g)
+                state[g] = (batch_u if prev is None
+                            else np.union1d(prev, batch_u)[:k])
+        gs, hs = [], []
+        for g, arr in state.items():
+            gs.extend([g] * len(arr))
+            hs.extend(arr.tolist())
+        yield pd.DataFrame({"g": pd.Series(gs, dtype=object),
+                            "h": pd.Series(hs, dtype="int64")})
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    local = (df.select(F.col(group_col).alias("g"),
+                       portable_hash48(col).alias("h"))
+             .mapInPandas(local_topk, schema=f"g {g_type}, h bigint"))
+    w = W.partitionBy("g").orderBy("h")
+    return (local.dropDuplicates(["g", "h"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.col("g").alias(group_col), "h"))

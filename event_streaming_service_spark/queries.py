@@ -83,7 +83,7 @@ PRIORITY: tuple[str, ...] = (
     #    round 1; six rounds unchecked) --
     "mmr_diverse_topk", "ohlc_bars_daily", "skew_key_diagnostics",
     "adamic_adar_copurchase",
-    "retry_routing",
+    "kmv_intersection_click_purchase",
     "hll_distinct_users", "kmv_distinct_users_by_type",
     # -- round-7 second wave (this session): never-green swap-ins for
     #    the two re-verification rows they displaced --

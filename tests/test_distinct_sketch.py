@@ -77,3 +77,23 @@ def test_kmv_small_group_is_exact(spark):
     r = ds.kmv_per_group(df, "g", F.col("k")).collect()[0]
     assert r["n_kept"] == 10
     assert r["est_distinct"] == 10
+
+
+def test_kmv_intersection_planted_overlap(spark):
+    """Groups A = {0..399}, B = {200..599}: true intersection 200.
+    The sketch estimate must match the pure-python replay of the same
+    theta arithmetic exactly, and land within a loose band of 200."""
+    from pyspark.sql import functions as F
+    rows = ([("A", i) for i in range(400)]
+            + [("B", i) for i in range(200, 600)]) * 3
+    df = spark.createDataFrame(rows, "g string, k bigint").repartition(5)
+    out = ds.kmv_intersection(df, "g", F.col("k"), "A", "B").collect()[0]
+    ha = sorted({_h48(i) for i in range(400)})[:ds.KMV_K]
+    hb = sorted({_h48(i) for i in range(200, 600)})[:ds.KMV_K]
+    theta = min(ha[-1], hb[-1])
+    common = len({h for h in ha if h <= theta} & {h for h in hb
+                                                 if h <= theta})
+    assert out["theta_hash"] == theta
+    assert out["n_common_below_theta"] == common
+    assert out["est_intersection"] == common * ds.KMV_SPACE // theta
+    assert abs(out["est_intersection"] - 200) < 150
