@@ -633,3 +633,62 @@ def ohlc_bars(df: DataFrame, key_col: str, ts_col: str, cents_col: Column,
              F.count(F.lit(1)).alias("volume"),
              F.sum("__cents").alias("total_cents"))
     )
+
+
+def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
+                      min_pair_count: int = 3, top_n: int = 20) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows: for
+    every unordered item pair {a, b} co-occurring in >= min_pair_count
+    baskets, exact integer-ppm support / directional confidence / lift,
+    top_n by lift (the a-priori "what sells together" mining pass —
+    reference has nothing comparable; this is the 2.12 training-data
+    co-occurrence shape).
+
+    lift_ppm = pair_cnt * N * 1e6 DIV (cnt_a * cnt_b) — truncating DIV
+    in both engines, numerator widened to DECIMAL(38,0) (pair_cnt * N *
+    1e6 overflows BIGINT once baskets pass ~3e3 * 3e9).
+
+    Scale shape: one self-join of the deduped (basket, item) grain on
+    basket (cost sum_b items(b)^2, the copurchase-edge bound), one
+    hash agg to pair grain, then two joins against the item-count
+    table, which is item-domain-sized so AQE broadcasts it. The
+    min_pair_count filter lands immediately after the pair aggregate,
+    so the rule table that reaches the joins is already sparse."""
+    bi = (baskets.select(F.col(basket_col).alias("b"),
+                         F.col(item_col).alias("i")).distinct().persist())
+    # N rides as a broadcast 1-row frame (no eager count() action)
+    n_df = bi.agg(F.countDistinct("b").alias("n_baskets"))
+    item_cnt = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("cnt"))
+    l = bi.select("b", F.col("i").alias("ia"))
+    r = bi.select("b", F.col("i").alias("ib"))
+    pairs = (l.join(r, "b").filter(F.col("ia") < F.col("ib"))
+             .groupBy("ia", "ib")
+             .agg(F.count(F.lit(1)).alias("pair_cnt"))
+             .filter(F.col("pair_cnt") >= min_pair_count))
+    dec = "decimal(38,0)"
+    scored = (
+        pairs
+        .join(item_cnt.select(F.col("i").alias("ia"),
+                              F.col("cnt").alias("cnt_a")), "ia")
+        .join(item_cnt.select(F.col("i").alias("ib"),
+                              F.col("cnt").alias("cnt_b")), "ib")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("ia").alias("item_a"), F.col("ib").alias("item_b"),
+            "pair_cnt", "cnt_a", "cnt_b",
+            (F.col("pair_cnt").cast(dec) * F.lit(1_000_000))
+            .cast(dec).alias("__p6"),
+            F.col("n_baskets"))
+        .select(
+            "item_a", "item_b", "pair_cnt", "cnt_a", "cnt_b", "n_baskets",
+            F.expr("CAST(__p6 DIV n_baskets AS BIGINT)")
+            .alias("support_ppm"),
+            F.expr("CAST(__p6 DIV cnt_a AS BIGINT)").alias("conf_ab_ppm"),
+            F.expr("CAST(__p6 DIV cnt_b AS BIGINT)").alias("conf_ba_ppm"),
+            F.expr("CAST((__p6 * n_baskets)"
+                   " DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)"
+                   " AS BIGINT)").alias("lift_ppm")))
+    return (scored
+            .orderBy(F.col("lift_ppm").desc(), F.col("item_a"),
+                     F.col("item_b"))
+            .limit(top_n))

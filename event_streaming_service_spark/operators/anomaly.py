@@ -91,3 +91,55 @@ def benford_digit_audit(df: DataFrame, amount_col: str,
             .withColumn("chi2_contrib", F.round(contrib, 6))
             .withColumn("chi2_group",
                         F.round(F.sum(contrib).over(w), 6)))
+
+
+def seasonal_count_anomalies(events: DataFrame, ts_col: str,
+                             k_num: int = 3, k_den: int = 2) -> DataFrame:
+    """Seasonal-baseline anomaly detection on hourly event counts: the
+    (weekday, hour) cell is the seasonality profile; an (date, hour)
+    observation is anomalous when it deviates from its cell mean by
+    more than k = k_num/k_den population standard deviations (rational
+    so the threshold clears to integers; default 1.5).
+
+    The k-sigma test is evaluated WITHOUT floats or square roots:
+        |x - s/n| > k * sqrt((n*ss - s^2) / n^2)
+    is squared and cleared of denominators to
+        k_den^2 * (n*x - s)^2 > k_num^2 * (n*ss - s^2),
+    all in DECIMAL(38,0), so both engines decide every boundary case
+    identically (the observation itself stays in the baseline —
+    population, not leave-one-out). Emits only the anomalous hours
+    with their evidence.
+
+    Plan shape for 100 TB: one hash aggregate to (date, hour) grain
+    (pushed partials), one to the 168-row (dow, hour) profile, one
+    broadcast join back. The raw event stream is touched once."""
+    hourly = (events
+              .select(F.to_date(F.col(ts_col)).alias("event_date"),
+                      F.hour(F.col(ts_col)).alias("hr"))
+              .groupBy("event_date", "hr")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    # Spark dayofweek: 1=Sunday..7=Saturday — DuckDB twin is
+    # EXTRACT(dow FROM d) + 1 (NOT isodow, which is Monday-based)
+    hourly = hourly.withColumn(
+        "dow", F.dayofweek(F.col("event_date")))
+    dec = "decimal(38,0)"
+    prof = (hourly.groupBy("dow", "hr")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("cnt").alias("sum_cnt"),
+                 F.sum(F.col("cnt").cast(dec) * F.col("cnt"))
+                 .cast(dec).alias("sumsq_cnt")))
+    j = hourly.join(F.broadcast(prof), ["dow", "hr"])
+    lhs = ((F.col("n_days").cast(dec) * F.col("cnt") - F.col("sum_cnt"))
+           .cast(dec))
+    rhs = (F.lit(k_num * k_num)
+           * (F.col("n_days").cast(dec) * F.col("sumsq_cnt")
+              - F.col("sum_cnt").cast(dec) * F.col("sum_cnt"))).cast(dec)
+    # sumsq stays internal (DECIMAL -> HUGEINT would round-trip as
+    # float64/object in pandas and break the dtype-kind compare);
+    # (cnt, n_days, sum_cnt) is full evidence for the mean side.
+    return (j.filter((F.lit(k_den * k_den) * lhs * lhs).cast(dec) > rhs)
+            .select(F.col("event_date").cast("timestamp")
+                    .alias("event_date"),
+                    "hr", "dow", "cnt", "n_days",
+                    F.col("sum_cnt").cast("bigint").alias("sum_cnt"))
+            .orderBy("event_date", "hr"))

@@ -129,3 +129,41 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tables.load_table(spark, sf_dir, "orders")
     return anomaly.benford_digit_audit(
         orders, "o_totalprice", group_cols=["o_orderpriority"])
+
+
+@register(
+    "seasonal_hourly_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    h2 AS (
+        SELECT *, CAST(EXTRACT(dow FROM event_date) + 1 AS BIGINT)
+                      AS dow
+        FROM hourly),
+    prof AS (
+        SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+               SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq_cnt
+        FROM h2 GROUP BY dow, hr)
+    SELECT CAST(h2.event_date AS TIMESTAMP) AS event_date,
+           h2.hr, h2.dow, h2.cnt, p.n_days, p.sum_cnt
+    FROM h2 JOIN prof p ON h2.dow = p.dow AND h2.hr = p.hr
+    WHERE 4 * (CAST(p.n_days AS HUGEINT) * h2.cnt - p.sum_cnt)
+            * (CAST(p.n_days AS HUGEINT) * h2.cnt - p.sum_cnt)
+          > 9 * (CAST(p.n_days AS HUGEINT) * p.sumsq_cnt
+                 - CAST(p.sum_cnt AS HUGEINT) * p.sum_cnt)
+    ORDER BY event_date, h2.hr
+    """,
+    tags=("anomaly", "seasonality", "2.12-timeseries", "A5", "calendar"),
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts more than 1.5 population sigmas from their
+    (weekday, hour) seasonal cell mean, decided in exact integer
+    arithmetic — k is the rational 3/2, so the squared threshold
+    clears to 4*lhs^2 > 9*rhs with no float boundary
+    (operators/anomaly.py:seasonal_count_anomalies)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.seasonal_count_anomalies(ev, "ts", k_num=3, k_den=2)

@@ -342,3 +342,41 @@ def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - F.col("__sd") * F.col("__sd")).cast("double")
                 / (F.col("n_lines") * F.col("n_lines")).cast("double"),
                 6).alias("var_delay_days"))
+
+
+@register(
+    "association_rules_lift",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+    ic AS (SELECT i, COUNT(*) AS cnt FROM bi GROUP BY i),
+    p AS (SELECT l.i AS ia, r.i AS ib,
+                 CAST(COUNT(*) AS BIGINT) AS pair_cnt
+          FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 3)
+    SELECT ia AS item_a, ib AS item_b, pair_cnt,
+           a.cnt AS cnt_a, bb.cnt AS cnt_b, n_baskets,
+           CAST(CAST(pair_cnt AS HUGEINT) * 1000000 // n_baskets
+                AS BIGINT) AS support_ppm,
+           CAST(CAST(pair_cnt AS HUGEINT) * 1000000 // a.cnt
+                AS BIGINT) AS conf_ab_ppm,
+           CAST(CAST(pair_cnt AS HUGEINT) * 1000000 // bb.cnt
+                AS BIGINT) AS conf_ba_ppm,
+           CAST(CAST(pair_cnt AS HUGEINT) * 1000000 * n_baskets
+                // (CAST(a.cnt AS HUGEINT) * bb.cnt)
+                AS BIGINT) AS lift_ppm
+    FROM p JOIN ic a ON p.ia = a.i JOIN ic bb ON p.ib = bb.i
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, item_a, item_b LIMIT 20
+    """,
+    tags=("analytics", "market-basket", "2.12-graph", "A6"),
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules on order baskets: top-20 part
+    pairs by exact integer-ppm lift with directional confidences
+    (operators/analytics.py:association_rules)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return analytics.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3, top_n=20)
