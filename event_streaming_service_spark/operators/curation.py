@@ -229,3 +229,35 @@ def vocab_coverage(docs: DataFrame, id_col: str = "doc_id",
         (F.col("n_tokens") - F.col("__in_vocab")).alias("oov_tokens"),
         F.expr("__in_vocab * 1000000 DIV n_tokens").cast("bigint")
         .alias("coverage_ppm"))
+
+
+def group_split_audit(df: DataFrame, group_col: str,
+                      weight_col: str | None = None) -> DataFrame:
+    """Group-level train/val/test split with a leakage audit: the
+    split key is the GROUP (e.g. source / domain / author), not the
+    row, so correlated documents can never straddle train and test —
+    the standard contamination guard when near-duplicates cluster
+    within a source. Returns one row per split with row / group /
+    weight totals plus `leaky_groups`, the number of groups observed
+    in more than one split — structurally zero for this assignment
+    (split is a pure function of the group key), and the audit PROVES
+    it cross-engine rather than asserting it.
+
+    Plan shape for 100 TB: assignment is a stateless projection; the
+    audit is one hash aggregate at group grain + one at split grain
+    (3 rows), with the group-grain leak count riding a broadcast
+    1-row frame."""
+    w = (F.col(weight_col) if weight_col is not None
+         else F.lit(1)).cast("bigint")
+    assigned = df.withColumn("split", split_assign(F.col(group_col)))
+    leaks = (assigned.groupBy(F.col(group_col))
+             .agg(F.countDistinct("split").alias("__ns"))
+             .agg(F.sum(F.when(F.col("__ns") > 1, 1).otherwise(0))
+                  .cast("bigint").alias("leaky_groups")))
+    return (assigned
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct(F.col(group_col)).alias("n_groups"),
+                 F.sum(w).alias("total_weight"))
+            .crossJoin(F.broadcast(leaks))
+            .orderBy("split"))

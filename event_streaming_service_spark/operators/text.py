@@ -488,3 +488,39 @@ def ngram_novelty(docs: DataFrame, n: int = 5,
                 "novelty_ppm",
                 F.expr("(n_shingles - n_seen_before) * 1000000"
                        " DIV n_shingles")))
+
+
+def doc_chunks(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", size: int = 64,
+               stride: int = 48) -> DataFrame:
+    """RAG-style overlapping chunking: split each document into
+    token windows of `size` tokens advancing by `stride` (overlap =
+    size - stride). Chunk count is 1 for docs at or under `size`
+    tokens, else ceil((n - size) / stride) + 1 — the last window may
+    be short, never empty, and every token lands in at least one
+    chunk. Emits (doc, chunk_id, start_tok, n_tokens, chunk_md5);
+    the md5 is over the space-rejoined window so the full slice
+    content is hash-pinned without shipping the text twice.
+
+    Plan shape for 100 TB: tokenize + window arithmetic + explode are
+    all per-row column expressions — a pure projection with NO
+    shuffle; chunking parallelism is the scan's. The explode fans out
+    ~n/stride rows per doc with only (id, ints, md5) payload."""
+    n = F.size(F.col("__toks"))
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(
+        (n - size + stride - 1).cast("bigint") / stride + 1
+    ).cast("int")
+    sliced = F.slice(F.col("__toks"),
+                     F.col("chunk_id") * stride + 1, size)
+    return (docs
+            .withColumn("__toks", tokens(F.col(text_col)))
+            .withColumn("chunk_id",
+                        F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+            .select(F.col(id_col),
+                    F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                    (F.col("chunk_id") * stride + 1).cast("bigint")
+                    .alias("start_tok"),
+                    F.size(sliced).cast("bigint").alias("n_tokens"),
+                    F.md5(F.array_join(sliced, " ")).alias("chunk_md5")))

@@ -186,3 +186,34 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached tokenize pass feeding both the vocabulary TakeOrdered and
     the per-doc aggregate, vocab joined back as a broadcast."""
     return curation.vocab_coverage(_docs(spark, sf_dir))
+
+
+@register(
+    "group_split_leakproof",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT {curation.split_assign_sql('source')} AS split,
+               source, n_chars
+        FROM documents),
+    leak AS (
+        SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS leaky_groups
+        FROM (SELECT source, COUNT(DISTINCT split) AS ns
+              FROM assigned GROUP BY source))
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+           leaky_groups
+    FROM assigned CROSS JOIN leak
+    GROUP BY split, leaky_groups
+    ORDER BY split
+    """,
+    tags=("2.12-sampling", "sampling", "split", "quality"),
+)
+def q_group_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level 90/5/5 split (the group, not the row, is hashed)
+    with a cross-engine leakage audit: leaky_groups counts sources
+    seen in more than one split and must be 0 by construction
+    (operators/curation.py:group_split_audit)."""
+    return curation.group_split_audit(
+        _docs(spark, sf_dir), "source", weight_col="n_chars")

@@ -301,3 +301,37 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     share (explode + two hash aggregates — linear in doc length where
     an in-array count would be quadratic)."""
     return text.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_chunks_rag",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    e AS (SELECT doc_id, toks,
+                 unnest(generate_series(
+                     0,
+                     CAST(CASE WHEN n <= 64 THEN 1
+                               ELSE (n - 64 + 47) // 48 + 1
+                          END AS BIGINT) - 1)) AS chunk_id
+          FROM c)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 + 1 AS BIGINT) AS start_tok,
+           CAST(len(toks[(chunk_id*48+1):(chunk_id*48+64)])
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[(chunk_id*48+1):(chunk_id*48+64)],
+                               ' ')) AS chunk_md5
+    FROM e
+    """,
+    tags=("text", "token-count", "chunking", "2.12-text"),
+)
+def q_doc_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows advancing by 48 (16-token
+    overlap) per document; window content pinned by md5 of the
+    rejoined slice (operators/text.py:doc_chunks)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return text.doc_chunks(docs, size=64, stride=48)

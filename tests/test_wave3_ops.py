@@ -67,3 +67,58 @@ def test_seasonal_anomaly_exact_threshold(spark):
     r = out[0]
     assert (str(r["event_date"])[:10], r["hr"], r["cnt"]) == \
         ("2024-01-29", 10, 30)
+
+
+def test_doc_chunks_window_arithmetic(spark):
+    from event_streaming_service_spark.operators import text as T
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    docs = spark.createDataFrame(
+        [doc(1, 64), doc(2, 65), doc(3, 112), doc(4, 113), (5, "  ")],
+        "doc_id long, text string")
+    out = T.doc_chunks(docs, size=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_tokens"]))
+    for k in by_doc:
+        by_doc[k].sort()
+    assert by_doc[1] == [(0, 1, 64)]
+    assert by_doc[2] == [(0, 1, 64), (1, 49, 17)]
+    assert by_doc[3] == [(0, 1, 64), (1, 49, 64)]
+    assert by_doc[4] == [(0, 1, 64), (1, 49, 64), (2, 97, 17)]
+    # whitespace-only doc: one empty chunk, not zero rows
+    assert by_doc[5] == [(0, 1, 0)]
+
+
+def test_group_split_audit_no_leaks(spark):
+    from event_streaming_service_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 6}", 100 + i) for i in range(60)],
+        "doc_id long, source string, n_chars long")
+    out = curation.group_split_audit(docs, "source",
+                                     weight_col="n_chars").collect()
+    assert sum(r["n_rows"] for r in out) == 60
+    assert sum(r["n_groups"] for r in out) == 6
+    assert all(r["leaky_groups"] == 0 for r in out)
+    assert sum(r["total_weight"] for r in out) == sum(
+        100 + i for i in range(60))
+
+
+def test_rrf_fuse_integer_contributions(spark):
+    from event_streaming_service_spark.operators import retrieval
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)],
+                              "doc_id long, rank long")
+    out = retrieval.rrf_fuse([a, b], top_n=10).collect()
+    got = [(r["doc_id"], r["n_rankers"], r["rrf_micro"]) for r in out]
+    # 1e6 DIV 61 = 16393, 62 -> 16129, 63 -> 15873
+    assert got == [(2, 2, 16393 + 16129),
+                   (3, 2, 15873 + 16129),
+                   (1, 1, 16393),
+                   (4, 1, 15873)]
