@@ -50,3 +50,60 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
             .otherwise(F.lit("changed")))
     return joined.select(*key_cols, kind.alias("change_kind"),
                          "old_digest", "new_digest")
+
+
+def merge_changelog(base: DataFrame, changelog: DataFrame,
+                    key_col: str, seq_cols: list[str], op_col: str,
+                    val_col: str, base_val_col: str) -> DataFrame:
+    """CDC MERGE apply (the lakehouse MERGE INTO / upsert kernel):
+    fold a changelog of keyed I/U/D operations onto a base snapshot,
+    latest op per key winning by the (seq_cols, ...) total order, and
+    classify every key:
+
+        unchanged    key only in base
+        updated      key in both, last op U -> value replaced
+        deleted      key in both, last op D -> leaves the snapshot
+        inserted     key only in changelog, last op U
+        noop_delete  key only in changelog, last op D (audited, not
+                     applied -- emitting it keeps the apply decision
+                     cross-engine-checkable instead of silent)
+
+    Returns the audit grain (key, action, old value, new value);
+    the post-merge snapshot is exactly the rows with action IN
+    ('unchanged','updated','inserted') projected to (key, new).
+
+    Plan shape for 100 TB: one window at key grain over the changelog
+    (the only sort), then one full-outer join base vs last-op on the
+    merge key -- the classic CDC compaction: cost is the join shuffle,
+    and both sides arrive already reduced to key grain. seq_cols MUST
+    total-order ops within a key (include a unique id) or "latest"
+    is ambiguous."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col)
+         .orderBy(*[F.col(c).desc() for c in seq_cols]))
+    last = (changelog
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(key_col).alias("__k"),
+                    F.col(op_col).alias("__op"),
+                    F.col(val_col).alias("__new")))
+    b = base.select(F.col(key_col).alias("__bk"),
+                    F.col(base_val_col).alias("__old"))
+    j = b.join(last, b["__bk"] == last["__k"], "full_outer")
+    action = (
+        F.when(F.col("__k").isNull(), F.lit("unchanged"))
+        .when(F.col("__bk").isNull() & (F.col("__op") == "D"),
+              F.lit("noop_delete"))
+        .when(F.col("__bk").isNull(), F.lit("inserted"))
+        .when(F.col("__op") == "D", F.lit("deleted"))
+        .otherwise(F.lit("updated")))
+    new_val = (
+        F.when(F.col("__op") == "D", F.lit(None).cast("long"))
+        .when(F.col("__op").isNull(), F.col("__old"))
+        .otherwise(F.col("__new")))
+    return (j.select(
+        F.coalesce(F.col("__bk"), F.col("__k")).alias(key_col),
+        action.alias("action"),
+        F.col("__old").alias("old_val"),
+        new_val.alias("new_val")))

@@ -45,9 +45,20 @@ def global_rank(df: DataFrame, order_cols: list[str],
     repartitionByRange puts each task a contiguous key range;
     row_number inside each task plus the exclusive prefix sum of task
     sizes (a #partitions-row collect) is the global row_number.
+
+    The ranged frame is localCheckpoint-ed BEFORE the sizes collect:
+    RangePartitioner derives its boundaries from a bounded reservoir
+    sample whose seed varies per job, so without pinning, the sizes
+    job and the downstream rank job can land DIFFERENT boundaries
+    (observed: 15k rows -> ~200 duplicate ranks) — the bug only
+    stays hidden while the input is small enough for the sample to
+    cover it completely. Checkpointing materializes one partitioning
+    that both jobs then share.
     """
-    ranged = (df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-              .withColumn("__pid", F.spark_partition_id()))
+    ranged = (df.repartitionByRange(num_partitions,
+                                    *[F.col(c) for c in order_cols])
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint())
     sizes = {r["__pid"]: r["cnt"] for r in
              ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt"))
              .collect()}

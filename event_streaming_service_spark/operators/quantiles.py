@@ -188,3 +188,77 @@ def equi_width_histogram(df: DataFrame, col: str, n_bins: int,
                                             / F.lit(n_bins))
                      - 1).cast("bigint").alias("bin_hi"),
                     "n_values"))
+
+
+def _pow2(b_col: str):
+    """2^b as a column — F.shiftleft only takes a literal bit count,
+    so the column-shift goes through the SQL function."""
+    return F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({b_col} AS INT))")
+
+
+def dyadic_quantile_sketch(df: DataFrame, val_col: str,
+                           tiebreak_col: str,
+                           q_permilles: tuple[int, ...] = (500, 900, 990),
+                           ) -> DataFrame:
+    """Mergeable constant-size quantile sketch with driver-checked
+    error: positive integer values are histogrammed into dyadic
+    buckets b = floor(log2(v)) (via length(bin(v)) - 1, never a float
+    log), giving a <= 64-row summary that merges by addition — the
+    sketch a 1000-executor cluster would combine — and each requested
+    q-permille is answered with the [2^b, 2^(b+1)-1] envelope of the
+    bucket holding the k-th order statistic, k = ceil(q*N/1000).
+
+    The EXACT k-th order statistic rides along (distributed
+    range-partition rank, operators/linkage.global_rank), so the
+    driver hash-checks both the sketch's decision AND that the exact
+    value sits inside the envelope — the estimate-quality-
+    with-the-exact-answer reporting pattern of hll_distinct_users.
+
+    Rows with v <= 0 are rejected up front (dyadic buckets are
+    undefined there) — count them before calling if the domain can go
+    nonpositive."""
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank,
+    )
+
+    vals = df.select(F.col(val_col).alias("v"),
+                     F.col(tiebreak_col).alias("tb")).filter(F.col("v") > 0)
+    buckets = (vals
+               .select((F.length(F.bin(F.col("v"))) - 1).cast("bigint")
+                       .alias("b"))
+               .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (buckets
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n_total", F.sum("cnt").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    qs = F.explode(F.array(*[F.lit(q) for q in q_permilles])).alias("q")
+    targets = (cum.select("b", "cum", "n_total")
+               .crossJoin(F.broadcast(
+                   cum.limit(1).select(qs)))
+               .withColumn(
+                   "k",
+                   F.expr("CAST((q * n_total + 999) DIV 1000"
+                          " AS BIGINT)"))
+               .filter(F.col("cum") >= F.col("k"))
+               .groupBy("q", "k", "n_total")
+               .agg(F.min("b").alias("b")))
+    ranked = global_rank(vals, ["v", "tb"])
+    exact = (ranked.join(
+        F.broadcast(targets.select("q", "k")),
+        ranked["rank"] == F.col("k"))
+        .select(F.col("q").alias("__q"), F.col("v").alias("exact_v")))
+    return (targets
+            .join(F.broadcast(exact),
+                  targets["q"] == exact["__q"])
+            .select(F.col("q").cast("bigint").alias("q_permille"),
+                    "k", "n_total",
+                    _pow2("b").alias("est_lo"),
+                    (_pow2("b") * 2 - 1).alias("est_hi"),
+                    F.col("exact_v").alias("exact_val"),
+                    (F.col("exact_v") >= _pow2("b"))
+                    .cast("boolean").alias("within_lo"),
+                    (F.col("exact_v") <= _pow2("b") * 2 - 1)
+                    .cast("boolean").alias("within_hi"))
+            .orderBy("q_permille"))

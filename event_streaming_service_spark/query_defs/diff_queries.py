@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.functions import money
+from event_streaming_service_spark.functions.money import cents
 from event_streaming_service_spark.operators import analytics, diff
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -165,3 +166,61 @@ def q_session_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "event_type",
                                    gap_ms=30 * 60_000,
                                    max_steps=5, top_n=20)
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH log AS (
+        SELECT CASE WHEN o_orderkey % 7 = 3 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS k,
+               CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END
+                   AS op,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+               o_orderdate, o_orderkey
+        FROM orders),
+    last AS (
+        SELECT k, op, v FROM (
+            SELECT k, op, v,
+                   ROW_NUMBER() OVER (PARTITION BY k
+                       ORDER BY o_orderdate DESC, o_orderkey DESC)
+                       AS rn
+            FROM log) WHERE rn = 1),
+    b AS (SELECT c_custkey AS bk,
+                 CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS old
+          FROM customer)
+    SELECT COALESCE(bk, k) AS c_custkey,
+           CASE WHEN k IS NULL THEN 'unchanged'
+                WHEN bk IS NULL AND op = 'D' THEN 'noop_delete'
+                WHEN bk IS NULL THEN 'inserted'
+                WHEN op = 'D' THEN 'deleted'
+                ELSE 'updated' END AS action,
+           old AS old_val,
+           CASE WHEN op = 'D' THEN NULL
+                WHEN op IS NULL THEN old
+                ELSE v END AS new_val
+    FROM b FULL OUTER JOIN last ON bk = k
+    """,
+    tags=("cdc", "merge-upsert", "2.6", "J3", "D1", "scd"),
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC apply audit: orders become a keyed I/U/D
+    changelog over the customer snapshot (deterministic op derivation:
+    orderkey%20==0 deletes, orderkey%7==3 targets a key outside the
+    base so the insert path runs), latest op per key by
+    (o_orderdate, o_orderkey) wins
+    (operators/diff.py:merge_changelog)."""
+    cust = tables.load_table(spark, sf_dir, "customer")
+    orders = tables.load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 3,
+               F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey")).alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        cents("o_totalprice").alias("v"),
+        F.col("o_orderdate"), F.col("o_orderkey"))
+    base = cust.select("c_custkey", cents("c_acctbal").alias("bal"))
+    return diff.merge_changelog(
+        base, log, "c_custkey", ["o_orderdate", "o_orderkey"],
+        "op", "v", "bal")

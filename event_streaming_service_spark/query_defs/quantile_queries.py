@@ -4,7 +4,10 @@ with no full sort, verified against a row_number() oracle."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from event_streaming_service_spark.functions.money import cents
+from event_streaming_service_spark.operators import quantiles
 from event_streaming_service_spark.operators.quantiles import exact_quantiles
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -47,3 +50,54 @@ def q_exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator exists to avoid."""
     li = tables.load_table(spark, sf_dir, "lineitem")
     return exact_quantiles(li, "l_extendedprice", QS)
+
+
+@register(
+    "dyadic_quantile_sketch_prices",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+               o_orderkey AS tb
+        FROM orders
+        WHERE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) > 0),
+    bc AS (SELECT CAST(length(bin(v)) - 1 AS BIGINT) AS b,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM vals GROUP BY 1),
+    cum AS (SELECT b, cnt,
+                   SUM(cnt) OVER (ORDER BY b) AS cum,
+                   SUM(cnt) OVER () AS n_total
+            FROM bc),
+    q AS (SELECT unnest([500, 900, 990]) AS q),
+    t AS (SELECT q,
+                 CAST((q * n_total + 999) // 1000 AS BIGINT) AS k,
+                 CAST(n_total AS BIGINT) AS n_total,
+                 MIN(b) AS b
+          FROM cum CROSS JOIN q
+          WHERE cum >= (q * n_total + 999) // 1000
+          GROUP BY 1, 2, 3),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, tb) AS rank
+          FROM vals),
+    e AS (SELECT q AS eq, v AS exact_val FROM r JOIN t ON rank = k)
+    SELECT CAST(t.q AS BIGINT) AS q_permille, t.k, t.n_total,
+           (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) AS est_lo,
+           (CAST(2 AS BIGINT) << CAST(b AS INTEGER)) - 1 AS est_hi,
+           e.exact_val,
+           e.exact_val >= (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+               AS within_lo,
+           e.exact_val <= (CAST(2 AS BIGINT) << CAST(b AS INTEGER)) - 1
+               AS within_hi
+    FROM t JOIN e ON t.q = e.eq
+    ORDER BY q_permille
+    """,
+    tags=("quantiles", "sketch", "A7", "2.12-sketch"),
+)
+def q_dyadic_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-size mergeable dyadic quantile sketch over order
+    prices (p50/p90/p99 envelopes) verified against the exact
+    distributed k-th order statistic
+    (operators/quantiles.py:dyadic_quantile_sketch)."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    df = orders.select(cents("o_totalprice").alias("pc"),
+                       F.col("o_orderkey"))
+    return quantiles.dyadic_quantile_sketch(
+        df, "pc", "o_orderkey", q_permilles=(500, 900, 990))

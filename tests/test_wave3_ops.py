@@ -122,3 +122,70 @@ def test_rrf_fuse_integer_contributions(spark):
                    (3, 2, 15873 + 16129),
                    (1, 1, 16393),
                    (4, 1, 15873)]
+
+
+def test_merge_changelog_actions(spark):
+    from event_streaming_service_spark.operators import diff
+
+    base = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, bal long")
+    # key 1: U then D (D latest) -> deleted; key 2: D then U -> updated
+    # key 4: insert; key 5: delete-of-absent -> noop_delete
+    log = spark.createDataFrame(
+        [(1, "U", 111, 1, 1), (1, "D", None, 2, 2),
+         (2, "D", None, 1, 3), (2, "U", 222, 2, 4),
+         (4, "U", 444, 1, 5),
+         (5, "D", None, 1, 6)],
+        "k long, op string, v long, seq long, id long")
+    out = {r["k"]: r for r in diff.merge_changelog(
+        base, log, "k", ["seq", "id"], "op", "v", "bal").collect()}
+    assert (out[1]["action"], out[1]["new_val"]) == ("deleted", None)
+    assert (out[2]["action"], out[2]["old_val"],
+            out[2]["new_val"]) == ("updated", 200, 222)
+    assert (out[3]["action"], out[3]["new_val"]) == ("unchanged", 300)
+    assert (out[4]["action"], out[4]["old_val"],
+            out[4]["new_val"]) == ("inserted", None, 444)
+    assert (out[5]["action"], out[5]["new_val"]) == ("noop_delete", None)
+    assert len(out) == 5
+
+
+def test_global_rank_bijective_beyond_sample_size(spark):
+    # RangePartitioner's reservoir sample covers ~640 rows at 32
+    # partitions; 15k rows exposed the cross-job boundary drift this
+    # regression pins (duplicate/missing ranks before the fix).
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank,
+    )
+
+    df = spark.range(15000).select(
+        (F.col("id") * 2654435761 % 100000).alias("v"),
+        F.col("id").alias("tb"))
+    r = global_rank(df, ["v", "tb"])
+    agg = r.agg(F.count("*").alias("n"),
+                F.countDistinct("rank").alias("d"),
+                F.min("rank").alias("mn"),
+                F.max("rank").alias("mx")).collect()[0]
+    assert (agg["n"], agg["d"], agg["mn"], agg["mx"]) == \
+        (15000, 15000, 1, 15000)
+
+
+def test_dyadic_quantile_sketch_envelope(spark):
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import quantiles as Q
+
+    # values 1..1000 (0 filtered out): p50 k=500 -> exact 500 in
+    # bucket 8 ([256, 511]); p99 k=990 -> bucket 9 ([512, 1023])
+    df = spark.range(0, 1001).select(F.col("id").alias("v"),
+                                     F.col("id").alias("tb"))
+    out = {r["q_permille"]: r for r in Q.dyadic_quantile_sketch(
+        df, "v", "tb", q_permilles=(500, 990)).collect()}
+    p50 = out[500]
+    assert (p50["k"], p50["exact_val"]) == (500, 500)
+    assert (p50["est_lo"], p50["est_hi"]) == (256, 511)
+    assert p50["within_lo"] and p50["within_hi"]
+    p99 = out[990]
+    assert (p99["k"], p99["exact_val"]) == (990, 990)
+    assert (p99["est_lo"], p99["est_hi"]) == (512, 1023)
