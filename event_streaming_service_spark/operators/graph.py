@@ -282,3 +282,46 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
                 F.shiftright(F.col("pk"), 32).alias("u"),
                 (F.col("pk") % F.lit(_PACK)).alias("v"),
                 F.col("common_neighbors"), F.col("aa_micro")))
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
+               a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """k-core membership by EXACTLY `rounds` peeling rounds: each
+    round drops nodes of degree < k and the edges touching them.
+    Peeling is monotone, so once a round changes nothing every later
+    round is a no-op — running a fixed count is semantically the
+    true k-core whenever the graph stabilizes within `rounds`, and
+    (crucially for the oracle) a deterministic, engine-portable
+    function of the input either way: the SQL twin unrolls the same
+    `rounds` CTE stages, so both engines compute the identical set
+    even on adversarial inputs that need more rounds.
+
+    Returns (node, deg_in_core) for surviving nodes.
+
+    Plan shape for 100 TB: per round one degree aggregate plus two
+    semi-joins on the shrinking adjacency, each round
+    localCheckpoint-ed (the near_dup_clusters convention) — adj
+    feeds THREE consumers per round (the degree agg and both semi-
+    join probes), so a lazy plan re-derives the previous round 3x
+    per level: 3^rounds expansion, observed as an OOM at rounds=6
+    on the vanilla driver heap. Checkpointing bounds every round to
+    one shuffle set over the shrinking adjacency. Production picks
+    `rounds` ~ O(log n) for real degree distributions; a
+    pathological chain needs O(n) rounds."""
+    und = (edges.select(F.col(a_col).alias("x"),
+                        F.col(b_col).alias("y")).distinct())
+    adj = (und.select(F.col("x").alias("w"), F.col("y").alias("n"))
+           .union(und.select(F.col("y").alias("w"),
+                             F.col("x").alias("n")))
+           ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (adj.groupBy("w")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("w"))
+        adj = (adj
+               .join(keep, "w", "left_semi")
+               .join(keep.select(F.col("w").alias("n")), "n",
+                     "left_semi")).localCheckpoint(eager=True)
+    return (adj.groupBy(F.col("w").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg_in_core")))

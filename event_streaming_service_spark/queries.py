@@ -90,12 +90,21 @@ PRIORITY: tuple[str, ...] = (
     "winnow_fingerprint_stats", "winnow_shared_pairs",
 )
 
-# Oracle-backed queries waiting for a driver slot: DRAINED in round 5
-# (VERDICT r4 item #1) — every oracle-backed query is now either
-# inside the budget or hash-green in a prior round's CORRECTNESS file.
-# New registrations must land inside the 50-slot budget in the same
-# round they are written (the freeze rule).
-PENDING_ROTATION: tuple[str, ...] = ()
+# Oracle-backed queries waiting for a driver slot (bounded <= 25,
+# drained by the NEXT round's rotation — tests/test_priority.py).
+# Round-7 third wave: the 50 slots are already all never-green rows +
+# sole-tag anchors this round, so these eight queue for round 8; each
+# is drive_contract-green locally (hash + schema) as of registration.
+PENDING_ROTATION: tuple[str, ...] = (
+    "association_rules_lift",
+    "seasonal_hourly_anomalies",
+    "doc_chunks_rag",
+    "group_split_leakproof",
+    "rrf_fused_topk",
+    "cdc_merge_upsert",
+    "dyadic_quantile_sketch_prices",
+    "kcore_copurchase",
+)
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
 # reaches the oracle-backed queue first; these rows-only entries come

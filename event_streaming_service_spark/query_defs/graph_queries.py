@@ -194,3 +194,49 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
              .distinct())
     return graph.adamic_adar_links(edges, top_n=20)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds as chained CTEs — the same fixed-round
+    semantics the Spark loop executes."""
+    ctes = ["""pair AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey)""",
+            """adj0 AS MATERIALIZED (
+        SELECT x AS w, y AS n FROM pair
+        UNION ALL SELECT y AS w, x AS n FROM pair)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""keep{r} AS MATERIALIZED (
+        SELECT w FROM adj{r - 1} GROUP BY w
+        HAVING COUNT(*) >= {k})""")
+        ctes.append(f"""adj{r} AS MATERIALIZED (
+        SELECT a.w, a.n FROM adj{r - 1} a
+        JOIN keep{r} kw ON a.w = kw.w
+        JOIN keep{r} kn ON a.n = kn.w)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS deg_in_core\n"
+            f"FROM adj{rounds} GROUP BY w")
+
+
+@register(
+    "kcore_copurchase",
+    oracle=_kcore_oracle(k=80, rounds=6),
+    tags=("graph", "kcore", "2.12-graph"),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the part copurchase graph after exactly six peeling
+    rounds (fixed-round semantics unrolled identically in the oracle;
+    a no-op past the fixpoint) — surviving nodes with their in-core
+    degree (operators/graph.py:kcore_peel)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "o")
+             .filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+             .distinct())
+    return graph.kcore_peel(edges, k=80, rounds=6)

@@ -72,7 +72,7 @@ from event_streaming_service_spark.sources import tables
     FROM contrib GROUP BY doc_id
     ORDER BY rrf_micro DESC, doc_id LIMIT 20
     """,
-    tags=("text", "bm25", "retrieval", "similarity", "2.12-text"),
+    tags=("text", "bm25", "retrieval", "similarity"),
 )
 def q_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion of a BM25 ranking and a term-overlap

@@ -327,7 +327,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ' ')) AS chunk_md5
     FROM e
     """,
-    tags=("text", "token-count", "chunking", "2.12-text"),
+    tags=("text", "token-count", "chunking"),
 )
 def q_doc_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking: 64-token windows advancing by 48 (16-token

@@ -189,3 +189,21 @@ def test_dyadic_quantile_sketch_envelope(spark):
     p99 = out[990]
     assert (p99["k"], p99["exact_val"]) == (990, 990)
     assert (p99["est_lo"], p99["est_hi"]) == (512, 1023)
+
+
+def test_kcore_peel_cascade(spark):
+    from event_streaming_service_spark.operators import graph
+
+    # triangle {1,2,3} + a pendant chain 3-4-5: 2-core must peel 5
+    # then 4 (cascade needs 2 rounds), keeping exactly the triangle.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long")
+    out = {r["node"]: r["deg_in_core"]
+           for r in graph.kcore_peel(edges, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3 wipes it (no 3-core in a triangle-with-tail)
+    assert graph.kcore_peel(edges, k=3, rounds=4).count() == 0
+    # rounds too small to cascade: after ONE round only 5 is gone
+    one = {r["node"]: r["deg_in_core"]
+           for r in graph.kcore_peel(edges, k=2, rounds=1).collect()}
+    assert one == {1: 2, 2: 2, 3: 3, 4: 1}
