@@ -160,6 +160,15 @@ BENCH_QUERIES = [
     "video_frames_mjpeg",            # real AVI/MJPEG video decode
     "multimodal_features_jpeg_progressive",  # real SOF2 multi-scan decode
     "multimodal_features_jpeg_progressive_color",  # SOF2 4:2:0 color
+    # round-7 third wave
+    "association_rules_lift",        # market-basket lift mining
+    "seasonal_hourly_anomalies",     # weekday-hour z-score anomalies
+    "doc_chunks_rag",                # overlapping token-window chunks
+    "group_split_leakproof",         # group-grain split + leak audit
+    "rrf_fused_topk",                # BM25 + overlap rank fusion
+    "cdc_merge_upsert",              # MERGE INTO changelog apply
+    "dyadic_quantile_sketch_prices",  # mergeable log2-bucket quantiles
+    "kcore_copurchase",              # 6-round degree peeling
 ]
 
 
