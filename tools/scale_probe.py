@@ -10,7 +10,8 @@ Usage: python tools/scale_probe.py [probe ...]
 Probes: components packing quota simhash window ewma gapfill
         heavy_hitters skyline profile setjoin diff attribution
         transition hierarchy pq_codes ivfpq semantic_dedup
-        triangles winnow distinct_sketch adamic_adar
+        triangles winnow distinct_sketch adamic_adar kcore
+        global_rank cdc_merge
 """
 
 from __future__ import annotations
@@ -789,6 +790,81 @@ def probe_adamic_adar(spark):
     return sec, f"nodes=5M wedge-pairs=5M top20 aa==1/ln2 exact"
 
 
+def probe_kcore(spark):
+    """1000-clique + 5M-node chain, k=3: the chain (deg <= 2) peels in
+    ONE round and the early-exit fires on the next — survivors must be
+    exactly the clique, every node at deg 999. Catches an iterative
+    regression (unbounded lineage / missed fixpoint) as an assert, not
+    a wall-time shrug."""
+    from event_streaming_service_spark.operators.graph import kcore_peel
+    n_chain = 5_000_000
+    clique = (spark.range(1000).select(F.col("id").alias("a"))
+              .join(spark.range(1000).select(F.col("id").alias("b")),
+                    F.col("a") < F.col("b")))
+    chain = (spark.range(n_chain - 1)
+             .select((F.col("id") + 10_000).alias("a"),
+                     (F.col("id") + 10_001).alias("b")))
+    edges = clique.unionByName(chain)
+    t0 = time.perf_counter()
+    core = kcore_peel(edges, k=3, rounds=8).collect()
+    sec = time.perf_counter() - t0
+    assert len(core) == 1000, len(core)
+    assert all(r["deg_in_core"] == 999 for r in core)
+    return sec, "clique-1000 + chain-5M peeled to the clique, k=3"
+
+
+def probe_global_rank(spark):
+    """20M-row global rank: bijective 1..20M or the range-boundary
+    pinning regressed (the round-7 bug: RangePartitioner re-samples
+    boundaries per job, so unpinned sizes and ranks disagree past the
+    ~640-row sample — invisible at fixture scale, catastrophic here)."""
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank)
+    n = 20_000_000
+    df = (spark.range(n)
+          .select((F.col("id") * 2654435761 % 1_000_003).alias("v"),
+                  F.col("id").alias("tb")))
+    t0 = time.perf_counter()
+    r = global_rank(df, ["v", "tb"], num_partitions=64)
+    agg = r.agg(F.count("*").alias("n"),
+                F.countDistinct("rank").alias("d"),
+                F.min("rank").alias("mn"),
+                F.max("rank").alias("mx")).collect()[0]
+    sec = time.perf_counter() - t0
+    assert (agg["n"], agg["d"], agg["mn"], agg["mx"]) == (n, n, 1, n), agg
+    return sec, f"rows=20M ranks bijective 1..20M"
+
+
+def probe_cdc_merge(spark):
+    """20M-key base + 20M-op changelog with closed-form action counts:
+    ops hit keys 10M..30M (half updates, half inserts), every 5th key
+    is a delete. One window + one full-outer join at key grain — the
+    action histogram must match the arithmetic exactly."""
+    from event_streaming_service_spark.operators.diff import (
+        merge_changelog)
+    n = 20_000_000
+    base = spark.range(n).select(F.col("id").alias("k"),
+                                 F.col("id").alias("bal"))
+    log = (spark.range(n)
+           .select((F.col("id") + 10_000_000).alias("k"),
+                   F.when((F.col("id") + 10_000_000) % 5 == 0,
+                          F.lit("D")).otherwise(F.lit("U")).alias("op"),
+                   F.col("id").alias("v"),
+                   F.lit(1).alias("seq"),
+                   F.col("id").alias("opid")))
+    t0 = time.perf_counter()
+    out = (merge_changelog(base, log, "k", ["seq", "opid"], "op", "v",
+                           "bal")
+           .groupBy("action").agg(F.count(F.lit(1)).alias("n"))
+           .collect())
+    sec = time.perf_counter() - t0
+    got = {r["action"]: r["n"] for r in out}
+    assert got == {"unchanged": 10_000_000,
+                   "updated": 8_000_000, "deleted": 2_000_000,
+                   "inserted": 8_000_000, "noop_delete": 2_000_000}, got
+    return sec, "base=20M ops=20M action histogram closed-form exact"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -812,6 +888,9 @@ PROBES = {
     "winnow": probe_winnow,
     "distinct_sketch": probe_distinct_sketch,
     "adamic_adar": probe_adamic_adar,
+    "kcore": probe_kcore,
+    "global_rank": probe_global_rank,
+    "cdc_merge": probe_cdc_merge,
 }
 
 
