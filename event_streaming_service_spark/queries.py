@@ -104,6 +104,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     "cdc_merge_upsert",
     "dyadic_quantile_sketch_prices",
     "kcore_copurchase",
+    "data_quality_report",
+    "incremental_rollup_events",
+    "winsorized_price_stats",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
