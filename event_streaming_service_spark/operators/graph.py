@@ -269,19 +269,24 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
               .groupBy("pk")
               .agg(F.count(F.lit(1)).alias("common_neighbors"),
                    F.sum("term_micro").alias("aa_micro")))
-    und_pk = und.select(
-        (F.col("x") * F.lit(_PACK) + F.col("y")).alias("pk"))
-    non_adj = scored.join(und_pk, "pk", "left_anti")
-    # Descending score then ascending pk == ascending (u, v): both ids
-    # are < 2^32, so the packed order IS the lexicographic tiebreak.
+    # The anti-join keys on the UNPACKED (u, v) pair on purpose: a
+    # single-bigint join key routes the broadcast build through
+    # LongHashedRelation, whose map degrades pathologically on sparse
+    # u*2^32+v keys (observed: a 5M-edge build burned 16 min on one
+    # thread; the generic two-column UnsafeHashedRelation builds the
+    # same side in seconds). The aggregate above keeps the packed key
+    # — hash aggs don't take that code path.
+    unpacked = scored.select(
+        # integer unpack — float division would round above 2^53
+        F.shiftright(F.col("pk"), 32).alias("u"),
+        (F.col("pk") % F.lit(_PACK)).alias("v"),
+        F.col("common_neighbors"), F.col("aa_micro"))
+    non_adj = unpacked.join(
+        und, (unpacked["u"] == und["x"]) & (unpacked["v"] == und["y"]),
+        "left_anti")
     return (non_adj
-            .orderBy(F.col("aa_micro").desc(), F.col("pk"))
-            .limit(top_n)
-            .select(
-                # integer unpack — float division would round above 2^53
-                F.shiftright(F.col("pk"), 32).alias("u"),
-                (F.col("pk") % F.lit(_PACK)).alias("v"),
-                F.col("common_neighbors"), F.col("aa_micro")))
+            .orderBy(F.col("aa_micro").desc(), F.col("u"), F.col("v"))
+            .limit(top_n))
 
 
 def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
