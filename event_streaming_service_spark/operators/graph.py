@@ -49,7 +49,8 @@ def pagerank(edges: DataFrame, iterations: int = 5,
              src_col: str = "src", dst_col: str = "dst",
              decimal: bool = False,
              materialize: bool = False,
-             broadcast_ranks: bool = False) -> DataFrame:
+             broadcast_ranks: bool = False,
+             seeds: list | None = None) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (callers union
     reversed edges for the undirected form). Returns (node, rank_nano)
     after `iterations` updates from a uniform INIT_NANO start. Nodes
@@ -73,7 +74,13 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     right plan whenever the NODE set fits an executor (the edge table
     never re-shuffles; post-aggregate size estimates are too opaque
     for AQE to pick this up on its own). Leave False for graphs whose
-    node set itself is cluster-scale."""
+    node set itself is cluster-scale.
+
+    seeds=[...] switches to PERSONALIZED PageRank: start mass and the
+    per-update teleport land only on the seed node literals instead of
+    uniformly — ranks then measure proximity to the seed set (the
+    related-items / trust-propagation shape). Same integer-nano
+    exactness; non-seed leaves simply decay toward 0."""
     # the graph is static across iterations — cache it WITH the
     # out-degree pre-joined, or iteration k re-derives the edge list k
     # times through the growing rank lineage and pays two joins per
@@ -88,8 +95,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().cache())
     rank_t = "decimal(38,0)" if decimal else "bigint"
-    ranks = nodes.withColumn("rank_nano",
-                             F.lit(INIT_NANO).cast(rank_t))
+    if seeds is None:
+        teleport = F.lit(TELEPORT_NANO)
+        init = F.lit(INIT_NANO)
+    else:
+        is_seed = F.col("node").isin(list(seeds))
+        teleport = F.when(is_seed, F.lit(TELEPORT_NANO)).otherwise(F.lit(0))
+        init = F.when(is_seed, F.lit(INIT_NANO)).otherwise(F.lit(0))
+    ranks = nodes.withColumn("rank_nano", init.cast(rank_t))
     for _ in range(iterations):
         if decimal:
             # exact floored quotient in decimal: a, b >= 0 integers =>
@@ -117,7 +130,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         ranks = (nodes
                  .join(agg, "node", "left")
                  .select("node",
-                         (F.lit(TELEPORT_NANO)
+                         (teleport
                           + F.coalesce(F.col("__in"),
                                        F.lit(0).cast(rank_t)))
                          .cast(rank_t).alias("rank_nano")))

@@ -107,6 +107,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "data_quality_report",
     "incremental_rollup_events",
     "winsorized_price_stats",
+    "ppr_trade_neighborhood",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -240,3 +240,62 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
              .distinct())
     return graph.kcore_peel(edges, k=80, rounds=6)
+
+
+_PPR_SEEDS = ("c1", "c2", "c3")
+_PPR_SEEDS_SQL = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+
+
+def _ppr_iter_cte(i: int) -> str:
+    prev = "r0" if i == 1 else f"r{i - 1}"
+    return f"""
+    r{i} AS (
+        SELECT n.node,
+               CASE WHEN n.node IN ({_PPR_SEEDS_SQL})
+                    THEN 150000000 ELSE 0 END
+               + COALESCE(SUM(CAST(FLOOR(
+                   p.rank_nano * 85 / (100 * d.deg)) AS BIGINT)), 0)
+                   AS rank_nano
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        LEFT JOIN outdeg d ON d.src = e.src
+        GROUP BY n.node)
+    """
+
+
+@register(
+    "ppr_trade_neighborhood",
+    oracle=(
+        "WITH " + _EDGES + ",\n"
+        "    r0 AS (SELECT node, CAST(CASE WHEN node IN ("
+        + _PPR_SEEDS_SQL + ") THEN 1000000000 ELSE 0 END AS BIGINT) "
+        "AS rank_nano FROM nodes),\n"
+        + ",\n".join(_ppr_iter_cte(i) for i in range(1, ITERS + 1))
+        + f"\n    SELECT node, CAST(rank_nano AS BIGINT) AS rank_nano "
+          f"FROM r{ITERS} WHERE rank_nano > 0"
+    ),
+    tags=("graph", "pagerank", "ppr", "iterative", "J2"),
+)
+def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from three seed customers over the trade
+    graph: teleport and start mass pinned to the seeds, so rank_nano
+    measures proximity to them; zero-rank nodes (unreached within 5
+    hops) are dropped on both sides
+    (operators/graph.py:pagerank(seeds=...))."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    base = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(F.concat(F.lit("c"),
+                             F.col("o_custkey").cast("string"))
+                    .alias("src"),
+                    F.concat(F.lit("s"),
+                             F.col("l_suppkey").cast("string"))
+                    .alias("dst"))
+            .distinct())
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst"))).distinct()
+    ranks = graph.pagerank(edges, iterations=ITERS,
+                           seeds=list(_PPR_SEEDS))
+    return ranks.filter(F.col("rank_nano") > 0)

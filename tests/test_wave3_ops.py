@@ -274,3 +274,22 @@ def test_winsorized_stats_exact_caps(spark):
                                    + (5 * 4 - (1 + 2 + 3 + 4))
                                    - ((96 + 97 + 98 + 99 + 100)
                                       - 95 * 5))
+
+
+def test_personalized_pagerank_seed_mass(spark):
+    from event_streaming_service_spark.operators import graph
+
+    # a--b undirected, seed = a, 2 iterations, hand-computed nanos:
+    # it1: a = 150e6 (teleport, seed only), b = floor(1e9 * .85)
+    # it2: a = 150e6 + floor(850e6 * .85), b = floor(150e6 * .85)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["node"]: r["rank_nano"] for r in graph.pagerank(
+        edges, iterations=2, seeds=["a"]).collect()}
+    assert out == {"a": 150_000_000 + 722_500_000,
+                   "b": 127_500_000}
+    # uniform PageRank unchanged by the new param default
+    out_u = {r["node"]: r["rank_nano"] for r in graph.pagerank(
+        edges, iterations=1).collect()}
+    assert out_u == {"a": 150_000_000 + 850_000_000,
+                     "b": 150_000_000 + 850_000_000}
