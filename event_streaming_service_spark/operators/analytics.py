@@ -692,3 +692,56 @@ def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
             .orderBy(F.col("lift_ppm").desc(), F.col("item_a"),
                      F.col("item_b"))
             .limit(top_n))
+
+
+def rfm_segments(orders: DataFrame, key_col: str, ts_col: str,
+                 amount_cents: Column, n_buckets: int = 5) -> DataFrame:
+    """RFM customer segmentation: per key, Recency (days since last
+    order, measured from the corpus max date so the result is a pure
+    function of the data), Frequency (order count), Monetary (exact
+    cents total) — each quintiled 1..n with the closed-form
+    equal-count bucket (1 + (rank-1)*n DIV N over a (metric,
+    key) total order; curation.curriculum_buckets convention, NTILE
+    left nothing to trust). Quintile 1 is always BEST (most recent /
+    most orders / highest spend). `segment` concatenates the three
+    digits — the classic "111 = champions" code.
+
+    Plan shape for 100 TB: one hash aggregate to key grain, then
+    three distributed global ranks over that (already reduced) frame
+    — range partition + prefix offsets each, never a single-task
+    sort; the max-date scalar rides a broadcast 1-row frame."""
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank,
+    )
+
+    per_key = (orders
+               .groupBy(F.col(key_col))
+               .agg(F.max(F.col(ts_col)).alias("__last"),
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(amount_cents).alias("spend_cents")))
+    maxd = per_key.agg(F.max("__last").alias("__maxd"))
+    base = (per_key.crossJoin(F.broadcast(maxd))
+            .withColumn("recency_days",
+                        F.datediff(F.to_date("__maxd"),
+                                   F.to_date("__last"))
+                        .cast("bigint"))
+            .drop("__last", "__maxd"))
+
+    def quintile(df, metric_neg: Column, out: str) -> DataFrame:
+        ranked = global_rank(
+            df.withColumn("__m", metric_neg), ["__m", key_col])
+        total = ranked.agg(F.max("rank").alias("__N"))
+        return (ranked.join(F.broadcast(total))
+                .withColumn(out, (F.lit(1) + F.expr(
+                    f"((rank - 1) * {n_buckets}) DIV __N"))
+                    .cast("int"))
+                .drop("__m", "rank", "__N"))
+
+    out = quintile(base, F.col("recency_days"), "r_q")
+    out = quintile(out, -F.col("n_orders"), "f_q")
+    out = quintile(out, -F.col("spend_cents"), "m_q")
+    return out.withColumn(
+        "segment",
+        F.concat(F.col("r_q").cast("string"),
+                 F.col("f_q").cast("string"),
+                 F.col("m_q").cast("string")))

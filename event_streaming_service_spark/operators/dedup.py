@@ -621,3 +621,46 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
                     F.col("__near_id").isNotNull().alias("near_dup"),
                     F.col("__near_id").alias("near_match_id"),
                     F.col("__near_jac").alias("near_jaccard")))
+
+
+def cluster_survivors(clusters: DataFrame, quality: DataFrame,
+                      quality_col: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware survivorship over near-dup clusters: instead of
+    near_dup_clusters' min-id canonical, keep the HIGHEST-quality
+    member of each cluster (ties -> smallest id) — the policy real
+    corpus dedup uses (keep the longest / cleanest copy, drop the
+    rest). Input `clusters` is near_dup_clusters' per-doc assignment;
+    `quality` maps id -> an integer quality column.
+
+    Output adds is_survivor + the cluster's winning (quality, id) so
+    the decision is auditable per row.
+
+    Scale shape: multi-doc clusters are a tiny fraction of the corpus
+    (only docs that hit an LSH pair), but the assignment frame is
+    corpus-sized, so the argmax aggregate groups ONLY rows from
+    multi-doc clusters (cluster_size > 1) and broadcasts the winners
+    back; singletons survive by construction and never shuffle."""
+    q = quality.select(F.col(id_col).alias("doc_id"),
+                       F.col(quality_col).cast("bigint").alias("__q"))
+    withq = clusters.join(q, "doc_id")
+    multi = withq.filter(F.col("cluster_size") > 1)
+    # deterministic argmax: max over (quality, -id) == highest
+    # quality, smallest id on ties
+    winners = (multi.groupBy("cluster_id")
+               .agg(F.max(F.struct(F.col("__q"),
+                                   (-F.col("doc_id")).alias("__ni")))
+                    .alias("__w"))
+               .select("cluster_id",
+                       F.col("__w.__q").alias("best_quality"),
+                       (-F.col("__w.__ni")).alias("best_doc_id")))
+    return (withq
+            .join(F.broadcast(winners), "cluster_id", "left")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    F.col("__q").alias("quality"),
+                    F.coalesce("best_quality", F.col("__q"))
+                    .alias("best_quality"),
+                    F.coalesce("best_doc_id", F.col("doc_id"))
+                    .alias("best_doc_id"),
+                    (F.coalesce("best_doc_id", F.col("doc_id"))
+                     == F.col("doc_id")).alias("is_survivor")))

@@ -108,6 +108,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "incremental_rollup_events",
     "winsorized_price_stats",
     "ppr_trade_neighborhood",
+    "rfm_customer_segments",
+    "near_dup_survivors_by_quality",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

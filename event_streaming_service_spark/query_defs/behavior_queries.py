@@ -380,3 +380,49 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load_table(spark, sf_dir, "lineitem")
     return analytics.association_rules(
         li, "l_orderkey", "l_partkey", min_pair_count=3, top_n=20)
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH pk AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY 1),
+    mx AS (SELECT MAX(last_d) AS maxd FROM pk),
+    b AS (SELECT o_custkey, n_orders, spend_cents,
+                 CAST(date_diff('day', CAST(last_d AS DATE),
+                                CAST(maxd AS DATE)) AS BIGINT)
+                     AS recency_days
+          FROM pk CROSS JOIN mx),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey)
+                     AS kr,
+                 ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey)
+                     AS kf,
+                 ROW_NUMBER() OVER (ORDER BY spend_cents DESC,
+                                    o_custkey) AS km,
+                 COUNT(*) OVER () AS n
+          FROM b)
+    SELECT o_custkey, n_orders, spend_cents, recency_days,
+           CAST(1 + ((kr - 1) * 5) // n AS INTEGER) AS r_q,
+           CAST(1 + ((kf - 1) * 5) // n AS INTEGER) AS f_q,
+           CAST(1 + ((km - 1) * 5) // n AS INTEGER) AS m_q,
+           CAST(1 + ((kr - 1) * 5) // n AS VARCHAR)
+           || CAST(1 + ((kf - 1) * 5) // n AS VARCHAR)
+           || CAST(1 + ((km - 1) * 5) // n AS VARCHAR) AS segment
+    FROM r
+    """,
+    tags=("analytics", "rfm", "segmentation", "A5", "A9"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers by order history:
+    closed-form equal-count buckets over distributed global ranks,
+    quintile 1 best on every axis
+    (operators/analytics.py:rfm_segments)."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return analytics.rfm_segments(orders, "o_custkey", "o_orderdate",
+                                  cents("o_totalprice"))

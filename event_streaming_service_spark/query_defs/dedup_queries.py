@@ -475,3 +475,64 @@ def q_incremental_dedup_bloom(spark: SparkSession,
             .select("doc_id", "bloom_candidate",
                     F.col("exact_match_id").isNotNull().alias("exact_dup"),
                     "exact_match_id"))
+
+
+@register(
+    "near_dup_survivors_by_quality",
+    oracle="WITH RECURSIVE " + _JACCARD + _minhash_sql_body()
+    + _bands_sql()
+    + f""",
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM candidates c
+        JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    comp AS (
+        SELECT node, LEAST(node, MIN(reach)) AS component
+        FROM walk GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id,
+               d.n_chars AS quality
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY cluster_id)
+                      AS cluster_size
+        FROM assigned),
+    best AS (
+        SELECT cluster_id AS bc, MAX(quality) AS best_quality
+        FROM sized WHERE cluster_size > 1 GROUP BY cluster_id),
+    winners AS (
+        SELECT s.cluster_id, b.best_quality,
+               MIN(s.doc_id) AS best_doc_id
+        FROM sized s JOIN best b
+          ON s.cluster_id = b.bc AND s.quality = b.best_quality
+        GROUP BY s.cluster_id, b.best_quality)
+    SELECT s.doc_id, s.cluster_id, s.cluster_size, s.quality,
+           COALESCE(w.best_quality, s.quality) AS best_quality,
+           COALESCE(w.best_doc_id, s.doc_id) AS best_doc_id,
+           COALESCE(w.best_doc_id, s.doc_id) = s.doc_id AS is_survivor
+    FROM sized s LEFT JOIN winners w ON s.cluster_id = w.cluster_id
+    """,
+    tags=("dedup-minhash-lsh", "dedup-clusters", "quality"),
+)
+def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivorship: the longest member of
+    each LSH cluster survives (ties -> smallest doc_id) instead of
+    the min-id canonical (operators/dedup.py:cluster_survivors)."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.near_dup_clusters(docs, JACCARD_THRESHOLD)
+    return dedup.cluster_survivors(
+        clusters.drop("is_canonical"),
+        docs.select("doc_id", "n_chars"), "n_chars")

@@ -293,3 +293,51 @@ def test_personalized_pagerank_seed_mass(spark):
         edges, iterations=1).collect()}
     assert out_u == {"a": 150_000_000 + 850_000_000,
                      "b": 150_000_000 + 850_000_000}
+
+
+def test_cluster_survivors_quality_argmax(spark):
+    from event_streaming_service_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3),   # cluster of 3
+         (7, 7, 1)],                        # singleton
+        "doc_id long, cluster_id long, cluster_size long")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)], "doc_id long, q long")
+    out = {r["doc_id"]: r for r in dedup.cluster_survivors(
+        clusters, quality, "q").collect()}
+    # quality tie between 2 and 3 -> smallest id (2) survives
+    assert out[2]["is_survivor"] and not out[3]["is_survivor"]
+    assert not out[1]["is_survivor"]
+    assert out[1]["best_doc_id"] == 2 and out[1]["best_quality"] == 99
+    assert out[7]["is_survivor"] and out[7]["best_doc_id"] == 7
+
+
+def test_rfm_quintile_directions(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import analytics
+
+    rows = []
+    # customer 1: recent, frequent, big spender -> 111
+    for d in [25, 26, 27, 28]:
+        rows.append((1, datetime.datetime(2024, 1, d), 9000))
+    # customer 2: old single small order -> worst on all axes
+    rows.append((2, datetime.datetime(2024, 1, 1), 100))
+    # three middling customers
+    for k, d, amt in [(3, 10, 500), (4, 15, 700), (5, 20, 900)]:
+        rows.append((k, datetime.datetime(2024, 1, d), amt))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, amt long")
+    out = {r["k"]: r for r in analytics.rfm_segments(
+        df, "k", "ts", F.col("amt")).collect()}
+    assert out[1]["segment"] == "111"
+    # frequency is ALL-tied at 1 below customer 1, and equal-count
+    # buckets split ties by the key tiebreak — customer 2 lands in
+    # f-quintile 2 (rank 2 of 5), not 5; recency/monetary are
+    # distinct values so it bottoms out there
+    assert out[2]["segment"] == "525"
+    assert out[5]["f_q"] == 5
+    assert out[1]["recency_days"] == 0
+    assert out[2]["recency_days"] == 27
