@@ -524,3 +524,82 @@ def doc_chunks(docs: DataFrame, id_col: str = "doc_id",
                     .alias("start_tok"),
                     F.size(sliced).cast("bigint").alias("n_tokens"),
                     F.md5(F.array_join(sliced, " ")).alias("chunk_md5")))
+
+
+RAKE_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in",
+                  "is", "are", "was", "for", "on", "with", "as",
+                  "by", "at", "it", "this", "that")
+
+
+def rake_keyphrases(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+                    min_len: int = 2, max_len: int = 4,
+                    top_n: int = 20) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), integer-exact:
+    candidate phrases are maximal runs of non-stopword tokens
+    (punctuation and stopwords both delimit); each word scores
+    deg(w)/freq(w) where freq counts occurrences and deg sums the
+    lengths of the phrase instances containing it; a phrase scores
+    the sum of its member words. Scores are pinned per WORD to
+    integer milli-units (deg * 1000 DIV freq) before the phrase sum,
+    so both engines agree bit-for-bit (the repo's pin-before-sum
+    rule). Top_n phrases of min_len..max_len words by
+    (score, occurrence count, phrase) total order.
+
+    Regex discipline: lowercase first, kill non-[a-z0-9 ] to the
+    delimiter, then a \\b-anchored stopword alternation — all
+    constructs with identical semantics in Java regex and RE2
+    (DuckDB needs the 'g' flag; Spark replaces globally by default).
+
+    Plan shape for 100 TB: two corpus passes (word stats, phrase
+    scoring) over the exploded phrase grain, one broadcast join of
+    the word-score table (vocabulary-sized), TakeOrdered for the
+    top_n — no window over the corpus."""
+    stop_re = r"\b(" + "|".join(stopwords) + r")\b"
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "#"),
+        stop_re, "#")
+    phrases = (fan_out(docs)
+               .select(F.col(id_col),
+                       F.explode(F.split(cleaned, "#")).alias("__p"))
+               .select(F.col(id_col),
+                       F.filter(F.split(F.trim(F.col("__p")), " +"),
+                                lambda t: t != "").alias("toks"))
+               .filter(F.size("toks") >= 1)
+               .persist())
+    words = phrases.select(
+        F.size("toks").alias("plen"),
+        F.explode("toks").alias("w"))
+    wstats = (words.groupBy("w")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("deg"))
+              .withColumn("wscore_milli",
+                          F.expr("CAST(deg * 1000 DIV freq"
+                                 " AS BIGINT)")))
+    cand = (phrases
+            .filter((F.size("toks") >= min_len)
+                    & (F.size("toks") <= max_len))
+            .select(F.array_join("toks", " ").alias("phrase"),
+                    F.explode("toks").alias("w")))
+    scored = (cand.join(F.broadcast(wstats.select("w", "wscore_milli")),
+                        "w")
+              .groupBy("phrase")
+              .agg(F.sum("wscore_milli").alias("__inst_sum"),
+                   F.count(F.lit(1)).alias("__words_total")))
+    # __inst_sum summed over ALL instances of the phrase; per-instance
+    # score = __inst_sum / n_occurrences; keep integers: occurrences =
+    # __words_total / words_in_phrase. Derive words_in_phrase from the
+    # phrase string itself (split size) — exact.
+    occurrences = F.expr("CAST(__words_total DIV "
+                         "size(split(phrase, ' ')) AS BIGINT)")
+    score = F.expr("CAST(__inst_sum DIV (__words_total DIV "
+                   "size(split(phrase, ' '))) AS BIGINT)")
+    out = (scored
+           .select("phrase",
+                   occurrences.alias("n_occurrences"),
+                   score.alias("score_milli"))
+           .orderBy(F.col("score_milli").desc(),
+                    F.col("n_occurrences").desc(), F.col("phrase"))
+           .limit(top_n))
+    return out

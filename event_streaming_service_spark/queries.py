@@ -110,6 +110,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "ppr_trade_neighborhood",
     "rfm_customer_segments",
     "near_dup_survivors_by_quality",
+    "rake_keyphrases_top20",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

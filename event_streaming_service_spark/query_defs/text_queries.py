@@ -335,3 +335,56 @@ def q_doc_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejoined slice (operators/text.py:doc_chunks)."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return text.doc_chunks(docs, size=64, stride=48)
+
+
+_RAKE_STOP_RE = (r"\b(" + "|".join(text.RAKE_STOPWORDS) + r")\b")
+
+
+@register(
+    "rake_keyphrases_top20",
+    oracle=rf"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g'),
+                   '{_RAKE_STOP_RE}', '#', 'g') AS t
+        FROM documents),
+    seg AS (SELECT doc_id, unnest(string_split(t, '#')) AS p
+            FROM cleaned),
+    phr0 AS (SELECT doc_id,
+                    list_filter(string_split_regex(trim(p), ' +'),
+                                x -> x <> '') AS toks
+             FROM seg),
+    phr AS (SELECT doc_id, toks FROM phr0 WHERE len(toks) >= 1),
+    words AS (SELECT CAST(len(toks) AS BIGINT) AS plen,
+                     unnest(toks) AS w
+              FROM phr),
+    ws AS (SELECT w,
+                  CAST(SUM(plen) * 1000 // COUNT(*) AS BIGINT)
+                      AS wscore
+           FROM words GROUP BY w),
+    cand AS (SELECT array_to_string(toks, ' ') AS phrase,
+                    unnest(toks) AS w
+             FROM phr WHERE len(toks) BETWEEN 2 AND 4),
+    sc AS (SELECT phrase,
+                  CAST(SUM(wscore) AS BIGINT) AS inst_sum,
+                  CAST(COUNT(*) AS BIGINT) AS words_total
+           FROM cand JOIN ws USING (w) GROUP BY phrase)
+    SELECT phrase,
+           CAST(words_total // len(string_split(phrase, ' '))
+                AS BIGINT) AS n_occurrences,
+           CAST(inst_sum // (words_total
+                             // len(string_split(phrase, ' ')))
+                AS BIGINT) AS score_milli
+    FROM sc
+    ORDER BY score_milli DESC, n_occurrences DESC, phrase LIMIT 20
+    """,
+    tags=("text", "keyphrases", "tfidf", "quality"),
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: stopword/punctuation-delimited
+    candidate runs scored by summed deg/freq word scores in integer
+    milli-units; top-20 2..4-word phrases
+    (operators/text.py:rake_keyphrases)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return text.rake_keyphrases(docs)

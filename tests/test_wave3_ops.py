@@ -341,3 +341,22 @@ def test_rfm_quintile_directions(spark):
     assert out[5]["f_q"] == 5
     assert out[1]["recency_days"] == 0
     assert out[2]["recency_days"] == 27
+
+
+def test_rake_keyphrases_hand_scored(spark):
+    from event_streaming_service_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "Deep learning of deep networks."), (2, "deep!")],
+        "doc_id long, text string")
+    out = T.rake_keyphrases(docs, min_len=2, max_len=4,
+                            top_n=10).collect()
+    got = {r["phrase"]: (r["n_occurrences"], r["score_milli"])
+           for r in out}
+    # word stats: deep freq=3 deg=2+2+1=5 -> 1666; learning/networks
+    # freq=1 deg=2 -> 2000 each
+    assert got == {"deep learning": (1, 3666),
+                   "deep networks": (1, 3666)}
+    # tie broken by phrase string: learning < networks
+    assert [r["phrase"] for r in out] == ["deep learning",
+                                          "deep networks"]
