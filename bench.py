@@ -169,6 +169,13 @@ BENCH_QUERIES = [
     "cdc_merge_upsert",              # MERGE INTO changelog apply
     "dyadic_quantile_sketch_prices",  # mergeable log2-bucket quantiles
     "kcore_copurchase",              # 6-round degree peeling
+    "data_quality_report",           # multi-table rule engine
+    "incremental_rollup_events",     # IVM base+delta fold
+    "winsorized_price_stats",        # percentile-capped robust stats
+    "ppr_trade_neighborhood",        # seed-teleport personalized PR
+    "rfm_customer_segments",         # 3x global-rank quintiles
+    "near_dup_survivors_by_quality",  # LSH cluster argmax survivorship
+    "rake_keyphrases_top20",         # RAKE phrase mining
 ]
 
 
