@@ -54,8 +54,12 @@ def main() -> None:
         spec = REGISTRY[name]
         best_s = float("inf")
         for i in range(3):  # first run = untimed warmup
-            df = spec.builder(spark, bench_dir)
+            # builder INSIDE the timer: iterative operators do real
+            # eager work at build time (checkpointed peel/propagation
+            # rounds, codebook collects) — timing only the final noop
+            # write under-reported them by 10-30x
             t0 = time.perf_counter()
+            df = spec.builder(spark, bench_dir)
             df.write.format("noop").mode("overwrite").save()
             if i > 0:
                 best_s = min(best_s, time.perf_counter() - t0)

@@ -120,6 +120,26 @@ SHOWCASE = {
         "by the AllPairs theorem), verified with an exact integer "
         "cross-multiplication; the verify-side sets reuse the window "
         "pass's doc partitioning."),
+    "adamic_adar_copurchase": (
+        "Wedge link prediction: the sum-deg^2 wedge stream (148M rows "
+        "at sf0.1) keys its hash aggregate on ONE packed bigint "
+        "(u*2^32+v, 1.6x over two-column keys) and probes the "
+        "node-count-sized term table as an AQE broadcast; the "
+        "anti-join stays on unpacked columns — a packed broadcast key "
+        "would route through LongHashedRelation, which degrades "
+        "pathologically on sparse packed keys."),
+    "cdc_merge_upsert": (
+        "MERGE INTO apply: the changelog reduces to latest-op-per-key "
+        "with one window, then ONE full-outer sort-merge join at key "
+        "grain classifies every row — both join inputs arrive already "
+        "key-grain, so the shuffle is the minimum any CDC compaction "
+        "must pay."),
+    "data_quality_report": (
+        "Declarative rule engine: every rule over a table is one "
+        "conditional sum inside the SAME scan + hash aggregate "
+        "(adding a rule adds a column, not a pass); the 1-row wide "
+        "aggregate unpivots with stack(), and the FK leg is a "
+        "distinct-key broadcast anti-join."),
 }
 
 
