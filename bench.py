@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     "rfm_customer_segments",         # 3x global-rank quintiles
     "near_dup_survivors_by_quality",  # LSH cluster argmax survivorship
     "rake_keyphrases_top20",         # RAKE phrase mining
+    "weekly_revenue_wow",            # lag-window deltas on weekly grain
+    "ltv_by_cohort_month",           # cohort LTV triangle + cumsum
+    "info_gain_price_splits",        # decision-stump IG, one aggregate
 ]
 
 

@@ -745,3 +745,65 @@ def rfm_segments(orders: DataFrame, key_col: str, ts_col: str,
         F.concat(F.col("r_q").cast("string"),
                  F.col("f_q").cast("string"),
                  F.col("m_q").cast("string")))
+
+
+def _entropy_micro_sql(p: str, q: str) -> str:
+    """Binary-entropy micro-units from two BIGINT counts — ONE float
+    expression evaluated with the identical op sequence in Spark and
+    DuckDB, floored to integers immediately (the bm25/PMI pinning
+    rule). Zero on pure nodes."""
+    n = f"({p} + {q})"
+    pd_ = f"(CAST({p} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    qd = f"(CAST({q} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    return (f"CASE WHEN {p} = 0 OR {q} = 0 THEN 0 "
+            f"ELSE CAST(FLOOR(-({pd_} * LN({pd_}) + {qd} * LN({qd}))"
+            f" * 1000000 + 0.5) AS BIGINT) END")
+
+
+def info_gain_splits(df: DataFrame, value_col: Column, label: Column,
+                     thresholds: tuple[int, ...]) -> DataFrame:
+    """Decision-stump scoring: information gain of the binary split
+    value <= t for each literal threshold, against a boolean label —
+    the single-node core of tree induction, run as ONE scan + ONE
+    hash aggregate (every threshold is a pair of conditional sums in
+    the same aggregate; quality_rules convention), unpivoted to a
+    per-threshold report.
+
+    Exactness: entropies are micro-pinned per node before the
+    weighted combination; the weighting n_l*H_l + n_r*H_r DIV n is
+    pure integer. ig_micro can be off true IG by ~1 micro-unit of
+    quantization — identically in both engines, which is the point."""
+    v = value_col
+    y = label
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(y, 1).otherwise(0)).cast("bigint")
+            .alias("__pos")]
+    for i, t in enumerate(thresholds):
+        aggs.append(F.sum(F.when(v <= t, 1).otherwise(0))
+                    .cast("bigint").alias(f"__nl{i}"))
+        aggs.append(F.sum(F.when((v <= t) & y, 1).otherwise(0))
+                    .cast("bigint").alias(f"__pl{i}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({t} AS BIGINT), __nl{i}, __pl{i}"
+        for i, t in enumerate(thresholds))
+    long = wide.select(
+        F.col("__n").alias("n_total"), F.col("__pos").alias("n_pos"),
+        F.expr(f"stack({len(thresholds)}, {stack})")
+        .alias("threshold", "n_left", "pos_left"))
+    hp = _entropy_micro_sql("n_pos", "(n_total - n_pos)")
+    hl = _entropy_micro_sql("pos_left", "(n_left - pos_left)")
+    hr = _entropy_micro_sql("(n_pos - pos_left)",
+                            "((n_total - n_left) - (n_pos - pos_left))")
+    return (long
+            .withColumn("h_parent_micro", F.expr(hp))
+            .withColumn("h_left_micro", F.expr(hl))
+            .withColumn("h_right_micro", F.expr(hr))
+            .withColumn("ig_micro", F.expr(
+                "CAST(h_parent_micro - (n_left * h_left_micro"
+                " + (n_total - n_left) * h_right_micro)"
+                " DIV n_total AS BIGINT)"))
+            .select("threshold", "n_total", "n_pos", "n_left",
+                    "pos_left", "h_parent_micro", "h_left_micro",
+                    "h_right_micro", "ig_micro")
+            .orderBy(F.col("ig_micro").desc(), F.col("threshold")))

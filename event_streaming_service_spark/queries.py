@@ -111,6 +111,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     "rfm_customer_segments",
     "near_dup_survivors_by_quality",
     "rake_keyphrases_top20",
+    "weekly_revenue_wow",
+    "ltv_by_cohort_month",
+    "info_gain_price_splits",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

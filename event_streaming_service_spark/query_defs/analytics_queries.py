@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.functions.money import cents
 from event_streaming_service_spark.operators import analytics
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -90,3 +91,57 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = analytics.cohort_retention(events, "user_id", "ts")
     return out.withColumn(
         "cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+
+
+_IG_THRESHOLDS = (5000000, 10000000, 15000000, 20000000, 25000000, 30000000, 35000000, 40000000, 45000000)
+
+
+@register(
+    "info_gain_price_splits",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+               o_orderstatus = 'F' AS y
+        FROM orders),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos
+          FROM v),
+    t AS (SELECT CAST(5000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(10000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(15000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(20000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(25000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(30000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(35000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(40000000 AS BIGINT) AS threshold
+        UNION ALL SELECT CAST(45000000 AS BIGINT) AS threshold),
+    s AS (
+        SELECT t.threshold,
+               CAST(SUM(CASE WHEN c <= t.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_left,
+               CAST(SUM(CASE WHEN c <= t.threshold AND y THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos_left
+        FROM v CROSS JOIN t GROUP BY t.threshold),
+    e AS (
+        SELECT threshold, n_total, n_pos, n_left, pos_left,
+               CASE WHEN n_pos = 0 OR (n_total - n_pos) = 0 THEN 0 ELSE CAST(FLOOR(-((CAST(n_pos AS DOUBLE) / CAST((n_pos + (n_total - n_pos)) AS DOUBLE)) * LN((CAST(n_pos AS DOUBLE) / CAST((n_pos + (n_total - n_pos)) AS DOUBLE))) + (CAST((n_total - n_pos) AS DOUBLE) / CAST((n_pos + (n_total - n_pos)) AS DOUBLE)) * LN((CAST((n_total - n_pos) AS DOUBLE) / CAST((n_pos + (n_total - n_pos)) AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) END AS h_parent_micro,
+               CASE WHEN pos_left = 0 OR (n_left - pos_left) = 0 THEN 0 ELSE CAST(FLOOR(-((CAST(pos_left AS DOUBLE) / CAST((pos_left + (n_left - pos_left)) AS DOUBLE)) * LN((CAST(pos_left AS DOUBLE) / CAST((pos_left + (n_left - pos_left)) AS DOUBLE))) + (CAST((n_left - pos_left) AS DOUBLE) / CAST((pos_left + (n_left - pos_left)) AS DOUBLE)) * LN((CAST((n_left - pos_left) AS DOUBLE) / CAST((pos_left + (n_left - pos_left)) AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) END AS h_left_micro,
+               CASE WHEN (n_pos - pos_left) = 0 OR ((n_total - n_left) - (n_pos - pos_left)) = 0 THEN 0 ELSE CAST(FLOOR(-((CAST((n_pos - pos_left) AS DOUBLE) / CAST(((n_pos - pos_left) + ((n_total - n_left) - (n_pos - pos_left))) AS DOUBLE)) * LN((CAST((n_pos - pos_left) AS DOUBLE) / CAST(((n_pos - pos_left) + ((n_total - n_left) - (n_pos - pos_left))) AS DOUBLE))) + (CAST(((n_total - n_left) - (n_pos - pos_left)) AS DOUBLE) / CAST(((n_pos - pos_left) + ((n_total - n_left) - (n_pos - pos_left))) AS DOUBLE)) * LN((CAST(((n_total - n_left) - (n_pos - pos_left)) AS DOUBLE) / CAST(((n_pos - pos_left) + ((n_total - n_left) - (n_pos - pos_left))) AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) END AS h_right_micro
+        FROM s CROSS JOIN g)
+    SELECT *, CAST(h_parent_micro - (n_left * h_left_micro
+               + (n_total - n_left) * h_right_micro)
+               // n_total AS BIGINT) AS ig_micro
+    FROM e ORDER BY ig_micro DESC, threshold
+""",
+    tags=("analytics", "ml-split", "A6", "quality"),
+)
+def q_info_gain_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump scoring: information gain of price <= t against
+    the order-fulfilled label for nine literal thresholds, one scan +
+    one aggregate, entropies micro-pinned per node
+    (operators/analytics.py:info_gain_splits)."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return analytics.info_gain_splits(
+        orders, cents("o_totalprice"),
+        F.col("o_orderstatus") == "F", _IG_THRESHOLDS)

@@ -12,8 +12,10 @@ identically in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from event_streaming_service_spark.functions.money import cents
 from event_streaming_service_spark.operators import analytics, windows
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
@@ -188,3 +190,106 @@ def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.pearson_corr(lineitem, "l_quantity",
                                   "l_extendedprice",
                                   group_cols=["l_returnflag"])
+
+
+@register(
+    "weekly_revenue_wow",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)
+                   AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1),
+    l AS (SELECT *,
+                 LAG(revenue_cents) OVER (ORDER BY week_start)
+                     AS prev_cents
+          FROM w)
+    SELECT week_start, n_orders, revenue_cents,
+           prev_cents,
+           revenue_cents - prev_cents AS delta_cents,
+           CASE WHEN prev_cents > 0
+                THEN CAST((revenue_cents - prev_cents) * 1000000
+                          // prev_cents AS BIGINT) END AS wow_ppm
+    FROM l
+    """,
+    tags=("trend", "wow", "calendar", "A5", "window-frames"),
+)
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas: weekly cents totals (Monday
+    weeks, identical date_trunc in both engines) with lag-1 delta and
+    truncating-DIV ppm change. The window is over the WEEKLY grain —
+    dozens of rows regardless of corpus size, so the partition-less
+    ordering is a post-aggregate detail, not a scale hazard."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    w = (orders.groupBy(F.date_trunc("week", F.col("o_orderdate"))
+                        .alias("week_start"))
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              F.sum(cents("o_totalprice")).alias("revenue_cents")))
+    lagw = Window.orderBy("week_start")
+    out = (w.withColumn("prev_cents",
+                        F.lag("revenue_cents").over(lagw))
+           .withColumn("delta_cents",
+                       F.col("revenue_cents") - F.col("prev_cents"))
+           .withColumn("wow_ppm",
+                       F.when(F.col("prev_cents") > 0, F.expr(
+                           "CAST((revenue_cents - prev_cents) * "
+                           "1000000 DIV prev_cents AS BIGINT)"))))
+    return out
+
+
+@register(
+    "ltv_by_cohort_month",
+    oracle="""
+    WITH fo AS (
+        SELECT o_custkey,
+               MIN(CAST(EXTRACT(year FROM o_orderdate) * 12
+                        + EXTRACT(month FROM o_orderdate) - 1
+                        AS BIGINT)) AS cohort_m
+        FROM orders GROUP BY 1),
+    j AS (
+        SELECT fo.cohort_m,
+               CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                    + EXTRACT(month FROM o.o_orderdate) - 1
+                    AS BIGINT) - fo.cohort_m AS age_months,
+               o.o_custkey,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey),
+    g AS (
+        SELECT cohort_m, age_months,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                   AS active_customers,
+               CAST(SUM(c) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY 1, 2)
+    SELECT cohort_m, age_months, active_customers, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_m ORDER BY age_months)
+               AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+    tags=("trend", "cohort", "ltv", "A5", "calendar"),
+)
+def q_ltv_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: customers cohorted by first
+    order month (linear month index year*12+month-1 — no
+    months_between float), revenue accumulated by cohort age with a
+    running total over the tiny (cohort, age) grain."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    mindex = (F.year("o_orderdate") * 12
+              + F.month("o_orderdate") - 1).cast("bigint")
+    fo = (orders.groupBy("o_custkey")
+          .agg(F.min(mindex).alias("cohort_m")))
+    j = (orders.join(fo, "o_custkey")
+         .select("cohort_m",
+                 (mindex - F.col("cohort_m")).alias("age_months"),
+                 "o_custkey",
+                 cents("o_totalprice").alias("c")))
+    g = (j.groupBy("cohort_m", "age_months")
+         .agg(F.countDistinct("o_custkey").alias("active_customers"),
+              F.sum("c").alias("revenue_cents")))
+    cum = Window.partitionBy("cohort_m").orderBy("age_months") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return g.withColumn("cum_revenue_cents",
+                        F.sum("revenue_cents").over(cum)
+                        .cast("bigint"))

@@ -360,3 +360,48 @@ def test_rake_keyphrases_hand_scored(spark):
     # tie broken by phrase string: learning < networks
     assert [r["phrase"] for r in out] == ["deep learning",
                                           "deep networks"]
+
+
+def test_info_gain_perfect_split(spark):
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import analytics
+
+    # label == (v <= 50): threshold 50 separates perfectly ->
+    # ig == parent entropy; threshold 100 splits nothing -> ig == 0
+    df = spark.range(1, 101).select(F.col("id").alias("v"),
+                                    (F.col("id") <= 50).alias("y"))
+    out = {r["threshold"]: r for r in analytics.info_gain_splits(
+        df, F.col("v"), F.col("y"), (50, 100)).collect()}
+    r50 = out[50]
+    # H(50/100) = ln 2 -> 693147 micro
+    assert r50["h_parent_micro"] == 693147
+    assert r50["h_left_micro"] == 0 and r50["h_right_micro"] == 0
+    assert r50["ig_micro"] == 693147
+    r100 = out[100]
+    assert r100["n_left"] == 100
+    assert r100["ig_micro"] == 0
+
+
+def test_weekly_wow_and_ltv_shapes(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark import queries
+    queries._load_all()
+    # smoke on the tiny fixture: lag/ppm and the cohort cumsum hold
+    # their defining identities
+    sf = "/root/testdata/sf0.001"
+    wow = queries.REGISTRY["weekly_revenue_wow"].builder(
+        spark, sf).collect()
+    for r in wow:
+        if r["prev_cents"] is not None:
+            assert r["delta_cents"] == r["revenue_cents"] - r["prev_cents"]
+    ltv = queries.REGISTRY["ltv_by_cohort_month"].builder(
+        spark, sf).collect()
+    by_cohort = {}
+    for r in sorted(ltv, key=lambda x: (x["cohort_m"], x["age_months"])):
+        acc = by_cohort.get(r["cohort_m"], 0) + r["revenue_cents"]
+        by_cohort[r["cohort_m"]] = acc
+        assert r["cum_revenue_cents"] == acc
