@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "weekly_revenue_wow",            # lag-window deltas on weekly grain
     "ltv_by_cohort_month",           # cohort LTV triangle + cumsum
     "info_gain_price_splits",        # decision-stump IG, one aggregate
+    "degree_assortativity_copurchase",  # exact-moment graph Pearson
+    "zipf_slope_tokens",             # log-log OLS over the corpus head
 ]
 
 

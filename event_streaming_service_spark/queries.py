@@ -114,6 +114,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "weekly_revenue_wow",
     "ltv_by_cohort_month",
     "info_gain_price_splits",
+    "degree_assortativity_copurchase",
+    "zipf_slope_tokens",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -299,3 +299,63 @@ def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = graph.pagerank(edges, iterations=ITERS,
                            seeds=list(_PPR_SEEDS))
     return ranks.filter(F.col("rank_nano") > 0)
+
+
+@register(
+    "degree_assortativity_copurchase",
+    oracle="""
+    WITH pair AS (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+    adj AS (SELECT x AS w, y AS n FROM pair
+            UNION ALL SELECT y AS w, x AS n FROM pair),
+    deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY w),
+    ep AS (SELECT CAST(FLOOR(du.d * 1.0 + 0.5) AS HUGEINT) AS x,
+                  CAST(FLOOR(dv.d * 1.0 + 0.5) AS HUGEINT) AS y
+           FROM adj a JOIN deg du ON a.w = du.w
+                      JOIN deg dv ON a.n = dv.w),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM ep)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           9)
+           END AS pearson_r
+    FROM s
+    """,
+    tags=("graph", "assortativity", "correlation", "2.12-graph"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the copurchase graph: exact-
+    moment Pearson r over (deg(u), deg(v)) for every directed edge
+    orientation — positive r = hubs link hubs
+    (operators/analytics.py:pearson_corr on the degree-joined edge
+    list)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    und = (a.join(b, "o").filter(F.col("pa") < F.col("pb"))
+           .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+           .distinct())
+    adj = (und.select(F.col("x").alias("w"), F.col("y").alias("n"))
+           .union(und.select(F.col("y").alias("w"),
+                             F.col("x").alias("n"))))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    ep = (adj
+          .join(deg, "w")
+          .join(deg.select(F.col("w").alias("n"),
+                           F.col("d").alias("dv")), "n")
+          .select(F.col("d").cast("double").alias("dx"),
+                  F.col("dv").cast("double").alias("dy")))
+    from event_streaming_service_spark.operators import analytics
+    return analytics.pearson_corr(ep, "dx", "dy",
+                                  x_scale=1, y_scale=1)

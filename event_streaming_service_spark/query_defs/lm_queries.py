@@ -11,6 +11,7 @@ order can drift a hash. Ratios are truncating integer division
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators import text
 from event_streaming_service_spark.queries import register
@@ -146,3 +147,66 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 5-gram novelty vs all earlier documents (ingestion
     order by id): exact ppm of shingles first seen here."""
     return text.ngram_novelty(_docs(spark, sf_dir), n=5)
+
+
+@register(
+    "zipf_slope_tokens",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+             FROM tok GROUP BY tok),
+    r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rnk
+          FROM freq),
+    head AS (SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000000
+                               + 0.5) AS HUGEINT) AS lx,
+                    CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000000
+                               + 0.5) AS HUGEINT) AS ly
+             FROM r WHERE rnk <= 1000),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+                 SUM(lx * lx) AS sxx
+          FROM head)
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "zipf", "token-count", "tfidf"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus head: OLS slope of ln(freq) vs
+    ln(rank) for the top-1000 tokens (a healthy natural corpus sits
+    near -1). Logs are micro-pinned per point BEFORE the exact
+    integer moment sums (pin-before-sum); the rank is the distributed
+    global_rank, and the single final division rounds at 9 dp like
+    pearson_corr."""
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank,
+    )
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(text.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = global_rank(
+        freq.select("tok", "f", (-F.col("f")).alias("__nf")),
+        ["__nf", "tok"])
+    head = (ranked.filter(F.col("rank") <= 1000)
+            .select(
+                F.floor(F.log(F.col("rank").cast("double"))
+                        * 1_000_000 + F.lit(0.5))
+                .cast("decimal(38,0)").alias("lx"),
+                F.floor(F.log(F.col("f").cast("double"))
+                        * 1_000_000 + F.lit(0.5))
+                .cast("decimal(38,0)").alias("ly")))
+    s = head.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens_fit"),
+        F.round(num / den, 9).alias("zipf_slope"))
