@@ -576,8 +576,10 @@ def abc_classification(revenue_by_item: DataFrame, item_col: str,
     The cumulative window is global but runs at ITEM grain (a
     dimension, not the fact table); the fact-to-item aggregate is the
     only data-scaled pass."""
-    a_num, a_den = int(a_share * 100), 100
-    b_num = int(b_share * 100)
+    # round(), not int(): 0.57*100 floats to 56.999..., and int()
+    # truncation would silently shift the A/B boundary (ADVICE r7).
+    a_num, a_den = round(a_share * 100), 100
+    b_num = round(b_share * 100)
     w = (Window.orderBy(F.col(revenue_col).desc(), F.col(item_col))
          .rowsBetween(Window.unboundedPreceding, -1))
     total = Window.partitionBy()

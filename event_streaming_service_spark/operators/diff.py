@@ -98,8 +98,9 @@ def merge_changelog(base: DataFrame, changelog: DataFrame,
         .when(F.col("__bk").isNull(), F.lit("inserted"))
         .when(F.col("__op") == "D", F.lit("deleted"))
         .otherwise(F.lit("updated")))
+    val_type = changelog.schema[val_col].dataType
     new_val = (
-        F.when(F.col("__op") == "D", F.lit(None).cast("long"))
+        F.when(F.col("__op") == "D", F.lit(None).cast(val_type))
         .when(F.col("__op").isNull(), F.col("__old"))
         .otherwise(F.col("__new")))
     return (j.select(

@@ -43,80 +43,57 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-7 FULL rotation (VERDICT r6 item #2): every slot either
-    # verifies a NEVER-green query (25 round-7 registrations incl. the
-    # stranded r6 segmented EWMA), provides a sole-source tag, or
-    # re-verifies the LEAST-recently-green queries (15 rows last
-    # checked in round 1). Prior-green r5/r6 names rotated out; their
-    # tags stay covered (tests/test_priority.py asserts the closure).
+    # Round-8 rotation (VERDICT r7 item #1): drain the ENTIRE 20-name
+    # round-7 PENDING_ROTATION queue (the only oracle-backed queries
+    # never driver-verified), keep a minimal greedy tag-closure cover
+    # (17 anchors, mostly the compact *_surface bundles), and spend
+    # every remaining slot on the 13 LEAST-recently-green queries (all
+    # last green in round 1). The 34 round-7-green rows rotate out;
+    # tests/test_priority.py asserts tag closure over this budget.
     #
-    # -- never driver-verified: round-7 registrations --
-    "ewma_segmented_per_user", "pq_trained_topk",
-    "proto_wire_roundtrip", "transition_matrix_segmented",
-    "activity_streaks_per_user", "rate_limited_event_counts",
-    "inter_event_gap_stats", "mode_event_type_per_user",
-    "daily_new_users_cumulative", "weekday_hourly_profile",
-    "rolling_7d_revenue", "order_value_deciles",
-    "abc_classification_parts", "ship_delay_stats",
-    "token_entropy_per_doc", "unigram_lm_scores",
-    "bm25_doc_scores", "ngram_novelty_ratio",
-    "knn_label_vote", "multimodal_features_jpeg_color",
-    "triangle_count_copurchase", "supplier_balance_rank_profile",
-    "video_frames_mjpeg", "multimodal_features_jpeg_progressive",
-    "multimodal_features_jpeg_progressive_color",
-    # -- tag-closure surfaces (multi-round hash-green; each leg
-    #    delegates to the standalone operator builders) --
-    "governance_surface", "window_functions_profile",
-    "corpus_fingerprint_surface", "ann_cosine_surface",
+    # -- never driver-verified: the full round-7 rotation queue --
+    "association_rules_lift", "seasonal_hourly_anomalies",
+    "doc_chunks_rag", "group_split_leakproof",
+    "rrf_fused_topk", "cdc_merge_upsert",
+    "dyadic_quantile_sketch_prices", "kcore_copurchase",
+    "data_quality_report", "incremental_rollup_events",
+    "winsorized_price_stats", "ppr_trade_neighborhood",
+    "rfm_customer_segments", "near_dup_survivors_by_quality",
+    "rake_keyphrases_top20", "weekly_revenue_wow",
+    "ltv_by_cohort_month", "info_gain_price_splits",
+    "degree_assortativity_copurchase", "zipf_slope_tokens",
+    # -- tag-closure anchors (greedy set cover over the tags the 20
+    #    rows above leave uncovered; surfaces delegate to the
+    #    standalone operator builders) --
     "ops_catalog_surface", "routing_pipeline_surface",
-    "envelope_props_surface", "joins_surface",
-    "streaming_core_surface", "corpus_pipeline_surface",
-    # -- sole-source / oldest-provider tag anchors: W3 and 2.12-video
-    #    have exactly one oracle-backed provider each; the other four
-    #    are the least-recently-green providers of their tags --
-    "late_drop_counts", "video_frames_apng",
-    "customers_without_orders_anti",        # J3   (r1)
-    "tpch_q10_returned_items",              # O4   (r2)
-    "sampling_surface",                     # 2.12-sampling (r3)
-    "streaming_interval_join_outer",        # 2.6  (r4)
+    "corpus_pipeline_surface", "envelope_props_surface",
+    "streaming_core_surface", "ann_cosine_surface",
+    "corpus_fingerprint_surface", "governance_surface",
+    "joins_surface", "window_functions_profile",
+    "tpch_q3_shipping_priority",            # tpch+O4 (r2, oldest provider)
+    "winnow_shared_pairs",                  # 2.12-fingerprint (sole pair)
+    "late_drop_counts",                     # W3 (sole source)
+    "mmr_diverse_topk",                     # 2.12-mmr (sole source)
+    "proto_wire_roundtrip",                 # S10 (sole source)
+    "skew_key_diagnostics",                 # 2.12-skew (sole source)
+    "video_frames_apng",                    # 2.12-video
     # -- least-recently-green re-verification (all last green in
     #    round 1; six rounds unchecked) --
-    "mmr_diverse_topk", "ohlc_bars_daily", "skew_key_diagnostics",
-    "adamic_adar_copurchase",
-    "kmv_intersection_click_purchase",
-    "hll_distinct_users", "kmv_distinct_users_by_type",
-    # -- round-7 second wave (this session): never-green swap-ins for
-    #    the two re-verification rows they displaced --
-    "winnow_fingerprint_stats", "winnow_shared_pairs",
+    "duplicate_counts", "embedding_norms_by_label",
+    "events_cube_type_outcome", "events_pivot_by_type",
+    "lag_per_partition", "lag_rollup_grand_total",
+    "lag_total_by_group", "latency_percentiles",
+    "minhash_lsh_pairs", "minhash_signatures",
+    "offset_probe", "replay_offset_range", "replay_time_range",
 )
 
 # Oracle-backed queries waiting for a driver slot (bounded <= 25,
 # drained by the NEXT round's rotation — tests/test_priority.py).
-# Round-7 third wave: the 50 slots are already all never-green rows +
-# sole-tag anchors this round, so these eight queue for round 8; each
-# is drive_contract-green locally (hash + schema) as of registration.
-PENDING_ROTATION: tuple[str, ...] = (
-    "association_rules_lift",
-    "seasonal_hourly_anomalies",
-    "doc_chunks_rag",
-    "group_split_leakproof",
-    "rrf_fused_topk",
-    "cdc_merge_upsert",
-    "dyadic_quantile_sketch_prices",
-    "kcore_copurchase",
-    "data_quality_report",
-    "incremental_rollup_events",
-    "winsorized_price_stats",
-    "ppr_trade_neighborhood",
-    "rfm_customer_segments",
-    "near_dup_survivors_by_quality",
-    "rake_keyphrases_top20",
-    "weekly_revenue_wow",
-    "ltv_by_cohort_month",
-    "info_gain_price_splits",
-    "degree_assortativity_copurchase",
-    "zipf_slope_tokens",
-)
+# Round 8 starts with an EMPTY queue: the round-7 queue was drained
+# into the budget above. New round-8 registrations append here (each
+# must be drive_contract-green locally — hash + schema — before it is
+# queued: the freeze rule).
+PENDING_ROTATION: tuple[str, ...] = ()
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
 # reaches the oracle-backed queue first; these rows-only entries come

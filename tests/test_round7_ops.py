@@ -67,6 +67,19 @@ def test_abc_boundary_is_strict(spark):
     assert out["C"]["n_items"] == 1
 
 
+def test_abc_nondefault_share_rounds_not_truncates(spark):
+    # 0.57 * 100 floats to 56.999...; int() truncation shifted the A/B
+    # boundary to 56% (ADVICE r7). round() keeps the declared 57%.
+    rev = spark.createDataFrame(
+        [(1, 56), (2, 1), (3, 43)], "item long, revenue_units long")
+    out = {r["abc_class"]: r for r in analytics.abc_classification(
+        rev, "item", "revenue_units", a_share=0.57).collect()}
+    # cum_before for item 3 (rev 1 after sort desc: 56, 43, 1) -- sort
+    # is (56, 43, 1): item 2 has before=99 -> C; item 3 (43) before=56
+    # < 57 -> A under round(), B under truncation.
+    assert out["A"]["n_items"] == 2 and out["A"]["class_revenue"] == 99
+
+
 def test_new_key_growth_cumulative(spark):
     rows = [(1, _t("2024-01-01 05:00:00"), "x", 1),
             (1, _t("2024-01-03 05:00:00"), "x", 2),   # not new on day 3

@@ -149,6 +149,23 @@ def test_merge_changelog_actions(spark):
     assert len(out) == 5
 
 
+def test_merge_changelog_string_values(spark):
+    # ADVICE r7: the deleted-row NULL was hardcoded cast("long"),
+    # silently tying the kernel to integer value columns. It must
+    # now follow the changelog value column's actual type.
+    from event_streaming_service_spark.operators import diff
+
+    base = spark.createDataFrame([(1, "alpha")], "k long, name string")
+    log = spark.createDataFrame(
+        [(1, "D", None, 1), (2, "U", "beta", 2)],
+        "k long, op string, v string, seq long")
+    out = diff.merge_changelog(base, log, "k", ["seq"], "op", "v", "name")
+    assert dict(out.dtypes)["new_val"] == "string"
+    rows = {r["k"]: r for r in out.collect()}
+    assert (rows[1]["action"], rows[1]["new_val"]) == ("deleted", None)
+    assert (rows[2]["action"], rows[2]["new_val"]) == ("inserted", "beta")
+
+
 def test_global_rank_bijective_beyond_sample_size(spark):
     # RangePartitioner's reservoir sample covers ~640 rows at 32
     # partitions; 15k rows exposed the cross-job boundary drift this
