@@ -653,16 +653,26 @@ def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
     Scale shape: one self-join of the deduped (basket, item) grain on
     basket (cost sum_b items(b)^2, the copurchase-edge bound), one
     hash agg to pair grain, then two joins against the item-count
-    table, which is item-domain-sized so AQE broadcasts it. The
-    min_pair_count filter lands immediately after the pair aggregate,
-    so the rule table that reaches the joins is already sparse."""
+    table, which is item-domain-sized so AQE broadcasts it.
+    A-priori prune (support monotonicity): pair_cnt <= min(cnt_a,
+    cnt_b), so items with global count < min_pair_count cannot appear
+    in ANY surviving pair — they are semi-joined away BEFORE the
+    basket self-join. Lossless, and on heavy-tailed item domains it
+    removes the long singleton tail from the quadratic fan-out; the
+    residual cost is sum_b frequent_items(b)^2 (mega-basket probe in
+    tools/scale_probe.py assoc_rules). The min_pair_count filter
+    still lands right after the pair aggregate for the pairs the
+    prune cannot reject."""
     bi = (baskets.select(F.col(basket_col).alias("b"),
                          F.col(item_col).alias("i")).distinct().persist())
     # N rides as a broadcast 1-row frame (no eager count() action)
     n_df = bi.agg(F.countDistinct("b").alias("n_baskets"))
     item_cnt = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("cnt"))
-    l = bi.select("b", F.col("i").alias("ia"))
-    r = bi.select("b", F.col("i").alias("ib"))
+    # a-priori item prune: item-domain-sized build side, AQE broadcast
+    frequent = item_cnt.filter(F.col("cnt") >= min_pair_count).select("i")
+    pruned = bi.join(frequent, "i", "left_semi")
+    l = pruned.select("b", F.col("i").alias("ia"))
+    r = pruned.select("b", F.col("i").alias("ib"))
     pairs = (l.join(r, "b").filter(F.col("ia") < F.col("ib"))
              .groupBy("ia", "ib")
              .agg(F.count(F.lit(1)).alias("pair_cnt"))

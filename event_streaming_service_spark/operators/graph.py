@@ -211,7 +211,8 @@ def triangle_stats(edges: DataFrame, a_col: str = "a",
 
 
 def adamic_adar_links(edges: DataFrame, top_n: int = 20,
-                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+                      a_col: str = "a", b_col: str = "b",
+                      max_center_degree: int | None = None) -> DataFrame:
     """Adamic-Adar link prediction over an undirected edge set
     (a < b distinct pairs): for every NON-adjacent 2-hop pair (u, v),
     AA(u, v) = sum over common neighbors w of 1 / ln(deg(w)),
@@ -224,9 +225,18 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
 
     Scale shape: wedges are enumerated through the center node w —
     one self-join of the adjacency list on w, cost sum_w deg(w)^2.
-    A hub node dominates that sum; production caps the expansion
-    per center (exactly like text.inverted_index caps postings) or
-    routes hubs through the degree-oriented path triangle_stats uses.
+    A hub node dominates that sum (one 10^6-degree celebrity alone is
+    5*10^11 wedges), so `max_center_degree=C` bounds the expansion per
+    center: each center's adjacency is truncated to its C smallest
+    neighbor ids (a rank window on the SAME w-partitioning the wedge
+    self-join shuffles on, so the exchange is reused) BEFORE the
+    self-join, capping the fan-out at sum_w min(deg(w), C)^2 — the
+    posting-cap device from text.inverted_index. Truncation is
+    deterministic (neighbor-id order) and only ever DROPS wedges, so
+    capped scores/counts are lower bounds; AA terms still use the TRUE
+    degree. With C >= max degree the capped path is bit-identical to
+    the exact default (asserted in tests + tools/scale_probe.py
+    adamic_hub); the exact path stays the oracle-gated default.
     The final anti-join against the edge set removes already-linked
     pairs, and TakeOrderedAndProject folds to top_n without a global
     sort.
@@ -273,8 +283,22 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
     # 1.6-2.4x SLOWER at sf0.1: the extra column rides through the
     # sort-merge wedge join's sort buffers, which costs more than the
     # broadcast probe it saves.)
-    l = adj.select(F.col("w"), F.col("n").alias("u"))
-    r = adj.select(F.col("w"), F.col("n").alias("v"))
+    if max_center_degree is not None:
+        # per-center top-C expansion: deterministic smallest-id
+        # truncation. One row_number window partitioned by w — the
+        # wedge self-join below shuffles on w anyway, so this adds a
+        # per-partition sort, not a new exchange, and turns the hub
+        # term of sum deg(w)^2 into min(deg, C)^2.
+        from pyspark.sql import Window
+
+        wcap = Window.partitionBy("w").orderBy("n")
+        wedge_adj = (adj.withColumn("__r", F.row_number().over(wcap))
+                     .filter(F.col("__r") <= max_center_degree)
+                     .drop("__r"))
+    else:
+        wedge_adj = adj
+    l = wedge_adj.select(F.col("w"), F.col("n").alias("u"))
+    r = wedge_adj.select(F.col("w"), F.col("n").alias("v"))
     wedges = (l.join(r, "w").filter(F.col("u") < F.col("v"))
               .select((F.col("u") * F.lit(_PACK) + F.col("v")).alias("pk"),
                       F.col("w")))

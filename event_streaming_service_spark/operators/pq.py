@@ -301,36 +301,45 @@ def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,
     Registration note: written in round 5 under the registration
     freeze; the driver-checkable query (unrolled-round SQL twin)
     lands with the round-6 rotation."""
-    rows = qdf.orderBy(id_col).limit(n_codes).collect()
-    seeds = [list(map(int, r["qv"])) for r in rows]
-    dim = len(seeds[0])
-    if dim % m_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    d_sub = dim // m_sub
+    # qdf feeds 2 jobs PER ROUND (Arrow assignment scan + the member
+    # join's probe side) plus the seed collect — persist once so the
+    # quantization upstream (parquet scan + int rounding) runs once,
+    # not 2 * lloyd_rounds + 1 times (VERDICT r7 item #6)
+    qdf = qdf.persist()
+    try:
+        rows = qdf.orderBy(id_col).limit(n_codes).collect()
+        seeds = [list(map(int, r["qv"])) for r in rows]
+        dim = len(seeds[0])
+        if dim % m_sub != 0:
+            raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+        d_sub = dim // m_sub
 
-    for _ in range(lloyd_rounds):
-        coded = pq_codes_arrow(qdf, seeds, m_sub, id_col=id_col)
-        joined = coded.join(qdf, id_col)
-        member = (joined
-                  .select(F.explode(F.sequence(F.lit(0),
-                                               F.lit(m_sub - 1)))
-                          .alias("m"), "codes", "qv")
-                  .select("m",
-                          F.element_at("codes", F.col("m") + 1).alias("k"),
-                          F.posexplode(F.slice("qv",
-                                               F.col("m") * d_sub + 1,
-                                               d_sub))
-                          .alias("i", "val")))
-        agg = (member.groupBy("m", "k", "i")
-               .agg(F.sum("val").cast("bigint").alias("s"),
-                    F.count(F.lit(1)).alias("n"))
-               .collect())
-        new_seeds = [list(s) for s in seeds]
-        for r in agg:
-            m, k, i = int(r["m"]), int(r["k"]), int(r["i"])
-            new_seeds[k][m * d_sub + i] = int(r["s"]) // int(r["n"])
-        seeds = new_seeds
-    return seeds
+        for _ in range(lloyd_rounds):
+            coded = pq_codes_arrow(qdf, seeds, m_sub, id_col=id_col)
+            joined = coded.join(qdf, id_col)
+            member = (joined
+                      .select(F.explode(F.sequence(F.lit(0),
+                                                   F.lit(m_sub - 1)))
+                              .alias("m"), "codes", "qv")
+                      .select("m",
+                              F.element_at("codes",
+                                           F.col("m") + 1).alias("k"),
+                              F.posexplode(F.slice("qv",
+                                                   F.col("m") * d_sub + 1,
+                                                   d_sub))
+                              .alias("i", "val")))
+            agg = (member.groupBy("m", "k", "i")
+                   .agg(F.sum("val").cast("bigint").alias("s"),
+                        F.count(F.lit(1)).alias("n"))
+                   .collect())
+            new_seeds = [list(s) for s in seeds]
+            for r in agg:
+                m, k, i = int(r["m"]), int(r["k"]), int(r["i"])
+                new_seeds[k][m * d_sub + i] = int(r["s"]) // int(r["n"])
+            seeds = new_seeds
+        return seeds
+    finally:
+        qdf.unpersist()
 
 
 def ivf_cells_arrow(v: DataFrame, cents: list[list[float]],

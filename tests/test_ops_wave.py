@@ -58,3 +58,34 @@ def test_adamic_adar_path_graph(spark):
     assert out[(1, 3)]["common_neighbors"] == 1
     assert out[(1, 3)]["aa_micro"] == term_deg3
     assert out[(1, 4)]["aa_micro"] == term_deg3
+
+
+def test_adamic_adar_hub_cap(spark):
+    import math
+    from event_streaming_service_spark.operators import graph
+    # hub 0 with spokes 1..40, plus a path 100-101-102 whose center
+    # (deg 2) yields the single highest-scoring pair
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 41)] + [(100, 101), (101, 102)],
+        "a bigint, b bigint")
+    exact = graph.adamic_adar_links(edges, top_n=1000).collect()
+    # cap >= max degree -> bit-identical to the exact default
+    loose = graph.adamic_adar_links(edges, top_n=1000,
+                                    max_center_degree=40).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, loose))
+    # tight cap: hub expansion truncated to the 5 smallest-id spokes
+    # -> C(5,2)=10 hub pairs instead of C(40,2)=780; the path pair
+    # (100,102) survives untouched and still wins on score
+    capped = graph.adamic_adar_links(edges, top_n=1000,
+                                     max_center_degree=5).collect()
+    assert len(capped) == 10 + 1 and len(exact) == 780 + 1
+    top = capped[0]
+    assert (top["u"], top["v"]) == (100, 102)
+    assert top["aa_micro"] == math.floor(1e6 / math.log(2) + 0.5)
+    # capped hub pairs keep the TRUE-degree term (deg 40, not 5)
+    hub_term = math.floor(1e6 / math.log(40) + 0.5)
+    hub_pairs = [r for r in capped if (r["u"], r["v"]) != (100, 102)]
+    assert all(r["aa_micro"] == hub_term and r["common_neighbors"] == 1
+               for r in hub_pairs)
+    assert {(r["u"], r["v"]) for r in hub_pairs} \
+        == {(u, v) for u in range(1, 6) for v in range(u + 1, 6)}
