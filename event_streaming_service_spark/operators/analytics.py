@@ -667,10 +667,14 @@ def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
                          F.col(item_col).alias("i")).distinct().persist())
     # N rides as a broadcast 1-row frame (no eager count() action)
     n_df = bi.agg(F.countDistinct("b").alias("n_baskets"))
-    item_cnt = bi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("cnt"))
+    # item counts feed THREE consumers (the prune + both rule-side
+    # joins): persist the item-domain-sized frame so the hash agg over
+    # bi runs once, not three times
+    item_cnt = (bi.groupBy(F.col("i"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") >= min_pair_count).persist())
     # a-priori item prune: item-domain-sized build side, AQE broadcast
-    frequent = item_cnt.filter(F.col("cnt") >= min_pair_count).select("i")
-    pruned = bi.join(frequent, "i", "left_semi")
+    pruned = bi.join(item_cnt.select("i"), "i", "left_semi")
     l = pruned.select("b", F.col("i").alias("ia"))
     r = pruned.select("b", F.col("i").alias("ib"))
     pairs = (l.join(r, "b").filter(F.col("ia") < F.col("ib"))
