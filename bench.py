@@ -181,6 +181,10 @@ BENCH_QUERIES = [
     "info_gain_price_splits",        # decision-stump IG, one aggregate
     "degree_assortativity_copurchase",  # exact-moment graph Pearson
     "zipf_slope_tokens",             # log-log OLS over the corpus head
+    # round-8 wave
+    "multimodal_features_gif",       # real GIF/LZW decode
+    "video_frames_gif",              # animated GIF per-frame stats
+    "longest_repeated_ngram",        # per-doc suffix-automaton LRS
 ]
 
 

@@ -1149,3 +1149,163 @@ def extract_features_jpeg_progressive_color(
                 "r_sum", "g_sum", "b_sum", "px_min", "px_max"])
 
     return media_df.mapInPandas(batches, JPEG_COLOR_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------ gif (LZW)
+
+# Deterministic synthetic palette image (round 8 — the LZW decode
+# path, functions/gif_codec.py):
+#   index(x, y)   = (doc_id + x + 3*y) % n_colors
+#   palette(i)    = ((37*i + doc_id) % 256,
+#                    (59*i + 2*doc_id) % 256,
+#                    (83*i + 3*doc_id) % 256)
+# with n_colors = doc_id % 11 + 5 (5..15 — deliberately spanning
+# non-power-of-2 table sizes so the padded color table and the LZW
+# min-code-size floor both get exercised). Every term is integer
+# arithmetic an ANSI-SQL oracle reproduces exactly. Animated clips
+# add a per-frame rotation: index(x, y, f) = (doc_id + x + 3*y + 7*f)
+# % n_colors, so consecutive frames are cyclic palette shifts with
+# exactly reproducible per-frame deltas.
+GIF_IDX_X_STEP = 1
+GIF_IDX_Y_STEP = 3
+GIF_IDX_F_STEP = 7
+GIF_PAL_STEPS = (37, 59, 83)
+
+
+def _gif_shape(doc_id: int) -> tuple[int, int, int, int]:
+    d = int(doc_id)
+    return d % 40 + 12, d % 28 + 12, d % 11 + 5, d % 4 + 2
+    # (w, h, n_colors, n_frames)
+
+
+def _gif_palette(doc_id: int, n_colors: int) -> "np.ndarray":
+    import numpy as np
+
+    i = np.arange(n_colors, dtype=np.int64)
+    cols = [(step * i + (c + 1) * int(doc_id)) % 256
+            for c, step in enumerate(GIF_PAL_STEPS)]
+    return np.stack(cols, axis=1).astype("uint8")
+
+
+def _gif_frames(doc_id: int) -> tuple["np.ndarray", "np.ndarray"]:
+    import numpy as np
+
+    w, h, nc, nf = _gif_shape(doc_id)
+    xg = np.arange(w) * GIF_IDX_X_STEP
+    yg = np.arange(h) * GIF_IDX_Y_STEP
+    plane = int(doc_id) + np.add.outer(yg, xg)            # (h, w)
+    fterm = np.arange(nf) * GIF_IDX_F_STEP                # (nf,)
+    idx = (plane[None] + fterm[:, None, None]) % nc
+    return idx.astype("uint8"), _gif_palette(doc_id, nc)
+
+
+def attach_gif_payload(docs: DataFrame, id_col: str = "doc_id",
+                       animated: bool = False) -> DataFrame:
+    """Fixture prep for the LZW decode path: one genuine GIF per
+    document (pure-stdlib encoder — variable-width LZW, sub-block
+    framing, padded global color table), single-frame by default or a
+    cyclic-palette-shift animation with `animated`. Production
+    replaces this with a parquet binary column scan; the schema
+    contract downstream is identical."""
+    from event_streaming_service_spark.functions import gif_codec
+
+    out_schema = ("doc_id bigint, payload binary,"
+                  " media struct<media_type:string,codec:string,"
+                  "width:int,height:int,n_frames:int>")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col].astype("int64"):
+                w, h, nc, nf = _gif_shape(doc_id)
+                frames, pal = _gif_frames(doc_id)
+                if not animated:
+                    frames, nf = frames[:1], 1
+                rows.append({
+                    "doc_id": doc_id,
+                    "payload": gif_codec.encode_gif(frames, pal),
+                    "media": {"media_type":
+                              "video" if animated else "image",
+                              "codec": "gif", "width": w, "height": h,
+                              "n_frames": nf},
+                })
+            yield pd.DataFrame(rows)
+
+    # same fan-out rationale as attach_png_payload: the encode kernel,
+    # not the id scan, is the cost — repartition ids first
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col).repartition(n).mapInPandas(batches, out_schema)
+
+
+GIF_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_colors_used int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint"
+)
+
+
+def extract_features_gif(media_df: DataFrame) -> DataFrame:
+    """REAL palette-image decode + feature extraction: run the LZW
+    decoder (variable code widths, CLEAR resets, KwKwK) over the
+    payload, map indices through the decoded color table, and emit
+    exact per-channel integer sums plus the distinct-color count.
+    Dimensions come from the DECODED screen descriptor, not the
+    metadata struct, so a payload/metadata mismatch breaks the hash."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import gif_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, pal = gif_codec.decode_gif(bytes(payload))
+                idx = frames[0]
+                h, w = idx.shape
+                rgb = pal[idx].astype("int64")        # (h, w, 3)
+                sums = rgb.reshape(-1, 3).sum(axis=0)
+                rows.append((int(doc_id), w, h,
+                             int(len(np.unique(idx))),
+                             int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_colors_used",
+                "ch0_sum", "ch1_sum", "ch2_sum"])
+
+    return media_df.mapInPandas(batches, GIF_FEATURE_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, diff_sum bigint"
+)
+
+
+def video_frame_stats_gif(media_df: DataFrame) -> DataFrame:
+    """Animated-GIF decode + per-frame statistics: one row per frame
+    with exact channel sums (indices mapped through the color table)
+    and the absolute RGB delta vs the previous frame. Same kernel
+    shape as video_frame_stats_apng — the clip is the unit of
+    parallel work, only tiny stats rows leave Python."""
+    import numpy as np
+
+    from event_streaming_service_spark.functions import gif_codec
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, pal = gif_codec.decode_gif(bytes(payload))
+                rgb = pal[frames].astype("int64")     # (nf, h, w, 3)
+                nf, h, w, _ = rgb.shape
+                sums = rgb.reshape(nf, -1, 3).sum(axis=1)
+                deltas = np.abs(rgb[1:] - rgb[:-1]) \
+                    .reshape(nf - 1, -1).sum(axis=1) if nf > 1 else []
+                for f in range(nf):
+                    rows.append((int(doc_id), f, w, h,
+                                 int(sums[f, 0]), int(sums[f, 1]),
+                                 int(sums[f, 2]),
+                                 int(deltas[f - 1]) if f > 0 else 0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height",
+                "ch0_sum", "ch1_sum", "ch2_sum", "diff_sum"])
+
+    return media_df.mapInPandas(batches, GIF_FRAME_SCHEMA)

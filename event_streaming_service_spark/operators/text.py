@@ -603,3 +603,109 @@ def rake_keyphrases(docs: DataFrame, id_col: str = "doc_id",
                     F.col("n_occurrences").desc(), F.col("phrase"))
            .limit(top_n))
     return out
+
+
+def _suffix_automaton_lrs(seq: list[int], cap: int) -> tuple[int, int]:
+    """Longest repeated contiguous subsequence via a suffix automaton
+    (Blumer et al. 1985 construction, O(T) states/transitions): the
+    automaton's states are the equivalence classes of substring end-
+    position sets, a substring repeats iff its class has >= 2 end
+    positions, and each class covers exactly one substring of each
+    length in (link.len, len]. Returns (L, n_max):
+      L     = min(cap, longest length with a repeat), 0 if none
+      n_max = number of DISTINCT length-L subsequences that repeat.
+    With the cap binding, every length-cap prefix of a longer repeat
+    also repeats, so L == cap and n_max counts the distinct capped
+    grams — the same answer a length-capped brute force gives."""
+    sa_len = [0]
+    sa_link = [-1]
+    trans: list[dict[int, int]] = [{}]
+    cnt = [0]
+    last = 0
+    for ch in seq:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        trans.append({})
+        cnt.append(1)
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                trans.append(dict(trans[q]))
+                cnt.append(0)
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    # endpos sizes: push each state's count into its suffix link, in
+    # decreasing-len order (a state's link always has smaller len)
+    for s in sorted(range(1, len(sa_len)), key=lambda i: -sa_len[i]):
+        if sa_link[s] > 0:
+            cnt[sa_link[s]] += cnt[s]
+    lrs = 0
+    for s in range(1, len(sa_len)):
+        if cnt[s] >= 2 and sa_len[s] > lrs:
+            lrs = sa_len[s]
+    lrs = min(lrs, cap)
+    if lrs == 0:
+        return 0, 0
+    n_max = sum(1 for s in range(1, len(sa_len))
+                if cnt[s] >= 2
+                and sa_len[s] >= lrs > sa_len[sa_link[s]])
+    return lrs, n_max
+
+
+def lrs_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", cap: int = 24) -> DataFrame:
+    """Per-document longest repeated token n-gram (extends
+    repetition_stats' fixed 2-/3-gram fractions to the UNBOUNDED
+    repeat length — the signal behind "remove documents with a >N-gram
+    internal repeat" training-data quality rules, and the natural
+    companion of the cross-document substring_dup_stats).
+
+    Returns (doc_id, n_tokens, lrs_len, n_max_grams): the longest n
+    (capped at `cap`) such that some n-token window occurs at >= 2
+    start positions (overlaps count), and how many distinct windows of
+    that length repeat. Zero-filled when all tokens are distinct.
+
+    Scale shape: one suffix-automaton kernel per document inside an
+    Arrow-batched mapInPandas — O(tokens) states per doc versus the
+    O(tokens * cap^2) gram materialization a join-based approach
+    shuffles, and nothing but the 4-int result row leaves Python. The
+    document is the unit of parallel work (fan_out first: fixture
+    files are single-row-group). `cap` bounds the answer, not the
+    cost — the automaton is linear regardless; it exists so the SQL
+    oracle's brute force has a finite gram domain."""
+    toked = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["__toks"]):
+                ids: dict[str, int] = {}
+                seq = [ids.setdefault(t, len(ids)) for t in toks]
+                lrs, n_max = _suffix_automaton_lrs(seq, cap)
+                out.append((int(doc_id), len(seq), lrs, n_max))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "n_tokens", "lrs_len", "n_max_grams"])
+
+    return toked.mapInPandas(
+        batches,
+        "doc_id bigint, n_tokens int, lrs_len int, n_max_grams int")

@@ -93,7 +93,13 @@ PRIORITY: tuple[str, ...] = (
 # into the budget above. New round-8 registrations append here (each
 # must be drive_contract-green locally — hash + schema — before it is
 # queued: the freeze rule).
-PENDING_ROTATION: tuple[str, ...] = ()
+PENDING_ROTATION: tuple[str, ...] = (
+    # round-8 registrations, each drive_contract-green (hash + schema)
+    # at sf0.01 before queueing: the GIF/LZW decode pair (still +
+    # animated) and the suffix-automaton repeated-n-gram profile
+    "multimodal_features_gif", "video_frames_gif",
+    "longest_repeated_ngram",
+)
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
 # reaches the oracle-backed queue first; these rows-only entries come

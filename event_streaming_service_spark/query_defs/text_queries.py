@@ -388,3 +388,50 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:rake_keyphrases)."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return text.rake_keyphrases(docs)
+
+
+@register(
+    "longest_repeated_ngram",
+    oracle=r"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS ts,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS T
+        FROM documents),
+    ns AS (SELECT doc_id, ts, T,
+                  unnest(range(1, least(24, T - 1) + 1)) AS n
+           FROM base),
+    grams AS (SELECT doc_id, n,
+                     array_to_string(list_slice(ts, i, i + n - 1),
+                                     ' ') AS g
+              FROM (SELECT doc_id, ts, n,
+                           unnest(range(1, T - n + 2)) AS i
+                    FROM ns)),
+    dup AS MATERIALIZED (
+        SELECT doc_id, n FROM grams
+        GROUP BY doc_id, n, g HAVING COUNT(*) >= 2),
+    best AS MATERIALIZED (
+        SELECT doc_id, MAX(n) AS lrs_len FROM dup GROUP BY doc_id),
+    nmax AS (SELECT d.doc_id, COUNT(*) AS n_max
+             FROM dup d JOIN best b
+                 ON d.doc_id = b.doc_id AND d.n = b.lrs_len
+             GROUP BY d.doc_id)
+    SELECT b.doc_id, CAST(b.T AS INTEGER) AS n_tokens,
+           CAST(COALESCE(bs.lrs_len, 0) AS INTEGER) AS lrs_len,
+           CAST(COALESCE(nm.n_max, 0) AS INTEGER) AS n_max_grams
+    FROM base b
+    LEFT JOIN best bs ON b.doc_id = bs.doc_id
+    LEFT JOIN nmax nm ON b.doc_id = nm.doc_id
+    """,
+    tags=("text", "quality", "dedup-substring", "udf-kernel"),
+)
+def q_longest_repeated_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated token n-gram per document via a per-doc suffix
+    automaton (O(tokens) states — operators/text.py:lrs_stats), the
+    unbounded-length companion of repetition_stats' fixed 2-/3-gram
+    duplicate fractions. The oracle brute-forces every gram length up
+    to the cap (finite domain is what the cap is for), so the
+    automaton's equivalence-class bookkeeping is checked end to end."""
+    return text.lrs_stats(_docs(spark, sf_dir))

@@ -1,0 +1,178 @@
+"""Round-8 operator tests: suffix-automaton LRS, GIF feature kernels,
+transformWithState running profile."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import multimodal, text
+
+
+def test_lrs_automaton_vs_bruteforce_fuzz():
+    import random
+
+    def brute(seq, cap):
+        best, grams = 0, set()
+        for n in range(1, min(cap, len(seq) - 1) + 1 if seq else 0):
+            seen, dup = {}, set()
+            for i in range(len(seq) - n + 1):
+                g = tuple(seq[i:i + n])
+                seen[g] = seen.get(g, 0) + 1
+                if seen[g] == 2:
+                    dup.add(g)
+            if dup:
+                best, grams = n, dup
+        return (best, len(grams)) if best else (0, 0)
+
+    rng = random.Random(1234)
+    for _ in range(500):
+        seq = [rng.randrange(rng.randint(1, 6))
+               for _ in range(rng.randint(0, 40))]
+        cap = rng.choice([3, 5, 24])
+        assert text._suffix_automaton_lrs(seq, cap) == brute(seq, cap)
+    assert text._suffix_automaton_lrs([7] * 100, 24) == (24, 1)
+    assert text._suffix_automaton_lrs([7] * 100, 200) == (99, 1)
+    assert text._suffix_automaton_lrs([], 24) == (0, 0)
+    assert text._suffix_automaton_lrs([1, 2, 3], 24) == (0, 0)
+
+
+def test_lrs_stats_known_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c d"),       # 'a b c' repeats -> lrs 3
+         (2, "x y z"),               # all distinct -> 0
+         (3, "q q q q"),             # 'q q q' repeats (overlap) -> 3
+         (4, ""),                    # empty
+         (5, "u v u w v u")],        # 'u' x3, 'v' x2; 'v u' repeats -> 2
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           text.lrs_stats(docs).collect()}
+    assert (out[1]["lrs_len"], out[1]["n_max_grams"]) == (3, 1)
+    assert (out[2]["lrs_len"], out[2]["n_max_grams"]) == (0, 0)
+    assert (out[3]["lrs_len"], out[3]["n_max_grams"]) == (3, 1)
+    assert (out[4]["n_tokens"], out[4]["lrs_len"]) == (0, 0)
+    assert (out[5]["lrs_len"], out[5]["n_max_grams"]) == (2, 1)
+    # cap binds: 10x 'a' with cap 4 -> length-4 repeat, one distinct
+    capped = text.lrs_stats(
+        spark.createDataFrame([(9, " ".join("a" * 10).strip())],
+                              "doc_id bigint, text string"),
+        cap=4).collect()[0]
+    assert (capped["lrs_len"], capped["n_max_grams"]) == (4, 1)
+
+
+def test_gif_features_match_formula(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 17, 100)],
+                                 "doc_id bigint")
+    media = multimodal.attach_gif_payload(docs)
+    rows = {r["doc_id"]: r
+            for r in multimodal.extract_features_gif(media).collect()}
+    for d in (0, 5, 17, 100):
+        w, h, nc, _ = multimodal._gif_shape(d)
+        idx = (d + np.add.outer(3 * np.arange(h), np.arange(w))) % nc
+        pal = multimodal._gif_palette(d, nc).astype("int64")
+        rgb = pal[idx]
+        r = rows[d]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_colors_used"] == len(np.unique(idx))
+        for c in range(3):
+            assert r[f"ch{c}_sum"] == int(rgb[..., c].sum())
+
+
+def test_gif_video_frames_and_deltas(spark):
+    docs = spark.createDataFrame([(7,)], "doc_id bigint")
+    media = multimodal.attach_gif_payload(docs, animated=True)
+    out = (multimodal.video_frame_stats_gif(media)
+           .orderBy("frame_idx").collect())
+    w, h, nc, nf = multimodal._gif_shape(7)
+    assert len(out) == nf
+    frames, pal = multimodal._gif_frames(7)
+    rgb = pal[frames].astype("int64")
+    for f, r in enumerate(out):
+        assert r["ch0_sum"] == int(rgb[f, ..., 0].sum())
+        want = int(np.abs(rgb[f] - rgb[f - 1]).sum()) if f else 0
+        assert r["diff_sum"] == want
+    assert out[1]["diff_sum"] > 0  # palette rotation moves pixels
+
+
+def test_running_profile_stream_matches_batch(spark, tmp_path):
+    """transformWithState (state-v2): multi-batch stream == batch
+    window twin, all three state variables carrying across batches.
+
+    Skips when the `protobuf` package is absent: PySpark's
+    TransformWithStateInPySpark state server speaks protobuf between
+    the JVM and the Python driver worker, so the API cannot
+    initialize without it (same env gate as the spark-protobuf jar
+    parity test — the operator itself is complete)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf")
+    from event_streaming_service_spark.streaming import stateful
+
+    pdf = pd.DataFrame({
+        "event_id": range(1, 13),
+        "ts": pd.to_datetime([f"2024-01-01 00:{m:02d}:00"
+                              for m in range(1, 13)]),
+        "user_id": [1, 2, 1, 1, 2, 1, 2, 1, 2, 1, 1, 2],
+        "event_type": ["a", "a", "b", "a", "b", "b",
+                       "a", "c", "c", "a", "b", "a"],
+        "value": [1.25, 2.0, 0.5, 3.75, 1.0, 2.25,
+                  0.75, 4.0, 1.5, 2.5, 0.25, 3.0],
+        "props": [""] * 12,
+    })
+    src = str(tmp_path / "src")
+    import os
+
+    # two part files with increasing mtimes -> two micro-batches in
+    # time order (the _stream_src device)
+    spark.createDataFrame(pdf[:6]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(pdf[6:]).coalesce(1).write.mode(
+        "append").parquet(src)
+    parts = sorted(p for p in os.listdir(src) if p.startswith("part-"))
+    base = max(os.stat(os.path.join(src, p)).st_mtime for p in parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(src, p), (base + i + 1, base + i + 1))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        stream = (spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string")
+            .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stateful.running_profile_stream(stream)
+             .writeStream.format("memory").queryName("trp")
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        got = {r["event_id"]: r for r in spark.table("trp").collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # batch twin
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (F.row_number().over(
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")) == 1).cast("int")
+    want = (spark.createDataFrame(pdf)
+            .withColumn("cents",
+                        F.floor(F.col("value") * 100 + 0.5))
+            .withColumn("n_events", F.row_number().over(w).cast("long"))
+            .withColumn("n_types_seen",
+                        F.sum(first).over(w).cast("int"))
+            .withColumn("last3_cents_sum",
+                        F.sum("cents").over(w.rowsBetween(-2, 0))))
+    for r in want.collect():
+        g = got[r["event_id"]]
+        assert (g["n_events"], g["n_types_seen"],
+                g["last3_cents_sum"]) == \
+            (r["n_events"], r["n_types_seen"], r["last3_cents_sum"]), \
+            r["event_id"]
+    assert len(got) == 12
