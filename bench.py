@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "multimodal_features_gif",       # real GIF/LZW decode
     "video_frames_gif",              # animated GIF per-frame stats
     "longest_repeated_ngram",        # per-doc suffix-automaton LRS
+    "blocklist_scan",                # Aho-Corasick banned phrases
+    "interval_coverage_supplier",    # overlap-merging islands
 ]
 
 

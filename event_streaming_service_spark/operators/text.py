@@ -709,3 +709,100 @@ def lrs_stats(docs: DataFrame, id_col: str = "doc_id",
     return toked.mapInPandas(
         batches,
         "doc_id bigint, n_tokens int, lrs_len int, n_max_grams int")
+
+
+def _aho_corasick(patterns: list[str]):
+    """Build an Aho-Corasick automaton (goto trie + BFS failure links
+    + merged output lists — Aho & Corasick, CACM 1975). Returns
+    (goto: list[dict[ch, state]], outputs: list[list[pattern_idx]])
+    with state 0 the root. One pass over a text then reports EVERY
+    occurrence of every pattern (overlaps included)."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                nxt = len(goto)
+                goto[s][ch] = nxt
+                goto.append({})
+                out.append([])
+            s = nxt
+        out[s].append(pi)
+    # failure links by BFS; merge output lists along failures
+    from collections import deque
+
+    fail = [0] * len(goto)
+    dq = deque(goto[0].values())
+    while dq:
+        s = dq.popleft()
+        for ch, t in goto[s].items():
+            dq.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f][ch] if ch in goto[f] and goto[f][ch] != t \
+                else 0
+            out[t] = out[t] + out[fail[t]]
+    return goto, fail, out
+
+
+def multi_pattern_scan(docs: DataFrame, patterns: tuple[str, ...],
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Blocklist / banned-phrase scan — the multi-pattern substring
+    filter every training-data pipeline runs before a corpus ships:
+    ONE Aho-Corasick pass per document reports every occurrence of
+    every pattern in O(chars + matches), versus the len(patterns)
+    separate scans a contains()-per-pattern plan pays (and a regex
+    alternation compiles to a backtracking NFA with no such bound).
+
+    Returns per doc: n_matches (total occurrences over all patterns,
+    overlaps counted), n_patterns (distinct patterns present),
+    first_pos (1-based position of the earliest match start, 0 if
+    clean). The SQL oracle counts occurrences with the length-delta
+    replace() device, which counts NON-overlapping occurrences — so
+    callers wanting oracle parity must pass border-free patterns (no
+    proper prefix that is also a suffix), where the two counts agree;
+    the automaton itself is exact either way.
+
+    Scale shape: the automaton builds once on the driver (pattern
+    list sized) and rides the closure into an Arrow-batched
+    mapInPandas; each doc is one linear kernel scan and only the
+    3-int row leaves Python."""
+    goto, fail, out = _aho_corasick(list(patterns))
+    plens = [len(p) for p in patterns]
+
+    toked = fan_out(docs).select(F.col(id_col).alias("doc_id"),
+                                 F.col(text_col).alias("__t"))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["__t"]):
+                s = 0
+                n_matches = 0
+                seen: set[int] = set()
+                first = 0
+                for i, ch in enumerate(txt or ""):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    if out[s]:
+                        n_matches += len(out[s])
+                        for pi in out[s]:
+                            seen.add(pi)
+                            start = i - plens[pi] + 2  # 1-based
+                            if first == 0 or start < first:
+                                first = start
+                yield_row = (int(doc_id), n_matches, len(seen), first)
+                rows.append(yield_row)
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_matches", "n_patterns", "first_pos"])
+
+    return toked.mapInPandas(
+        batches,
+        "doc_id bigint, n_matches bigint, n_patterns int, first_pos int")

@@ -561,3 +561,44 @@ def rolling_time_sum(df: DataFrame, key_col: str, ts_col: str,
     return (df.withColumn("__units", units)
             .withColumn(out_col, F.sum("__units").over(w))
             .drop("__units"))
+
+
+def interval_coverage(df: DataFrame, key_col: str, start_col: str,
+                      end_col: str) -> DataFrame:
+    """Merge overlapping [start, end] intervals per key (the
+    gaps-and-islands INTERVAL variant: activity_streaks handles
+    consecutive-bucket islands; this handles arbitrary spans that can
+    nest and chain) and report per key:
+      n_intervals, n_islands, covered_days (union length, inclusive),
+      max_island_days.
+    Touching intervals (next.start == running max end) merge — an
+    island breaks only when start > max(end) over all earlier rows.
+
+    Deterministic regardless of tiebreaks among equal starts: a row
+    whose start equals an earlier row's start can never open an
+    island (that earlier interval's end >= its own start), so island
+    boundaries depend only on the (start) sort, which is total enough.
+
+    Plan shape: ONE shuffle on the key; the running max(end) is a
+    GROWING rows-frame (UNBOUNDED PRECEDING .. -1), which Spark
+    maintains incrementally — O(1) per row, unlike bounded-start
+    range frames (see time_windowed_sum's caveat); then one hash agg
+    to island grain and one to key grain, both reusing the exchange."""
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = (prev_max.isNull()
+              | (F.col(start_col) > prev_max)).cast("bigint")
+    islands = (df
+               .withColumn("__isl", F.sum(is_new).over(
+                   w.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy(key_col, "__isl")
+               .agg(F.min(start_col).alias("__s"),
+                    F.max(end_col).alias("__e"),
+                    F.count(F.lit(1)).alias("__n")))
+    days = F.datediff(F.col("__e"), F.col("__s")) + 1
+    return (islands.groupBy(key_col)
+            .agg(F.sum("__n").cast("bigint").alias("n_intervals"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+                 F.sum(days).cast("bigint").alias("covered_days"),
+                 F.max(days).cast("int").alias("max_island_days")))

@@ -99,6 +99,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # animated) and the suffix-automaton repeated-n-gram profile
     "multimodal_features_gif", "video_frames_gif",
     "longest_repeated_ngram",
+    # second round-8 wave: Aho-Corasick banned-phrase scan and
+    # overlap-merging interval islands, same local-green gate
+    "blocklist_scan", "interval_coverage_supplier",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -435,3 +435,44 @@ def q_longest_repeated_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the cap (finite domain is what the cap is for), so the
     automaton's equivalence-class bookkeeping is checked end to end."""
     return text.lrs_stats(_docs(spark, sf_dir))
+
+
+# Border-free (no proper prefix == suffix), so the oracle's
+# non-overlapping replace() count equals the automaton's all-
+# occurrences count; asserted border-free in tests/test_round8_ops.py.
+BLOCKLIST_PATTERNS = ("fast table", "key agg", "slow filter",
+                      "value sort", "big vector", "window data",
+                      "order group", "scan query", "batch part")
+
+_PATS_SQL = ", ".join(f"('{p}')" for p in BLOCKLIST_PATTERNS)
+
+
+@register(
+    "blocklist_scan",
+    oracle=f"""
+    WITH pats(p) AS (VALUES {_PATS_SQL}),
+    per AS (SELECT doc_id, p,
+                   (len(text) - len(replace(text, p, ''))) // len(p)
+                       AS cnt,
+                   strpos(text, p) AS pos
+            FROM documents, pats)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_patterns,
+           CAST(COALESCE(MIN(CASE WHEN pos > 0 THEN pos END), 0)
+                AS INTEGER) AS first_pos
+    FROM per GROUP BY doc_id
+    """,
+    tags=("text", "quality", "udf-kernel", "governance"),
+)
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banned-phrase blocklist scan: ONE Aho-Corasick automaton pass
+    per document reports every occurrence of every pattern in
+    O(chars + matches) (operators/text.py:multi_pattern_scan) — the
+    pre-training corpus filter shape where a contains()-per-pattern
+    plan pays len(patterns) scans. The oracle recounts each pattern
+    with the replace() length-delta device and re-derives the
+    earliest match position with strpos."""
+    return text.multi_pattern_scan(_docs(spark, sf_dir),
+                                   BLOCKLIST_PATTERNS)

@@ -230,3 +230,61 @@ def q_ewma_segmented_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  EWMA_ALPHA, order_tiebreak="event_id",
                                  n_segments=8)
     return out.select("user_id", "ts", "value", "ewma")
+
+
+@register(
+    "interval_coverage_supplier",
+    oracle="""
+    WITH base AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE)
+                   + CAST(l_orderkey % 15 AS INTEGER) AS e
+        FROM lineitem),
+    marked AS (
+        SELECT l_suppkey, s, e,
+               CASE WHEN MAX(e) OVER (
+                        PARTITION BY l_suppkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL
+                      OR s > MAX(e) OVER (
+                        PARTITION BY l_suppkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM base),
+    isl AS (
+        SELECT l_suppkey, s, e,
+               SUM(is_new) OVER (PARTITION BY l_suppkey
+                                 ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS isl_id
+        FROM marked),
+    merged AS (
+        SELECT l_suppkey, isl_id, MIN(s) AS ms, MAX(e) AS me,
+               COUNT(*) AS n
+        FROM isl GROUP BY l_suppkey, isl_id)
+    SELECT l_suppkey,
+           CAST(SUM(n) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(me - ms + 1) AS INTEGER) AS max_island_days
+    FROM merged GROUP BY l_suppkey
+    """,
+    tags=("W8", "windows", "islands", "bi"),
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per supplier
+    (operators/windows.interval_coverage): overlap-merging
+    gaps-and-islands with a growing-frame running MAX(end), union day
+    counts inclusive. The fixture lineitem carries only l_shipdate, so
+    the span end derives deterministically as shipdate + orderkey % 15
+    days (both engines compute it identically; DuckDB date + int is
+    day arithmetic, matching Spark's date_add), giving spans from 1 to
+    15 days that genuinely nest and chain."""
+    li = (tables.load_table(spark, sf_dir, "lineitem")
+          .withColumn("__start", F.to_date("l_shipdate"))
+          .withColumn("__end", F.date_add(
+              F.col("__start"),
+              (F.col("l_orderkey") % 15).cast("int"))))
+    return windows.interval_coverage(li, "l_suppkey",
+                                     "__start", "__end")

@@ -176,3 +176,110 @@ def test_running_profile_stream_matches_batch(spark, tmp_path):
             (r["n_events"], r["n_types_seen"], r["last3_cents_sum"]), \
             r["event_id"]
     assert len(got) == 12
+
+
+def test_aho_corasick_vs_naive_fuzz():
+    import random
+
+    from event_streaming_service_spark.operators.text import (
+        _aho_corasick)
+
+    def naive(txt, pats):
+        total, seen, first = 0, set(), 0
+        for pi, p in enumerate(pats):
+            start = 0
+            while True:
+                j = txt.find(p, start)
+                if j < 0:
+                    break
+                total += 1
+                seen.add(pi)
+                if first == 0 or j + 1 < first:
+                    first = j + 1
+                start = j + 1  # overlapping occurrences count
+        return total, len(seen), first
+
+    def ac(txt, pats):
+        goto, fail, out = _aho_corasick(list(pats))
+        plens = [len(p) for p in pats]
+        s, n, seen, first = 0, 0, set(), 0
+        for i, ch in enumerate(txt):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                n += len(out[s])
+                for pi in out[s]:
+                    seen.add(pi)
+                    st = i - plens[pi] + 2
+                    if first == 0 or st < first:
+                        first = st
+        return n, len(seen), first
+
+    rng = random.Random(99)
+    for _ in range(800):
+        alpha = "ab" if rng.random() < 0.5 else "abc"
+        txt = "".join(rng.choice(alpha)
+                      for _ in range(rng.randint(0, 60)))
+        pats = list({"".join(rng.choice(alpha)
+                             for _ in range(rng.randint(1, 5)))
+                     for _ in range(rng.randint(1, 6))})
+        assert ac(txt, pats) == naive(txt, pats), (txt, pats)
+
+
+def test_blocklist_patterns_are_border_free():
+    # the oracle's replace() device counts NON-overlapping matches;
+    # border-free patterns make that equal the automaton's
+    # all-occurrences count — pin the invariant on the shipped list
+    from event_streaming_service_spark.query_defs.text_queries import (
+        BLOCKLIST_PATTERNS)
+
+    for p in BLOCKLIST_PATTERNS:
+        assert not any(p[:k] == p[-k:] for k in range(1, len(p))), p
+
+
+def test_multi_pattern_scan_known(spark):
+    from event_streaming_service_spark.operators.text import (
+        multi_pattern_scan)
+
+    docs = spark.createDataFrame(
+        [(1, "xx fast table yy key agg zz key agg"),
+         (2, "clean text here"),
+         (3, "key aggkey agg")],   # adjacent occurrences
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in multi_pattern_scan(
+        docs, ("fast table", "key agg")).collect()}
+    assert (out[1]["n_matches"], out[1]["n_patterns"],
+            out[1]["first_pos"]) == (3, 2, 4)
+    assert (out[2]["n_matches"], out[2]["n_patterns"],
+            out[2]["first_pos"]) == (0, 0, 0)
+    assert (out[3]["n_matches"], out[3]["n_patterns"],
+            out[3]["first_pos"]) == (2, 1, 1)
+
+
+def test_interval_coverage_known(spark):
+    from event_streaming_service_spark.operators.windows import (
+        interval_coverage)
+
+    rows = [
+        # key 1: [1,3] + [2,5] overlap; [5,6] touches (start == max
+        # end -> merges); [8,9] separate -> 2 islands, 6 + 2 days
+        (1, "2024-01-01", "2024-01-03"),
+        (1, "2024-01-02", "2024-01-05"),
+        (1, "2024-01-05", "2024-01-06"),
+        (1, "2024-01-08", "2024-01-09"),
+        # key 2: nested interval does not extend the island
+        (2, "2024-02-01", "2024-02-10"),
+        (2, "2024-02-03", "2024-02-04"),
+    ]
+    df = (spark.createDataFrame(rows, "k bigint, s string, e string")
+          .select("k", F.to_date("s").alias("s"),
+                  F.to_date("e").alias("e")))
+    out = {r["k"]: r for r in
+           interval_coverage(df, "k", "s", "e").collect()}
+    assert (out[1]["n_intervals"], out[1]["n_islands"],
+            out[1]["covered_days"], out[1]["max_island_days"]) \
+        == (4, 2, 8, 6)
+    assert (out[2]["n_intervals"], out[2]["n_islands"],
+            out[2]["covered_days"], out[2]["max_island_days"]) \
+        == (2, 1, 10, 10)

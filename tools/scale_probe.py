@@ -869,6 +869,45 @@ def probe_adamic_hub(spark):
                  f"(uncapped ~5e11 wedges) top1=path parity-slice ok")
 
 
+def probe_lrs(spark):
+    """32 docs x 1M tokens through the suffix-automaton LRS kernel:
+    one DOC is the unit of parallel work, so the hazard is a single
+    huge document, not the corpus. Tokens are globally unique per doc
+    ("w<i>") except a 30-token block planted at two positions, so the
+    only repeats are the planted block and its sub-grams: with cap 24
+    the exact answer is lrs_len=24 and n_max_grams = 30-24+1 = 7
+    distinct capped grams, closed form for every doc. Proves the
+    automaton stays linear (3M-ish states in Python lists per doc)
+    and that per-doc memory is bounded by the doc, with nothing but
+    the 4-int row leaving the kernel."""
+    from event_streaming_service_spark.operators.text import lrs_stats
+
+    n_docs, n_toks, block, at1, at2 = 32, 1_000_000, 30, 1000, 500_000
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for d in pdf["id"]:
+                toks = [f"d{d}w{i}" for i in range(n_toks)]
+                toks[at2:at2 + block] = toks[at1:at1 + block]
+                rows.append((int(d), " ".join(toks)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    docs = (spark.range(n_docs).repartition(n_docs)
+            .mapInPandas(gen, "doc_id bigint, text string"))
+    t0 = time.perf_counter()
+    out = lrs_stats(docs, cap=24).collect()
+    sec = time.perf_counter() - t0
+    assert len(out) == n_docs
+    for r in out:
+        assert (r["n_tokens"], r["lrs_len"], r["n_max_grams"]) \
+            == (n_toks, 24, 7), r
+    return sec, (f"docs={n_docs} x {n_toks} tokens; planted 30-gram "
+                 f"-> capped lrs=24, 7 distinct max grams, all exact")
+
+
 def probe_kcore(spark):
     """1000-clique + 5M-node chain, k=3: the chain (deg <= 2) peels in
     ONE round and the early-exit fires on the next — survivors must be
@@ -969,6 +1008,7 @@ PROBES = {
     "adamic_adar": probe_adamic_adar,
     "adamic_hub": probe_adamic_hub,
     "assoc_rules": probe_assoc_rules,
+    "lrs": probe_lrs,
     "kcore": probe_kcore,
     "global_rank": probe_global_rank,
     "cdc_merge": probe_cdc_merge,
