@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "longest_repeated_ngram",        # per-doc suffix-automaton LRS
     "blocklist_scan",                # Aho-Corasick banned phrases
     "interval_coverage_supplier",    # overlap-merging islands
+    "psi_value_drift",               # population stability index
+    "cusum_value_alerts",            # max-plus change-point fold
 ]
 
 

@@ -143,3 +143,146 @@ def seasonal_count_anomalies(events: DataFrame, ts_col: str,
                     "hr", "dow", "cnt", "n_days",
                     F.col("sum_cnt").cast("bigint").alias("sum_cnt"))
             .orderBy("event_date", "hr"))
+
+
+def psi_drift(df: DataFrame, group_col: str, value_col: str,
+              period_flag: Column, n_bins: int = 10,
+              bin_width: float = 50.0) -> DataFrame:
+    """Population Stability Index per group — the feature-drift gate
+    ML-ops pipelines run between a training window and a serving
+    window before (re)training: bin the value, compare the two
+    periods' bin distributions,
+        PSI = sum_bins (p_i - q_i) * ln(p_i / q_i),
+    with Laplace +1 smoothing so empty bins stay finite. Conventional
+    reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 retrain.
+
+    Engine-exactness: bins are fixed-width integer arithmetic
+    (least(floor(value / bin_width), n_bins - 1)); the smoothed
+    shares p, q and the per-bin term are the SAME short float-op
+    sequence in both engines and the term is pinned to integer
+    nano-units (floor(term * 1e9 + 0.5)) BEFORE the cross-bin sum —
+    the PMI/entropy device — so psi_nano is an exact bigint.
+
+    Returns one row per (group, bin) with the counts and the pinned
+    term, plus the group PSI broadcast back on every row (the drilldown
+    shape: the flagged group AND which bins moved, one result set).
+
+    Scale shape: one hash agg to (group, bin, period) grain, a pivot
+    to two count columns, and one window sum over <= n_bins rows per
+    group — no joins, no skew surface (bins bound the grain)."""
+    bin_col = F.least(F.floor(F.col(value_col) / bin_width),
+                      F.lit(n_bins - 1)).cast("int")
+    base = (df.select(F.col(group_col).alias("grp"),
+                      bin_col.alias("bin"),
+                      period_flag.cast("int").alias("__p"))
+            .groupBy("grp", "bin")
+            .agg(F.sum(F.when(F.col("__p") == 0, 1).otherwise(0))
+                 .alias("cnt_a"),
+                 F.sum(F.when(F.col("__p") == 1, 1).otherwise(0))
+                 .alias("cnt_b")))
+    wg = Window.partitionBy("grp")
+    n_a = F.sum("cnt_a").over(wg)
+    n_b = F.sum("cnt_b").over(wg)
+    # Laplace +1 over the FULL bin domain: absent (grp, bin) rows
+    # contribute (1/(nA+n_bins) - 1/(nB+n_bins)) * ln(ratio) — a
+    # nonzero constant per missing bin, so the domain must be dense.
+    # Densify with a bins spine cross join (n_bins rows, broadcast).
+    spine = (df.sparkSession.range(n_bins)
+             .select(F.col("id").cast("int").alias("bin")))
+    grps = base.select("grp").distinct()
+    dense = (grps.crossJoin(F.broadcast(spine))
+             .join(base, ["grp", "bin"], "left")
+             .fillna(0, ["cnt_a", "cnt_b"]))
+    p = (F.col("cnt_a") + 1) / (n_a + F.lit(n_bins))
+    q = (F.col("cnt_b") + 1) / (n_b + F.lit(n_bins))
+    term_nano = F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5)) \
+        .cast("long")
+    per_bin = dense.withColumn("term_nano", term_nano)
+    return (per_bin
+            .withColumn("psi_nano",
+                        F.sum("term_nano").over(wg).cast("long"))
+            .select(F.col("grp").alias(group_col), "bin",
+                    F.col("cnt_a").cast("bigint").alias("cnt_a"),
+                    F.col("cnt_b").cast("bigint").alias("cnt_b"),
+                    "term_nano", "psi_nano"))
+
+
+def cusum_alerts(events: DataFrame, key_col: str, ts_col: str,
+                 value_col: str, k_cents: int, h_cents: int,
+                 tiebreak_col: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per key (Page 1954):
+    fold S_i = max(0, S_{i-1} + cents_i - k) over the key's timeline
+    and alert when S crosses h — the sequential drift detector that
+    flags a sustained upward shift in a metric (fraud spend, error
+    rate, latency) far earlier than fixed-threshold rules. All state
+    is integer cents, so the fold is engine-exact.
+
+    Returns one summary row per key:
+      (key, n_events, n_alerts, max_cusum_cents, first_alert_id)
+    with n_alerts counting CROSSINGS (S goes from <= h to > h; a
+    sustained excursion is one alert until S returns below h).
+
+    Scale shape: ONE partition-level kernel pass — repartition on the
+    key, sortWithinPartitions((key, ts, tiebreak)), mapInPandas with
+    the fold state carried across group boundaries and Arrow batches
+    (the many-small-groups device from ewma_segmented: applyInPandas
+    pays ~1 ms per GROUP). A key bigger than a task would use a
+    segmented scan exactly like ewma_segmented — the recurrence is
+    max-plus affine (a segment composes to S_out = max(S_in + a, m),
+    and (a, m) pairs compose associatively) — not needed at the
+    fixture's per-key rates, documented for the 100 TB shape."""
+    import pandas as pd
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    n = events.sparkSession.sparkContext.defaultParallelism
+    base = (events.select(F.col(key_col).alias("__k"),
+                          F.col(ts_col).alias("__ts"),
+                          F.col(tiebreak_col).alias("__tb"),
+                          cents.alias("__c"))
+            .repartition(n, "__k")
+            .sortWithinPartitions("__k", "__ts", "__tb"))
+
+    out_schema = (f"{key_col} bigint, n_events bigint, "
+                  "n_alerts bigint, max_cusum_cents bigint, "
+                  "first_alert_id bigint")
+
+    def part(batches):
+        cur = None
+        s = n_ev = n_al = mx = 0
+        above = False
+        first = None
+        done = []
+
+        def flush():
+            if cur is not None:
+                done.append((cur, n_ev, n_al, mx,
+                             first if first is not None else 0))
+
+        for pdf in batches:
+            ks = pdf["__k"].to_numpy()
+            cs = pdf["__c"].to_numpy()
+            tbs = pdf["__tb"].to_numpy()
+            for i in range(len(pdf)):
+                if ks[i] != cur:
+                    flush()
+                    cur = int(ks[i])
+                    s = n_ev = n_al = mx = 0
+                    above, first = False, None
+                n_ev += 1
+                s = max(0, s + int(cs[i]) - k_cents)
+                if s > mx:
+                    mx = s
+                if s > h_cents:
+                    if not above:
+                        n_al += 1
+                        if first is None:
+                            first = int(tbs[i])
+                    above = True
+                else:
+                    above = False
+        flush()
+        yield pd.DataFrame(done, columns=[
+            key_col, "n_events", "n_alerts", "max_cusum_cents",
+            "first_alert_id"])
+
+    return base.mapInPandas(part, out_schema)

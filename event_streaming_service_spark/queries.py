@@ -102,6 +102,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     # second round-8 wave: Aho-Corasick banned-phrase scan and
     # overlap-merging interval islands, same local-green gate
     "blocklist_scan", "interval_coverage_supplier",
+    # third round-8 wave: ML-ops drift + sequential change detection
+    "psi_value_drift", "cusum_value_alerts",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

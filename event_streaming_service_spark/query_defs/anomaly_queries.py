@@ -167,3 +167,118 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/anomaly.py:seasonal_count_anomalies)."""
     ev = tables.load_table(spark, sf_dir, "events")
     return anomaly.seasonal_count_anomalies(ev, "ts", k_num=3, k_den=2)
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS grp,
+               CAST(LEAST(FLOOR(value / 50.0), 9) AS INTEGER) AS bin,
+               event_id % 2 AS p
+        FROM events),
+    cnt AS (SELECT grp, bin,
+                   SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS cnt_a,
+                   SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS cnt_b
+            FROM base GROUP BY grp, bin),
+    dense AS (
+        SELECT g.grp, b.bin,
+               COALESCE(c.cnt_a, 0) AS cnt_a,
+               COALESCE(c.cnt_b, 0) AS cnt_b
+        FROM (SELECT DISTINCT grp FROM cnt) g
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+        LEFT JOIN cnt c ON c.grp = g.grp AND c.bin = b.bin),
+    tot AS (SELECT *,
+                   SUM(cnt_a) OVER (PARTITION BY grp) AS na,
+                   SUM(cnt_b) OVER (PARTITION BY grp) AS nb
+            FROM dense),
+    terms AS (SELECT grp, bin, cnt_a, cnt_b,
+                     CAST(FLOOR(
+                         ((cnt_a + 1) / (na + 10.0)
+                          - (cnt_b + 1) / (nb + 10.0))
+                         * ln(((cnt_a + 1) / (na + 10.0))
+                              / ((cnt_b + 1) / (nb + 10.0)))
+                         * 1e9 + 0.5) AS BIGINT) AS term_nano
+              FROM tot)
+    SELECT grp AS event_type, bin,
+           CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b, term_nano,
+           CAST(SUM(term_nano) OVER (PARTITION BY grp) AS BIGINT)
+               AS psi_nano
+    FROM terms
+    """,
+    tags=("anomaly", "drift", "governance", "ml-ops"),
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution per
+    event_type between two half-populations (event_id parity stands in
+    for the training/serving window split — deterministic and
+    sf-independent): fixed-width bins, Laplace-smoothed shares,
+    per-bin (p-q)ln(p/q) terms pinned to integer nano-units before the
+    cross-bin sum (operators/anomaly.py:psi_drift). The drilldown
+    shape: every (type, bin) row plus the group PSI."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.psi_drift(ev, "event_type", "value",
+                             (F.col("event_id") % 2 == 1))
+
+
+CUSUM_K_CENTS = 7_500   # drift allowance: 1.5x the ~\$50 mean value
+CUSUM_H_CENTS = 30_000  # alert threshold
+
+
+@register(
+    "cusum_value_alerts",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events),
+    walk(user_id, seq, s, above, n_al, first_alert) AS (
+        SELECT user_id, seq,
+               GREATEST(0, cents - {CUSUM_K_CENTS}) AS s,
+               GREATEST(0, cents - {CUSUM_K_CENTS}) > {CUSUM_H_CENTS}
+                   AS above,
+               CASE WHEN GREATEST(0, cents - {CUSUM_K_CENTS})
+                         > {CUSUM_H_CENTS} THEN 1 ELSE 0 END AS n_al,
+               CASE WHEN GREATEST(0, cents - {CUSUM_K_CENTS})
+                         > {CUSUM_H_CENTS} THEN event_id END
+                   AS first_alert
+        FROM ordered WHERE seq = 1
+        UNION ALL
+        SELECT o.user_id, o.seq,
+               GREATEST(0, w.s + o.cents - {CUSUM_K_CENTS}),
+               GREATEST(0, w.s + o.cents - {CUSUM_K_CENTS})
+                   > {CUSUM_H_CENTS},
+               w.n_al + CASE WHEN GREATEST(0, w.s + o.cents
+                                  - {CUSUM_K_CENTS}) > {CUSUM_H_CENTS}
+                              AND NOT w.above THEN 1 ELSE 0 END,
+               COALESCE(w.first_alert,
+                        CASE WHEN GREATEST(0, w.s + o.cents
+                                  - {CUSUM_K_CENTS}) > {CUSUM_H_CENTS}
+                                  AND NOT w.above
+                             THEN o.event_id END)
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.seq = w.seq + 1)
+    SELECT user_id,
+           CAST(MAX(seq) AS BIGINT) AS n_events,
+           CAST(MAX(n_al) AS BIGINT) AS n_alerts,
+           CAST(MAX(s) AS BIGINT) AS max_cusum_cents,
+           CAST(COALESCE(MAX(first_alert), 0) AS BIGINT)
+               AS first_alert_id
+    FROM walk GROUP BY user_id
+    """,
+    tags=("anomaly", "cusum", "stateful", "udf-kernel"),
+)
+def q_cusum_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM over event value cents
+    (operators/anomaly.py:cusum_alerts): integer max-plus fold in one
+    partition-level kernel pass, alerts on upward drift crossings.
+    The oracle unrolls the fold as a recursive CTE — inherently
+    row-at-a-time in SQL (the EWMA-family handicapped-oracle shape),
+    which is exactly why the engine side is a kernel."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.cusum_alerts(ev, "user_id", "ts", "value",
+                                CUSUM_K_CENTS, CUSUM_H_CENTS,
+                                "event_id")

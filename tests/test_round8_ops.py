@@ -283,3 +283,52 @@ def test_interval_coverage_known(spark):
     assert (out[2]["n_intervals"], out[2]["n_islands"],
             out[2]["covered_days"], out[2]["max_island_days"]) \
         == (2, 1, 10, 10)
+
+
+def test_cusum_known_sequence(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        cusum_alerts)
+
+    # k=100, h=250: cents 400,50,50,400,400 ->
+    # S: 300, 250, 200, 500, 800 -> above at S=300 (cross #1), back
+    # to <=250 at S=250, cross #2 at S=500, stays above at 800
+    rows = [(1, f"2024-01-01 00:0{i}:00", i + 1, v)
+            for i, v in enumerate([4.0, 0.5, 0.5, 4.0, 4.0])]
+    df = (spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_id bigint, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    out = cusum_alerts(df, "user_id", "ts", "value",
+                       k_cents=100, h_cents=250,
+                       tiebreak_col="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_events"], r["n_alerts"], r["max_cusum_cents"],
+            r["first_alert_id"]) == (5, 2, 800, 1)
+
+
+def test_psi_identical_halves_near_zero(spark):
+    from event_streaming_service_spark.operators.anomaly import psi_drift
+
+    # the same 40 values in both periods -> every p == q -> every
+    # term is floor(0 + 0.5) = 0 and PSI == 0 exactly
+    rows = [(float(v), p) for v in range(0, 400, 10) for p in (0, 1)]
+    df = spark.createDataFrame(rows, "value double, p int")
+    out = psi_drift(df.withColumn("g", F.lit("t")), "g", "value",
+                    F.col("p") == 1)
+    got = out.collect()
+    assert len(got) == 10  # dense bin spine
+    assert all(r["term_nano"] == 0 and r["psi_nano"] == 0 for r in got)
+    assert sum(r["cnt_a"] for r in got) == 40
+
+
+def test_psi_shifted_distribution_positive(spark):
+    from event_streaming_service_spark.operators.anomaly import psi_drift
+
+    # period A all in bin 0, period B all in bin 9 -> large PSI
+    rows = [(10.0, 0)] * 30 + [(480.0, 1)] * 30
+    df = (spark.createDataFrame(rows, "value double, p int")
+          .withColumn("g", F.lit("t")))
+    got = psi_drift(df, "g", "value", F.col("p") == 1).collect()
+    psi = got[0]["psi_nano"]
+    assert all(r["psi_nano"] == psi for r in got)
+    assert psi > 4_000_000_000  # PSI > 4.0 nats — massive shift
