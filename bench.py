@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "interval_coverage_supplier",    # overlap-merging islands
     "psi_value_drift",               # population stability index
     "cusum_value_alerts",            # max-plus change-point fold
+    "embedding_gram_matrix",         # Q^T Q tree aggregate
 ]
 
 

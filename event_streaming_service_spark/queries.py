@@ -104,6 +104,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "blocklist_scan", "interval_coverage_supplier",
     # third round-8 wave: ML-ops drift + sequential change detection
     "psi_value_drift", "cusum_value_alerts",
+    "embedding_gram_matrix",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

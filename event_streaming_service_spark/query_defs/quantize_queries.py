@@ -57,3 +57,31 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings: one tiny stats shuffle + one broadcast pass."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return quantize.scalar_quantize_int8(emb)
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS qv
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings))
+    SELECT a.i, b.i AS j,
+           CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("similarity", "quantize", "embedding", "linalg",
+          "udf-kernel"),
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized Gram matrix over the embedding corpus
+    (operators/quantize.py:gram_matrix): per-partition BLAS Q^T Q
+    tree-aggregate, d*(d+1)/2 upper-triangle rows out. The oracle
+    pays the explode + self-join shape (n_vecs * d^2/2 pairs) the
+    kernel exists to avoid."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return quantize.gram_matrix(emb)

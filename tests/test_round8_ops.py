@@ -332,3 +332,22 @@ def test_psi_shifted_distribution_positive(spark):
     psi = got[0]["psi_nano"]
     assert all(r["psi_nano"] == psi for r in got)
     assert psi > 4_000_000_000  # PSI > 4.0 nats — massive shift
+
+
+def test_gram_matrix_tiny_exact(spark):
+    from event_streaming_service_spark.operators.quantize import (
+        gram_matrix)
+
+    emb = spark.createDataFrame(
+        [(1, [0.001, 0.002, -0.003]),
+         (2, [0.004, -0.005, 0.006])],
+        "vec_id bigint, embedding array<double>")
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in gram_matrix(emb).collect()}
+    # quantized rows: (1, 2, -3) and (4, -5, 6)
+    q = [(1, 2, -3), (4, -5, 6)]
+    for i in range(3):
+        for j in range(i, 3):
+            want = sum(v[i] * v[j] for v in q)
+            assert got[(i + 1, j + 1)] == want
+    assert len(got) == 6

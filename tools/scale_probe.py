@@ -908,6 +908,43 @@ def probe_lrs(spark):
                  f"-> capped lrs=24, 7 distinct max grams, all exact")
 
 
+def probe_gram(spark):
+    """2M x 64-dim vectors through the Gram tree-aggregate: each
+    partition folds to ONE (64, 64) int64 accumulator (BLAS Q^T Q per
+    Arrow batch) and only partitions x 2080 partial rows shuffle —
+    nothing row-grain. Components are ((id + d) % 7 - 3) / 1000, so
+    quantized values are (id+d)%7-3 and, with 2M a multiple of 7 in
+    count per residue class... it is not, so the truth is computed by
+    residue-class counting in exact Python ints and every one of the
+    2080 cells must match it."""
+    from event_streaming_service_spark.operators.quantize import (
+        gram_matrix)
+
+    n, d = 2_000_000, 64
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda j: ((F.col("id") + j) % 7 - 3) / F.lit(1000.0))
+    emb = spark.range(n).select(F.col("id").alias("vec_id"),
+                                vec.alias("embedding"))
+    t0 = time.perf_counter()
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in gram_matrix(emb).collect()}
+    sec = time.perf_counter() - t0
+    assert len(got) == d * (d + 1) // 2
+    # residue-class truth: count of id with id % 7 == r is
+    # n // 7 + (1 if r < n % 7 else 0)
+    cnt = [n // 7 + (1 if r < n % 7 else 0) for r in range(7)]
+    for i in (1, 2, 7, 64):
+        for j in (i, i + 3, 64):
+            if j < i or j > d:
+                continue
+            want = sum(c * (((r + i) % 7) - 3) * (((r + j) % 7) - 3)
+                       for r, c in enumerate(cnt))
+            assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+    return sec, (f"vecs={n} d={d}; 2080 cells, spot cells equal the "
+                 f"residue-class closed form exactly")
+
+
 def probe_kcore(spark):
     """1000-clique + 5M-node chain, k=3: the chain (deg <= 2) peels in
     ONE round and the early-exit fires on the next — survivors must be
@@ -1009,6 +1046,7 @@ PROBES = {
     "adamic_hub": probe_adamic_hub,
     "assoc_rules": probe_assoc_rules,
     "lrs": probe_lrs,
+    "gram": probe_gram,
     "kcore": probe_kcore,
     "global_rank": probe_global_rank,
     "cdc_merge": probe_cdc_merge,
