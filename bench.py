@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "psi_value_drift",               # population stability index
     "cusum_value_alerts",            # max-plus change-point fold
     "embedding_gram_matrix",         # Q^T Q tree aggregate
+    "multimodal_resize_gif",         # palette-index resample + LZW
+    "ivm_delta_join_orders",         # four-term delta-join union
 ]
 
 

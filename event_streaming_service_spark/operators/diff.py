@@ -108,3 +108,32 @@ def merge_changelog(base: DataFrame, changelog: DataFrame,
         action.alias("action"),
         F.col("__old").alias("old_val"),
         new_val.alias("new_val")))
+
+
+def ivm_delta_join(base_a: DataFrame, delta_a: DataFrame,
+                   base_b: DataFrame, delta_b: DataFrame,
+                   key: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta-join
+    algebra every streaming-SQL engine implements; incremental_rollup
+    is the aggregate sibling): with a materialized V = A JOIN B and
+    insert deltas dA, dB, the maintained view is
+
+        V' = V  UNION ALL  dA JOIN B  UNION ALL  A JOIN dB
+                UNION ALL  dA JOIN dB
+
+    — disjoint by construction for insert-only deltas, so UNION ALL,
+    never a dedup. Returns the maintained view rows (all four terms).
+
+    Scale shape: THE point of IVM — the base join is reused, not
+    recomputed, and each delta term joins a delta-sized frame against
+    one base side, so the deltas are explicitly broadcast (daily
+    deltas are small by definition; the base sides never reshuffle).
+    A recompute touches |A|+|B| rows; maintenance touches
+    |dA|+|dB| + matched base rows."""
+    v = base_a.join(base_b, key)
+    da_b = F.broadcast(delta_a).join(base_b, key)
+    a_db = base_a.join(F.broadcast(delta_b), key)
+    da_db = delta_a.join(F.broadcast(delta_b), key)
+    return (v.unionByName(da_b)
+            .unionByName(a_db)
+            .unionByName(da_db))

@@ -1309,3 +1309,46 @@ def video_frame_stats_gif(media_df: DataFrame) -> DataFrame:
                 "ch0_sum", "ch1_sum", "ch2_sum", "diff_sum"])
 
     return media_df.mapInPandas(batches, GIF_FRAME_SCHEMA)
+
+
+GIF_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, target_w int, target_h int, "
+    "ch0_sum bigint, ch1_sum bigint, ch2_sum bigint, out_bytes int"
+)
+
+
+def resize_gif(media_df: DataFrame, target_w: int, target_h: int
+               ) -> DataFrame:
+    """REAL palette-image resample: decode the GIF, nearest-neighbor
+    resize the INDEX grid (palette images resample indices, never
+    interpolated RGB — interpolating palette entries invents colors
+    outside the table), re-encode through the LZW encoder, and emit
+    the resized channel sums + re-encoded size. The index map is the
+    integer src = (dst * size) // target the SQL oracle reproduces;
+    out_bytes (LZW output length) rides along but is not
+    SQL-expressible."""
+    from event_streaming_service_spark.functions import gif_codec
+    from event_streaming_service_spark.functions.png_codec import (
+        resize_nearest)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, pal = gif_codec.decode_gif(bytes(payload))
+                h, w = frames[0].shape
+                # index grid as (H, W, 1) rides the shared
+                # nearest-neighbor index math from the PNG codec
+                small = resize_nearest(
+                    frames[0][:, :, None], target_w, target_h)[:, :, 0]
+                out = gif_codec.encode_gif(small, pal)
+                rgb = pal[small].astype("int64")
+                sums = rgb.reshape(-1, 3).sum(axis=0)
+                rows.append((int(doc_id), w, h, target_w, target_h,
+                             int(sums[0]), int(sums[1]), int(sums[2]),
+                             len(out)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "target_w", "target_h",
+                "ch0_sum", "ch1_sum", "ch2_sum", "out_bytes"])
+
+    return media_df.mapInPandas(batches, GIF_RESIZE_SCHEMA)

@@ -105,6 +105,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     # third round-8 wave: ML-ops drift + sequential change detection
     "psi_value_drift", "cusum_value_alerts",
     "embedding_gram_matrix",
+    "multimodal_resize_gif", "ivm_delta_join_orders",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -224,3 +224,41 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.merge_changelog(
         base, log, "c_custkey", ["o_orderdate", "o_orderkey"],
         "op", "v", "bal")
+
+
+@register(
+    "ivm_delta_join_orders",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("ivm", "joins", "J5", "streaming-adjacent"),
+)
+def q_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join IVM (operators/diff.py:ivm_delta_join): the orders /
+    customer join view maintained from insert deltas — base slices
+    are orderkey%10 != 0 and custkey%7 != 0, the deltas the
+    complements, so the four-term union must reconstruct EXACTLY the
+    full join (the oracle recomputes it whole). Delta terms broadcast
+    the delta side; the base join is the only base-grain work."""
+    from event_streaming_service_spark.operators import diff
+
+    orders = tables.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+    cust = tables.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    view = diff.ivm_delta_join(
+        orders.filter(F.col("o_orderkey") % 10 != 0),
+        orders.filter(F.col("o_orderkey") % 10 == 0),
+        cust.filter(F.col("o_custkey") % 7 != 0),
+        cust.filter(F.col("o_custkey") % 7 == 0),
+        "o_custkey")
+    return (view.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("cents").cast("bigint").alias("total_cents")))

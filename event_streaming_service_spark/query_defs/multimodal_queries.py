@@ -676,3 +676,37 @@ def q_video_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_gif_payload(
         tables.load_table(spark, sf_dir, "documents"), animated=True)
     return multimodal.video_frame_stats_gif(media)
+
+
+@register(
+    "multimodal_resize_gif",
+    oracle=f"""
+    WITH {_GIF_DIMS},
+    xs AS (SELECT doc_id, w, h, nc, unnest(range(0, 24)) AS tx
+           FROM dims),
+    xys AS (SELECT doc_id, w, h, nc, tx, unnest(range(0, 24)) AS ty
+            FROM xs),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id + ((tx * w) // 24)
+                   + 3 * ((ty * h) // 24)) % nc AS idx
+           FROM xys)
+    SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+           CAST(24 AS INTEGER) AS target_w,
+           CAST(24 AS INTEGER) AS target_h,
+           CAST(SUM((37 * idx + doc_id) % 256) AS BIGINT) AS ch0_sum,
+           CAST(SUM((59 * idx + 2 * doc_id) % 256) AS BIGINT) AS ch1_sum,
+           CAST(SUM((83 * idx + 3 * doc_id) % 256) AS BIGINT) AS ch2_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "decode-gif"),
+)
+def q_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-image resample: decode the GIF, nearest-neighbor
+    resize the INDEX grid to 24x24 (src = (dst*size)//24, reproduced
+    by the oracle; palette images resample indices, never
+    interpolated RGB), re-encode through LZW, emit resized channel
+    sums. out_bytes is projected out — LZW output length is not
+    SQL-expressible."""
+    media = multimodal.attach_gif_payload(
+        tables.load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_gif(media, 24, 24).drop("out_bytes")

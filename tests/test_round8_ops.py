@@ -351,3 +351,37 @@ def test_gram_matrix_tiny_exact(spark):
             want = sum(v[i] * v[j] for v in q)
             assert got[(i + 1, j + 1)] == want
     assert len(got) == 6
+
+
+def test_resize_gif_matches_index_map(spark):
+    docs = spark.createDataFrame([(13,)], "doc_id bigint")
+    media = multimodal.attach_gif_payload(docs)
+    r = multimodal.resize_gif(media, 24, 24).collect()[0]
+    w, h, nc, _ = multimodal._gif_shape(13)
+    xs = (np.arange(24) * w) // 24
+    ys = (np.arange(24) * h) // 24
+    idx = (13 + np.add.outer(3 * ys, xs)) % nc
+    rgb = multimodal._gif_palette(13, nc).astype("int64")[idx]
+    assert (r["width"], r["height"]) == (w, h)
+    for c in range(3):
+        assert r[f"ch{c}_sum"] == int(rgb[..., c].sum())
+    assert r["out_bytes"] > 0
+
+
+def test_ivm_delta_join_reconstructs_full_join(spark):
+    from event_streaming_service_spark.operators.diff import (
+        ivm_delta_join)
+
+    a = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 21)], "k bigint, va bigint")
+    b = spark.createDataFrame(
+        [(k, k * 100) for k in range(1, 21) if k % 3 != 1],
+        "k bigint, vb bigint")
+    got = ivm_delta_join(
+        a.filter(F.col("k") % 4 != 0), a.filter(F.col("k") % 4 == 0),
+        b.filter(F.col("k") % 5 != 0), b.filter(F.col("k") % 5 == 0),
+        "k")
+    want = a.join(b, "k")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    assert got.count() == b.count()  # keys unique per side here
