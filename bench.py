@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "embedding_gram_matrix",         # Q^T Q tree aggregate
     "multimodal_resize_gif",         # palette-index resample + LZW
     "ivm_delta_join_orders",         # four-term delta-join union
+    "wl_roles_copurchase",           # 1-WL color refinement roles
 ]
 
 

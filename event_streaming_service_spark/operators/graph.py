@@ -377,3 +377,49 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
         n_edges = n_next
     return (adj.groupBy(F.col("w").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg_in_core")))
+
+
+def wl_roles(edges: DataFrame, rounds: int = 2,
+             a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Weisfeiler-Leman node role hashing (the 1-WL color refinement
+    behind graph-isomorphism tests and WL graph kernels,
+    Weisfeiler & Leman 1968; Shervashidze et al., JMLR 2011): start
+    every node at a canonical label of its degree, then for `rounds`
+    iterations relabel each node with
+        h'(v) = md5( h(v) || ':' || join(sorted [h(u) for u ~ v]) )
+    Nodes sharing a role hash after k rounds have isomorphic
+    k-neighborhood label trees — structural roles (leaf, hub spoke,
+    bridge, clique member) fall out without any training.
+
+    Engine-portable by construction: md5 and binary-lexicographic
+    string sorts exist identically in Spark and DuckDB (degree labels
+    are zero-padded so the string sort is also the numeric sort).
+
+    Returns (node, deg, wl_role) with node named after a_col.
+
+    Scale shape: one shuffle per round — join the neighbor's current
+    hash onto the adjacency (node-keyed build side) and re-aggregate
+    the sorted list per node; both hash on the node key, so the
+    exchange is reused. The collect_list per node is degree-bounded —
+    a 1e6-degree hub makes a 32 MB label list, the same hub hazard
+    adamic_adar_links caps; production would cap or sample neighbor
+    multisets per center the same way."""
+    fwd = edges.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
+    adj = (fwd.unionByName(fwd.select(F.col("m").alias("n"),
+                                      F.col("n").alias("m")))
+           .persist())
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    h = deg.select("n", F.lpad(F.col("deg").cast("string"), 8, "0")
+                   .alias("h"))
+    for _ in range(rounds):
+        nb = (adj.join(h.select(F.col("n").alias("m"),
+                                F.col("h").alias("hm")), "m")
+              .groupBy("n")
+              .agg(F.concat_ws(
+                  ",", F.sort_array(F.collect_list("hm"))).alias("nbs")))
+        h = (h.join(nb, "n")
+             .select("n", F.md5(F.concat_ws(":", "h", "nbs")).alias("h")))
+    return (deg.join(h, "n")
+            .select(F.col("n").alias(a_col),
+                    F.col("deg").cast("bigint").alias("deg"),
+                    F.col("h").alias("wl_role")))

@@ -106,6 +106,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "psi_value_drift", "cusum_value_alerts",
     "embedding_gram_matrix",
     "multimodal_resize_gif", "ivm_delta_join_orders",
+    "wl_roles_copurchase",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -359,3 +359,53 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_service_spark.operators import analytics
     return analytics.pearson_corr(ep, "dx", "dy",
                                   x_scale=1, y_scale=1)
+
+
+@register(
+    "wl_roles_copurchase",
+    oracle="""
+    WITH pair AS (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+    adj AS MATERIALIZED (
+        SELECT x AS n, y AS m FROM pair
+        UNION ALL SELECT y AS n, x AS m FROM pair),
+    deg AS MATERIALIZED (
+        SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    h0 AS MATERIALIZED (
+        SELECT n, lpad(CAST(d AS VARCHAR), 8, '0') AS h FROM deg),
+    nb1 AS (SELECT a.n,
+                   array_to_string(list_sort(list(hm.h)), ',') AS nbs
+            FROM adj a JOIN h0 hm ON hm.n = a.m GROUP BY a.n),
+    h1 AS MATERIALIZED (
+        SELECT h0.n, md5(h0.h || ':' || nb1.nbs) AS h
+        FROM h0 JOIN nb1 ON nb1.n = h0.n),
+    nb2 AS (SELECT a.n,
+                   array_to_string(list_sort(list(hm.h)), ',') AS nbs
+            FROM adj a JOIN h1 hm ON hm.n = a.m GROUP BY a.n),
+    h2 AS (SELECT h1.n, md5(h1.h || ':' || nb2.nbs) AS h
+           FROM h1 JOIN nb2 ON nb2.n = h1.n)
+    SELECT deg.n AS l_partkey, CAST(deg.d AS BIGINT) AS deg,
+           h2.h AS wl_role
+    FROM deg JOIN h2 ON h2.n = deg.n
+    """,
+    tags=("graph", "wl-kernel", "roles"),
+)
+def q_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of Weisfeiler-Leman color refinement over the part
+    copurchase graph (operators/graph.py:wl_roles): canonical degree
+    seeds, md5-of-sorted-neighbor-labels relabeling — nodes sharing a
+    role have isomorphic 2-hop label trees. The oracle unrolls both
+    rounds with the identical string algebra (md5, binary string
+    sorts, zero-padded degree seeds are engine-identical)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    pairs = (li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+        .select(F.col("l1.l_partkey").alias("a"),
+                F.col("l2.l_partkey").alias("b"))
+        .distinct())
+    return graph.wl_roles(pairs).withColumnRenamed("a", "l_partkey")

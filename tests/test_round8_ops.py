@@ -385,3 +385,21 @@ def test_ivm_delta_join_reconstructs_full_join(spark):
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
     assert got.count() == b.count()  # keys unique per side here
+
+
+def test_wl_roles_distinguish_structure(spark):
+    from event_streaming_service_spark.operators.graph import wl_roles
+
+    # star 0-(1..4) plus path 10-11-12: spokes share a role, the path
+    # ends share a role, and all five structural classes separate
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(10, 11), (11, 12)],
+        "a bigint, b bigint")
+    out = {r["a"]: r for r in wl_roles(edges).collect()}
+    spokes = {out[i]["wl_role"] for i in range(1, 5)}
+    assert len(spokes) == 1                      # all spokes same role
+    assert out[10]["wl_role"] == out[12]["wl_role"]   # path ends same
+    assert out[0]["wl_role"] != out[11]["wl_role"]    # hub != middle
+    assert out[1]["wl_role"] != out[10]["wl_role"]    # spoke != end
+    # deg-1 nodes split by CONTEXT, which is what WL adds over degree
+    assert out[0]["deg"] == 4 and out[11]["deg"] == 2
