@@ -15,10 +15,14 @@ dequantize, IDCT), and VIDEO decode is REAL via APNG (round-5:
 functions/apng_codec.py — acTL/fcTL/fdAT chunks, an independent zlib
 stream per frame, reusing the PNG scanline filters): frame stats,
 frame sampling, and scene-cut detection below are byte-exact,
-oracle-checked operators. Only formats that genuinely need external
-codec libraries absent from this container (color/progressive JPEG,
-interframe-compressed video, lossy audio) remain STUBBED behind
-`codec_libs_available` (clearly marked NotImplementedError).
+oracle-checked operators. Round 7 made COLOR and PROGRESSIVE JPEG
+real (4:2:0 palette tiles, multi-scan spectral selection + successive
+approximation) plus MJPEG/AVI video; round 8 closed the LZW family
+with GIF87a/89a still + animated + index-grid resample
+(functions/gif_codec.py). Only formats that genuinely need external
+codec libraries absent from this container (interframe-compressed
+video, lossy audio) remain STUBBED behind `codec_libs_available`
+(clearly marked NotImplementedError).
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary + Arrow batches); mapInPandas processes whole record batches so
