@@ -127,6 +127,17 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         prefix = bytes([b])
     if prefix:
         bw.write(table[prefix], width)
+        # the decoder appends one more entry while processing this
+        # final code (the encoder has no next byte, so it adds none) —
+        # if that append crosses 2^width the decoder reads EOI one bit
+        # wider. Mirror its check on the CURRENT next_code (== the
+        # decoder's post-append table size: the decoder's first code
+        # after a clear appends nothing, so its size trails next_code
+        # by exactly one — the two off-by-ones cancel mid-stream and
+        # must cancel here too). Found by a sf0.1 fixture image whose
+        # table hit the boundary exactly at the last code (doc 2154).
+        if next_code >= (1 << width) and width < _MAX_CODE_WIDTH:
+            width += 1
     bw.write(eoi, width)
     return bw.finish()
 

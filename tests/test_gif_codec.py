@@ -108,3 +108,25 @@ def test_fixture_formula_matches_kernel():
         dec, pal2 = G.decode_gif(G.encode_gif(frames, pal))
         assert np.array_equal(dec, frames)
         assert np.array_equal(pal2[:nc], pal)
+
+
+def test_final_code_width_boundary_regression():
+    """sf0.1 doc 2154: the decoder appends one more entry than the
+    encoder while processing the FINAL data code; when that append
+    crosses 2^width the EOI must be written one bit wider. The two
+    off-by-ones cancel mid-stream and this pins the tail case."""
+    from event_streaming_service_spark.operators import multimodal as M
+
+    frames, pal = M._gif_frames(2154)
+    for fr in (frames[:1], frames):
+        dec, _ = G.decode_gif(G.encode_gif(fr, pal))
+        assert np.array_equal(dec, fr)
+    # sweep a dense shape grid at one palette size to walk the table
+    # size across several width boundaries at the final code
+    rng = np.random.RandomState(2154)
+    pal14 = rng.randint(0, 256, (14, 3)).astype(np.uint8)
+    for h in range(4, 40, 3):
+        for w in range(4, 60, 7):
+            img = rng.randint(0, 14, (h, w)).astype(np.uint8)
+            dec, _ = G.decode_gif(G.encode_gif(img, pal14))
+            assert np.array_equal(dec[0], img), (h, w)
