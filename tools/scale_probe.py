@@ -963,11 +963,12 @@ def probe_intervals(spark):
     n_keys, per_key = 100_000, 500
     rows = (spark.range(n_keys * per_key)
             .selectExpr("id % 100000 AS k",
-                        "CAST(id // 100000 AS INT) AS i")
+                        "CAST(id DIV 100000 AS INT) AS i")
             .selectExpr(
                 "k",
-                "DATE '2000-01-01' + INTERVAL (2 * i) DAY AS s",
-                "DATE '2000-01-01' + INTERVAL (2 * i + CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END) DAY AS e"))
+                "date_add(DATE '2000-01-01', 2 * i) AS s",
+                "date_add(DATE '2000-01-01', 2 * i"
+                " + CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END) AS e"))
     t0 = time.perf_counter()
     out = interval_coverage(rows, "k", "s", "e")
     agg = (out.groupBy("n_intervals", "n_islands", "covered_days",
