@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "multimodal_resize_gif",         # palette-index resample + LZW
     "ivm_delta_join_orders",         # four-term delta-join union
     "wl_roles_copurchase",           # 1-WL color refinement roles
+    "auc_purchase_score",            # exact Mann-Whitney AUC
+    "quantile_normalize_values",     # pooled-profile rank mapping
 ]
 
 

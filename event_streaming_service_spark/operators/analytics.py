@@ -823,3 +823,86 @@ def info_gain_splits(df: DataFrame, value_col: Column, label: Column,
                     "pos_left", "h_parent_micro", "h_left_micro",
                     "h_right_micro", "ig_micro")
             .orderBy(F.col("ig_micro").desc(), F.col("threshold")))
+
+
+def auc_binary(df: DataFrame, key_col: str, score_col: str,
+               label: Column) -> DataFrame:
+    """Exact ROC-AUC per key via the Mann-Whitney U statistic (the
+    rank form every distributed ML-eval pipeline uses — no curve
+    integration, no threshold sweep): with ascending competition
+    ranks and tie groups averaged,
+        AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos*n_neg).
+    All arithmetic stays integer: twice an averaged rank is
+    2*rank_min + tie_count - 1 (an integer), so
+        auc_ppm = (2*sum_pos_ranks2 ... ) * 1e6 DIV (2*n_pos*n_neg)
+    is engine-exact (truncating DIV both engines). Keys with a single
+    class (n_pos or n_neg = 0) have no defined AUC and are omitted.
+
+    Scale shape: ONE shuffle on the key; the rank and tie-count
+    windows and the final aggregate all share the key partitioning,
+    so the exchange is reused across all three."""
+    w_rank = Window.partitionBy(key_col).orderBy(score_col)
+    w_tie = Window.partitionBy(key_col, score_col)
+    two_avg_rank = (2 * F.rank().over(w_rank)
+                    + F.count(F.lit(1)).over(w_tie) - 1).cast("long")
+    is_pos = label.cast("int")
+    base = df.select(F.col(key_col), F.col(score_col),
+                     is_pos.alias("__pos"),
+                     two_avg_rank.alias("__r2"))
+    agg = (base.groupBy(key_col)
+           .agg(F.sum("__pos").cast("long").alias("n_pos"),
+                F.sum(1 - F.col("__pos")).cast("long").alias("n_neg"),
+                F.sum(F.col("__pos") * F.col("__r2")).cast("long")
+                .alias("__sr2")))
+    auc_ppm = F.expr(
+        "CAST((__sr2 - n_pos * (n_pos + 1)) * 1000000"
+        " DIV (2 * n_pos * n_neg) AS BIGINT)")
+    return (agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(key_col, "n_pos", "n_neg",
+                    auc_ppm.alias("auc_ppm")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str) -> DataFrame:
+    """Quantile normalization onto the POOLED distribution (the
+    rank-based batch-effect correction from microarray statistics,
+    Bolstad et al. 2003, generalized to unequal group sizes): each
+    row's value is replaced by the pooled value found at the same
+    relative rank position,
+        pooled_index = 1 + (r - 1) * (N - 1) DIV (n_g - 1),
+    with r the row's 1-based rank inside its group and N the pooled
+    row count — integer arithmetic, lower-index convention, so both
+    engines land the identical pooled row (n_g = 1 maps to pooled
+    index 1). Ranks use (value, id) total order; values move as exact
+    cents.
+
+    After normalization every group's value distribution is (up to
+    the integer index map) the same pooled profile — the ML-
+    preprocessing step that removes per-source calibration drift
+    before training on pooled corpora.
+
+    Scale shape: group ranks are one key-partitioned window; the
+    pooled rank uses linkage.global_rank (range-partitioned prefix
+    sums, localCheckpoint-pinned — never a single-task global sort),
+    and the final equi-join keys on the pooled index against the
+    pooled rank, both dimension-bounded per partition."""
+    from event_streaming_service_spark.operators.linkage import (
+        global_rank)
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(F.col(id_col), F.col(group_col),
+                     cents.alias("cents"))
+    pooled = global_rank(base, ["cents", id_col]).select(
+        F.col("rank").alias("__gidx"), F.col("cents").alias("qnorm_cents"))
+    n_total = pooled.count()
+    # SQL-expression form so the truncating DIV is literally the same
+    # operator the oracle runs
+    ranked = base.withColumn(
+        "__gidx", F.expr(
+            f"1 + CAST((row_number() OVER (PARTITION BY {group_col}"
+            f" ORDER BY cents, {id_col}) - 1) * {n_total - 1} AS BIGINT)"
+            f" DIV greatest(count(1) OVER (PARTITION BY {group_col})"
+            f" - 1, 1)"))
+    return (ranked.join(pooled, "__gidx")
+            .select(id_col, group_col, F.col("cents").alias("value_cents"),
+                    "qnorm_cents"))

@@ -107,6 +107,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "embedding_gram_matrix",
     "multimodal_resize_gif", "ivm_delta_join_orders",
     "wl_roles_copurchase",
+    # fourth round-8 wave: ML-eval + ML-preprocessing
+    "auc_purchase_score", "quantile_normalize_values",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -145,3 +145,77 @@ def q_info_gain_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.info_gain_splits(
         orders, cents("o_totalprice"),
         F.col("o_orderstatus") == "F", _IG_THRESHOLDS)
+
+
+@register(
+    "auc_purchase_score",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos,
+               2 * RANK() OVER (PARTITION BY user_id ORDER BY value)
+                   + COUNT(*) OVER (PARTITION BY user_id, value) - 1
+                   AS r2
+        FROM events),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+               SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS sr2
+        FROM ranked GROUP BY user_id)
+    SELECT user_id, n_pos, n_neg,
+           CAST((sr2 - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
+    tags=("analytics", "ml-eval", "auc", "windows"),
+)
+def q_auc_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user ROC-AUC of the event value predicting
+    event_type = 'purchase' (operators/analytics.py:auc_binary): the
+    Mann-Whitney rank form with tie-averaged ranks kept integer
+    (2*avg_rank = 2*rank_min + tie_count - 1), truncating-DIV ppm.
+    One reused key exchange for both windows and the aggregate."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.auc_binary(ev, "user_id", "value",
+                                F.col("event_type") == "purchase")
+
+
+@register(
+    "quantile_normalize_values",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    pooled AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY cents, event_id) AS gidx,
+               cents AS qnorm_cents
+        FROM base),
+    n AS (SELECT COUNT(*) AS nt FROM base),
+    ranked AS (
+        SELECT event_id, event_type, cents,
+               1 + (ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY cents, event_id) - 1)
+                   * (nt - 1)
+                   // GREATEST(COUNT(*) OVER (PARTITION BY event_type)
+                               - 1, 1) AS gidx
+        FROM base, n)
+    SELECT r.event_id, r.event_type,
+           CAST(r.cents AS BIGINT) AS value_cents,
+           CAST(p.qnorm_cents AS BIGINT) AS qnorm_cents
+    FROM ranked r JOIN pooled p ON p.gidx = r.gidx
+    """,
+    tags=("analytics", "ml-preprocessing", "quantiles", "windows"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values onto the pooled
+    distribution per event_type
+    (operators/analytics.py:quantile_normalize): integer rank
+    interpolation 1 + (r-1)(N-1) DIV (n_g-1), pooled ranks from the
+    range-partitioned global_rank (never a one-task global sort).
+    Removes per-source calibration drift before pooled training."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.quantile_normalize(ev, "event_type", "value",
+                                        "event_id")

@@ -403,3 +403,50 @@ def test_wl_roles_distinguish_structure(spark):
     assert out[1]["wl_role"] != out[10]["wl_role"]    # spoke != end
     # deg-1 nodes split by CONTEXT, which is what WL adds over degree
     assert out[0]["deg"] == 4 and out[11]["deg"] == 2
+
+
+def test_auc_binary_known_values(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        auc_binary)
+
+    # key 1: perfect separation -> AUC 1.0; key 2: perfect inversion
+    # -> 0.0; key 3: pos {2, 3} vs neg {1, 2} -> pairs: 3 wins + one
+    # tie at 0.5 over 4 pairs = 0.875; key 4: single class -> omitted
+    rows = ([(1, i, float(i), "p" if i >= 3 else "n")
+             for i in range(1, 5)]
+            + [(2, i, float(i), "n" if i >= 3 else "p")
+               for i in range(1, 5)]
+            + [(3, 1, 1.0, "n"), (3, 2, 2.0, "p"),
+               (3, 3, 2.0, "n"), (3, 4, 3.0, "p")]
+            + [(4, 1, 1.0, "p"), (4, 2, 2.0, "p")])
+    df = spark.createDataFrame(
+        rows, "k bigint, event_id bigint, value double, lbl string")
+    out = {r["k"]: r for r in auc_binary(
+        df, "k", "value", F.col("lbl") == "p").collect()}
+    assert out[1]["auc_ppm"] == 1_000_000
+    assert out[2]["auc_ppm"] == 0
+    assert out[3]["auc_ppm"] == 875_000
+    assert 4 not in out
+
+
+def test_quantile_normalize_pools_distributions(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        quantile_normalize)
+
+    # group a: 1..5 (cents 100..500); group b: shifted+scaled
+    # 101..105; after normalization both map onto the pooled sorted
+    # values at the same relative positions
+    rows = ([(i, "a", float(i)) for i in range(1, 6)]
+            + [(10 + i, "b", 100.0 + i) for i in range(1, 6)])
+    df = spark.createDataFrame(rows, "event_id bigint, g string, value double")
+    out = quantile_normalize(df, "g", "value", "event_id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["g"], []).append(r["qnorm_cents"])
+    # equal group sizes: both groups land the identical pooled profile
+    assert sorted(by_grp["a"]) == sorted(by_grp["b"])
+    pooled = sorted([100, 200, 300, 400, 500,
+                     10100, 10200, 10300, 10400, 10500])
+    # r=1 -> pooled idx 1; r=5 -> idx 1+(4*9)//4 = 10 (max)
+    assert min(by_grp["a"]) == pooled[0]
+    assert max(by_grp["a"]) == pooled[9]
