@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "wl_roles_copurchase",           # 1-WL color refinement roles
     "auc_purchase_score",            # exact Mann-Whitney AUC
     "quantile_normalize_values",     # pooled-profile rank mapping
+    "u_shaped_attribution",          # 40-20-40 multi-touch credit
 ]
 
 

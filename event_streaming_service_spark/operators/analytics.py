@@ -906,3 +906,65 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     return (ranked.join(pooled, "__gidx")
             .select(id_col, group_col, F.col("cents").alias("value_cents"),
                     "qnorm_cents"))
+
+
+def u_shaped_attribution(events: DataFrame, key_col: str, ts_col: str,
+                         type_col: str, conversion_type: str,
+                         touch_types: list[str],
+                         id_col: str = "event_id") -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution
+    over the FULL prior journey: for each conversion, the first touch
+    and the most recent touch each earn 40% and the middle touches
+    split the remaining 20% — the standard position-based model, the
+    multi-touch sibling of last_touch_attribution.
+
+    Credit is exact integer ppm with a deterministic remainder rule:
+    n = 1 -> first 1e6; n = 2 -> 500k/500k; n >= 3 -> 400k/400k and
+    middle_each = 200k DIV (n-2), the division remainder folded into
+    the FIRST touch. One row per conversion with n_touches >= 1:
+    (conversion id, n_touches, first/last touch ids, first/last/
+    middle-each ppm).
+
+    Deliberately full-history (no lookback bound): first-touch needs
+    MIN over a window-bounded range, and bounded-start range frames
+    re-scan their buffer per row (the documented quadratic hot-key
+    hazard last_touch_attribution's docstring walks through). All
+    three aggregates here — first struct, last struct, count — are
+    GROWING frames (UNBOUNDED PRECEDING .. -1), maintained
+    incrementally, so the pass is O(n) per key; ONE shuffle total."""
+    ms = wall_clock_millis(F.col(ts_col))
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch = F.when(is_touch, F.struct(
+        ms.alias("ms"), F.col(id_col).alias("id")))
+    # RANGE, not ROWS: ms ties are real, and a ROWS frame over a
+    # non-unique ordering admits same-ms touches by partition order —
+    # the same determinism rule last_touch_attribution documents.
+    # "Strictly earlier ms" is the deterministic reading both engines
+    # share, and growing range frames stay incrementally maintained.
+    w = (Window.partitionBy(key_col).orderBy(ms)
+         .rangeBetween(Window.unboundedPreceding, -1))
+    base = (events
+            .withColumn("__first", F.min(touch).over(w))
+            .withColumn("__last", F.max(touch).over(w))
+            .withColumn("__n", F.count(touch).over(w))
+            .filter((F.col(type_col) == conversion_type)
+                    & (F.col("__n") >= 1)))
+    n = F.col("__n")
+    mid_each = F.expr("200000 DIV (__n - 2)")
+    first_ppm = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .otherwise(F.lit(400_000) + F.lit(200_000)
+                   - mid_each * (n - 2)))
+    last_ppm = (F.when(n == 1, F.lit(0))
+                .when(n == 2, F.lit(500_000))
+                .otherwise(F.lit(400_000)))
+    mid_ppm = F.when(n <= 2, F.lit(0)).otherwise(mid_each)
+    return base.select(
+        F.col(id_col).alias("conversion_id"), F.col(key_col),
+        n.cast("bigint").alias("n_touches"),
+        F.col("__first.id").alias("first_touch_id"),
+        F.col("__last.id").alias("last_touch_id"),
+        first_ppm.cast("bigint").alias("first_ppm"),
+        last_ppm.cast("bigint").alias("last_ppm"),
+        mid_ppm.cast("bigint").alias("middle_each_ppm"))

@@ -219,3 +219,62 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return analytics.quantile_normalize(ev, "event_type", "value",
                                         "event_id")
+
+
+@register(
+    "u_shaped_attribution",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN 1 ELSE 0 END AS is_touch
+        FROM events),
+    marked AS (
+        SELECT event_id, user_id, event_type, ms,
+               MIN(CASE WHEN is_touch = 1
+                        THEN CAST(ms AS HUGEINT) * 10000000000 + event_id END)
+                   OVER (PARTITION BY user_id ORDER BY ms
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS first_k,
+               MAX(CASE WHEN is_touch = 1
+                        THEN CAST(ms AS HUGEINT) * 10000000000 + event_id END)
+                   OVER (PARTITION BY user_id ORDER BY ms
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS last_k,
+               SUM(is_touch)
+                   OVER (PARTITION BY user_id ORDER BY ms
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS n
+        FROM base)
+    SELECT event_id AS conversion_id, user_id,
+           CAST(n AS BIGINT) AS n_touches,
+           CAST(first_k % 10000000000 AS BIGINT) AS first_touch_id,
+           CAST(last_k % 10000000000 AS BIGINT) AS last_touch_id,
+           CAST(CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     ELSE 600000 - (200000 // (n - 2)) * (n - 2)
+                END AS BIGINT) AS first_ppm,
+           CAST(CASE WHEN n = 1 THEN 0
+                     WHEN n = 2 THEN 500000
+                     ELSE 400000 END AS BIGINT) AS last_ppm,
+           CAST(CASE WHEN n <= 2 THEN 0
+                     ELSE 200000 // (n - 2) END AS BIGINT)
+               AS middle_each_ppm
+    FROM marked
+    WHERE event_type = 'purchase' AND n >= 1
+    """,
+    tags=("analytics", "attribution", "bi", "windows"),
+)
+def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based 40-20-40 multi-touch attribution
+    (operators/analytics.py:u_shaped_attribution): first and most
+    recent view/click before each purchase earn 40% each, middle
+    touches split 20% by truncating DIV with the remainder folded into
+    the first touch; strictly-earlier-ms growing RANGE frames keep the
+    pass O(n) per user. The oracle packs (ms, id) into one bigint so
+    its MIN/MAX agree with the struct order (HUGEINT — epoch-ms *
+    1e10 overflows INT64)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.u_shaped_attribution(
+        ev, "user_id", "ts", "event_type", "purchase",
+        ["view", "click"])

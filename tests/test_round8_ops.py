@@ -450,3 +450,36 @@ def test_quantile_normalize_pools_distributions(spark):
     # r=1 -> pooled idx 1; r=5 -> idx 1+(4*9)//4 = 10 (max)
     assert min(by_grp["a"]) == pooled[0]
     assert max(by_grp["a"]) == pooled[9]
+
+
+def test_u_shaped_attribution_credit_math(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        u_shaped_attribution)
+
+    # user 1: touches t1..t5 then a purchase -> 40/20/40 with
+    # 200000 DIV 3 = 66666 each and remainder 2 folded into first;
+    # user 2: one touch -> 100%; user 3: conversion before any touch
+    # -> no row; same-ms touch as the conversion must NOT count
+    rows = ([(i, 1, f"2024-01-01 00:0{i}:00", "view") for i in range(1, 6)]
+            + [(6, 1, "2024-01-01 00:06:00", "purchase"),
+               (7, 2, "2024-01-01 01:00:00", "click"),
+               (8, 2, "2024-01-01 01:01:00", "purchase"),
+               (9, 3, "2024-01-01 02:00:00", "purchase"),
+               (10, 3, "2024-01-01 02:00:00", "view")])
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string")
+        .withColumn("ts", F.to_timestamp("ts")))
+    out = {r["conversion_id"]: r for r in u_shaped_attribution(
+        df, "user_id", "ts", "event_type", "purchase",
+        ["view", "click"]).collect()}
+    r1 = out[6]
+    assert (r1["n_touches"], r1["first_touch_id"],
+            r1["last_touch_id"]) == (5, 1, 5)
+    assert (r1["first_ppm"], r1["last_ppm"],
+            r1["middle_each_ppm"]) == (400_002, 400_000, 66_666)
+    assert r1["first_ppm"] + r1["last_ppm"] \
+        + 3 * r1["middle_each_ppm"] == 1_000_000
+    r2 = out[8]
+    assert (r2["n_touches"], r2["first_ppm"], r2["last_ppm"]) \
+        == (1, 1_000_000, 0)
+    assert 9 not in out  # same-ms view never counts, no prior touch
