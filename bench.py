@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "auc_purchase_score",            # exact Mann-Whitney AUC
     "quantile_normalize_values",     # pooled-profile rank mapping
     "u_shaped_attribution",          # 40-20-40 multi-touch credit
+    "holt_trend_per_user",           # level+trend double smoothing
 ]
 
 

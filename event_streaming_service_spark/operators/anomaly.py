@@ -286,3 +286,60 @@ def cusum_alerts(events: DataFrame, key_col: str, ts_col: str,
             "first_alert_id"])
 
     return base.mapInPandas(part, out_schema)
+
+
+def holt_linear(events: DataFrame, key_col: str, ts_col: str,
+                value_col: str, alpha: float, gamma: float,
+                tiebreak_col: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — the
+    level+trend forecaster one step up from EWMA (Holt 1957):
+        l_i = alpha * x_i + (1 - alpha) * (l_{i-1} + b_{i-1})
+        b_i = gamma * (l_i - l_{i-1}) + (1 - gamma) * b_{i-1}
+    seeded l_1 = x_1, b_1 = 0 (the deterministic convention; trend
+    ramps in). Emits every row with the smoothed level and trend
+    rounded to 6 dp (floor(x*1e6 + 0.5)/1e6, the EWMA convention)
+    while the carried state stays full precision.
+
+    Engine-exact like ewma_stream: the per-step float sequence is the
+    identical two-multiply-one-add chain the recursive-CTE oracle
+    runs, with alpha/gamma chosen exactly representable by callers.
+
+    Scale shape: one partition-level kernel pass (repartition on key,
+    sortWithinPartitions, mapInPandas with cross-group carry — the
+    many-small-groups device); state is two doubles per key."""
+    import pandas as pd
+
+    n = events.sparkSession.sparkContext.defaultParallelism
+    base = (events.select(F.col(key_col).alias("__k"),
+                          F.col(ts_col).alias("__ts"),
+                          F.col(tiebreak_col).alias("__tb"),
+                          F.col(value_col).cast("double").alias("__v"))
+            .repartition(n, "__k")
+            .sortWithinPartitions("__k", "__ts", "__tb"))
+
+    def part(batches):
+        import math
+
+        cur = None
+        lvl = trend = 0.0
+        out = []
+        for pdf in batches:
+            for k, ts, tb, v in zip(pdf["__k"], pdf["__ts"],
+                                    pdf["__tb"], pdf["__v"]):
+                if k != cur:
+                    cur, lvl, trend = int(k), float(v), 0.0
+                else:
+                    prev = lvl
+                    lvl = alpha * float(v) + (1 - alpha) * (lvl + trend)
+                    trend = gamma * (lvl - prev) + (1 - gamma) * trend
+                out.append((int(k), ts, int(tb), float(v),
+                            math.floor(lvl * 1e6 + 0.5) / 1e6,
+                            math.floor(trend * 1e6 + 0.5) / 1e6))
+        yield pd.DataFrame(out, columns=[
+            key_col, ts_col, tiebreak_col, value_col,
+            "level6", "trend6"])
+
+    return base.mapInPandas(
+        part, (f"{key_col} bigint, {ts_col} timestamp, "
+               f"{tiebreak_col} bigint, {value_col} double, "
+               "level6 double, trend6 double"))

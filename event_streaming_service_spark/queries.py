@@ -109,7 +109,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "wl_roles_copurchase",
     # fourth round-8 wave: ML-eval + ML-preprocessing
     "auc_purchase_score", "quantile_normalize_values",
-    "u_shaped_attribution",
+    "u_shaped_attribution", "holt_trend_per_user",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -282,3 +282,47 @@ def q_cusum_value_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly.cusum_alerts(ev, "user_id", "ts", "value",
                                 CUSUM_K_CENTS, CUSUM_H_CENTS,
                                 "event_id")
+
+
+HOLT_ALPHA = 0.5    # exactly representable: alpha + (1-alpha) == 1
+HOLT_GAMMA = 0.25   # likewise
+
+
+@register(
+    "holt_trend_per_user",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events),
+    walk(user_id, seq, ts, event_id, value, l, b) AS (
+        SELECT user_id, seq, ts, event_id, value,
+               CAST(value AS DOUBLE), CAST(0 AS DOUBLE)
+        FROM ordered WHERE seq = 1
+        UNION ALL
+        SELECT o.user_id, o.seq, o.ts, o.event_id, o.value,
+               {HOLT_ALPHA} * o.value
+                   + {1 - HOLT_ALPHA} * (w.l + w.b),
+               {HOLT_GAMMA} * (({HOLT_ALPHA} * o.value
+                   + {1 - HOLT_ALPHA} * (w.l + w.b)) - w.l)
+                   + {1 - HOLT_GAMMA} * w.b
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.seq = w.seq + 1)
+    SELECT user_id, ts, event_id, value,
+           FLOOR(l * 1000000 + 0.5) / 1000000 AS level6,
+           FLOOR(b * 1000000 + 0.5) / 1000000 AS trend6
+    FROM walk
+    """,
+    tags=("anomaly", "forecast", "stateful", "udf-kernel"),
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear level+trend smoothing per user
+    (operators/anomaly.py:holt_linear): two doubles of carried state
+    in one partition-kernel pass, the EWMA family's trend-aware
+    sibling; the oracle unrolls both coupled recurrences as one
+    recursive CTE running the identical float op sequence
+    (alpha/gamma exactly representable)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.holt_linear(ev, "user_id", "ts", "value",
+                               HOLT_ALPHA, HOLT_GAMMA, "event_id")

@@ -483,3 +483,22 @@ def test_u_shaped_attribution_credit_math(spark):
     assert (r2["n_touches"], r2["first_ppm"], r2["last_ppm"]) \
         == (1, 1_000_000, 0)
     assert 9 not in out  # same-ms view never counts, no prior touch
+
+
+def test_holt_linear_known_sequence(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        holt_linear)
+
+    # alpha=0.5, gamma=0.25 over x = 1, 3, 5 (all dyadic -> exact):
+    # l1=1, b1=0; l2=.5*3+.5*1=2, b2=.25*1+0=.25;
+    # l3=.5*5+.5*2.25=3.625, b3=.25*1.625+.75*.25=.59375
+    rows = [(i, 1, f"2024-01-01 00:0{i}:00", float(2 * i - 1))
+            for i in (1, 2, 3)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    out = {r["event_id"]: r for r in holt_linear(
+        df, "user_id", "ts", "value", 0.5, 0.25, "event_id").collect()}
+    assert (out[1]["level6"], out[1]["trend6"]) == (1.0, 0.0)
+    assert (out[2]["level6"], out[2]["trend6"]) == (2.0, 0.25)
+    assert (out[3]["level6"], out[3]["trend6"]) == (3.625, 0.59375)
