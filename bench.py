@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "quantile_normalize_values",     # pooled-profile rank mapping
     "u_shaped_attribution",          # 40-20-40 multi-touch credit
     "holt_trend_per_user",           # level+trend double smoothing
+    "avg_precision_purchase",        # exact PR-curve rank sum
+    "calibration_ece_bins",          # reliability bins + ECE
 ]
 
 

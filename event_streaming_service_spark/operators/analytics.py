@@ -968,3 +968,82 @@ def u_shaped_attribution(events: DataFrame, key_col: str, ts_col: str,
         first_ppm.cast("bigint").alias("first_ppm"),
         last_ppm.cast("bigint").alias("last_ppm"),
         mid_ppm.cast("bigint").alias("middle_each_ppm"))
+
+
+def average_precision(df: DataFrame, key_col: str, score_col: str,
+                      label: Column, id_col: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve
+    in its rank-sum form) per key:
+        AP = (1/n_pos) * sum over positive ranks k of precision@k,
+    over the list ranked by score DESCENDING with id ascending as the
+    deterministic tiebreak (AP is tie-ambiguous by definition, so the
+    tiebreak IS part of the metric contract here — both engines rank
+    identically). Each precision@k pins to ppm BEFORE the cross-rank
+    sum (truncating DIV), then the mean divides once more — all
+    integer, engine-exact. Keys without positives are omitted.
+
+    Scale shape: one key shuffle; rank window + running positive
+    count + final aggregate all reuse the exchange (the AUC plan)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    is_pos = label.cast("long")
+    base = (df.select(F.col(key_col), F.col(score_col),
+                      F.col(id_col), is_pos.alias("__pos"))
+            .withColumn("__k", F.row_number().over(w))
+            .withColumn("__cum", F.sum("__pos").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    prec_ppm = F.expr("__cum * 1000000 DIV __k")
+    agg = (base.groupBy(key_col)
+           .agg(F.sum("__pos").cast("long").alias("n_pos"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("__pos") == 1, prec_ppm)
+                      .otherwise(0)).cast("long").alias("__sp")))
+    return (agg.filter(F.col("n_pos") > 0)
+            .select(key_col, "n_pos", "n_rows",
+                    F.expr("CAST(__sp DIV n_pos AS BIGINT)")
+                    .alias("ap_ppm")))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label: Column,
+                     n_bins: int = 10, score_max: float = 500.0
+                     ) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error in exact
+    integers: scores bucket into fixed-width bins over [0, score_max],
+    each bin reports its row count, positive count, mean score
+    (micro-units, truncating DIV), and positive rate (ppm); ece_ppm =
+    sum over bins of |rate - mean_score_normalized| * n_bin DIV N is
+    the weighted calibration gap, broadcast onto every row. The
+    ML-eval sibling of auc_binary/average_precision: AUC ranks, AP
+    weights the head, ECE checks the SCALE of the scores.
+
+    All arithmetic integer: scores pin to micro-units per row before
+    any sum. One hash agg to <= n_bins rows + one tiny window."""
+    micro = F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)) \
+        .cast("long")
+    bin_col = F.least(F.floor(F.col(score_col)
+                              * F.lit(n_bins / score_max)),
+                      F.lit(n_bins - 1)).cast("int")
+    base = (df.select(bin_col.alias("bin"), micro.alias("__mu"),
+                      label.cast("long").alias("__pos"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("__pos").cast("long").alias("n_pos"),
+                 F.sum("__mu").cast("long").alias("__smu")))
+    rate_ppm = F.expr("n_pos * 1000000 DIV n_rows")
+    mean_micro = F.expr("__smu DIV n_rows")
+    per = (base.withColumn("rate_ppm", rate_ppm)
+           .withColumn("mean_score_micro", mean_micro)
+           # confidence proxy: score normalized onto [0, 1] ppm
+           .withColumn("conf_ppm", F.expr(
+               f"mean_score_micro DIV {int(score_max)}"))
+           .withColumn("__gap",
+                       F.abs(F.col("rate_ppm") - F.col("conf_ppm"))
+                       * F.col("n_rows")))
+    # global window over <= n_bins rows; truncating DIV mirrors the
+    # oracle exactly
+    return (per.withColumn(
+        "ece_ppm", F.expr(
+            "CAST(SUM(__gap) OVER () DIV SUM(n_rows) OVER ()"
+            " AS BIGINT)"))
+        .select("bin", "n_rows", "n_pos", "rate_ppm",
+                "mean_score_micro", "conf_ppm", "ece_ppm"))

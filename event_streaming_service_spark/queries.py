@@ -110,6 +110,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     # fourth round-8 wave: ML-eval + ML-preprocessing
     "auc_purchase_score", "quantile_normalize_values",
     "u_shaped_attribution", "holt_trend_per_user",
+    "avg_precision_purchase", "calibration_ece_bins",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -278,3 +278,85 @@ def q_u_shaped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.u_shaped_attribution(
         ev, "user_id", "ts", "event_type", "purchase",
         ["view", "click"])
+
+
+@register(
+    "avg_precision_purchase",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS k,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM events),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(CASE WHEN pos = 1
+                        THEN cum * 1000000 // k ELSE 0 END) AS sp
+        FROM ranked GROUP BY user_id)
+    SELECT user_id, n_pos, n_rows,
+           CAST(sp // n_pos AS BIGINT) AS ap_ppm
+    FROM agg WHERE n_pos > 0
+    """,
+    tags=("analytics", "ml-eval", "windows"),
+)
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user average precision of the event value predicting
+    purchases (operators/analytics.py:average_precision): score-desc
+    ranking with the id tiebreak as part of the metric contract,
+    precision@k pinned to ppm before the rank sum. Completes the
+    ranking-eval pair with auc_purchase_score."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.average_precision(
+        ev, "user_id", "value", F.col("event_type") == "purchase",
+        "event_id")
+
+
+@register(
+    "calibration_ece_bins",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INTEGER) AS bin,
+               CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS mu,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos
+        FROM events),
+    agg AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               SUM(mu) AS smu
+        FROM base GROUP BY bin),
+    per AS (
+        SELECT bin, n_rows, n_pos,
+               n_pos * 1000000 // n_rows AS rate_ppm,
+               smu // n_rows AS mean_score_micro,
+               (smu // n_rows) // 500 AS conf_ppm
+        FROM agg)
+    SELECT bin, n_rows, n_pos,
+           CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(mean_score_micro AS BIGINT) AS mean_score_micro,
+           CAST(conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(SUM(ABS(rate_ppm - conf_ppm) * n_rows) OVER ()
+                // SUM(n_rows) OVER () AS BIGINT) AS ece_ppm
+    FROM per
+    """,
+    tags=("analytics", "ml-eval", "anomaly"),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error over the
+    event value as a purchase score
+    (operators/analytics.py:calibration_bins): fixed-width bins,
+    positive rate vs normalized mean score, all integer ppm/micro
+    with the weighted gap truncating-DIV'd once at the end. The
+    scale-check sibling of AUC (ranking) and AP (head weighting)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.calibration_bins(
+        ev, "value", F.col("event_type") == "purchase")

@@ -502,3 +502,36 @@ def test_holt_linear_known_sequence(spark):
     assert (out[1]["level6"], out[1]["trend6"]) == (1.0, 0.0)
     assert (out[2]["level6"], out[2]["trend6"]) == (2.0, 0.25)
     assert (out[3]["level6"], out[3]["trend6"]) == (3.625, 0.59375)
+
+
+def test_average_precision_known(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        average_precision)
+
+    # ranked desc by score: labels (1, 0, 1, 0) ->
+    # AP = (1/1 + 2/3) / 2 = 5/6 -> ppm floor((1e6 + 666666)/2)
+    rows = [(1, 1, 4.0, "p"), (1, 2, 3.0, "n"),
+            (1, 3, 2.0, "p"), (1, 4, 1.0, "n")]
+    df = spark.createDataFrame(
+        rows, "k bigint, event_id bigint, value double, lbl string")
+    r = average_precision(df, "k", "value",
+                          F.col("lbl") == "p", "event_id").collect()[0]
+    assert (r["n_pos"], r["n_rows"]) == (2, 4)
+    assert r["ap_ppm"] == (1_000_000 + 666_666) // 2
+
+
+def test_calibration_bins_perfectly_calibrated(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        calibration_bins)
+
+    # score 100 (conf 200000 ppm) with exactly 20% positives and
+    # score 400 (conf 800000 ppm) with 80% -> ECE 0
+    rows = ([(100.0, "p")] * 2 + [(100.0, "n")] * 8
+            + [(400.0, "p")] * 8 + [(400.0, "n")] * 2)
+    df = spark.createDataFrame(rows, "value double, lbl string")
+    out = calibration_bins(df, "value", F.col("lbl") == "p")
+    got = {r["bin"]: r for r in out.collect()}
+    assert got[2]["rate_ppm"] == 200_000
+    assert got[2]["conf_ppm"] == 200_000
+    assert got[8]["rate_ppm"] == 800_000
+    assert all(r["ece_ppm"] == 0 for r in got.values())
