@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "holt_trend_per_user",           # level+trend double smoothing
     "avg_precision_purchase",        # exact PR-curve rank sum
     "calibration_ece_bins",          # reliability bins + ECE
+    "chi2_type_weekday",             # contingency independence test
 ]
 
 

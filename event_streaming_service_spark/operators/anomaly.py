@@ -343,3 +343,50 @@ def holt_linear(events: DataFrame, key_col: str, ts_col: str,
         part, (f"{key_col} bigint, {ts_col} timestamp, "
                f"{tiebreak_col} bigint, {value_col} double, "
                "level6 double, trend6 double"))
+
+
+def chi2_independence(df: DataFrame, row_col: Column, col_col: Column
+                      ) -> DataFrame:
+    """Pearson chi-square test of independence over a two-way
+    contingency table (the categorical-association screen run before
+    features enter a model, and the drift test's categorical
+    sibling): expected cell count E = row_total * col_total / N,
+    per-cell term (O - E)^2 / E pinned to integer micro-units
+    (floor(term * 1e6 + 0.5)) BEFORE the cross-cell sum — the PSI
+    device — so chi2_micro is an exact bigint both engines agree on.
+    Returns the full contingency grain (one row per observed cell)
+    with observed, expected_micro, term_micro, and the table-level
+    chi2_micro + dof broadcast onto every row (the drilldown shape).
+
+    Scale shape: one hash agg to cell grain (bounded by the category
+    product), two tiny window sums for the margins, no joins."""
+    cells = (df.select(row_col.alias("r"), col_col.alias("c"))
+             .groupBy("r", "c")
+             .agg(F.count(F.lit(1)).cast("long").alias("observed")))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    base = (cells
+            .withColumn("__rt", F.sum("observed").over(wr))
+            .withColumn("__ct", F.sum("observed").over(wc))
+            .withColumn("__n", F.sum("observed").over(wall)))
+    e = (F.col("__rt") * F.col("__ct")) / F.col("__n")
+    term = (F.col("observed") - e) * (F.col("observed") - e) / e
+    out = (base
+           .withColumn("expected_micro",
+                       F.floor(e * 1_000_000 + F.lit(0.5)).cast("long"))
+           .withColumn("term_micro",
+                       F.floor(term * 1_000_000 + F.lit(0.5))
+                       .cast("long")))
+    # DISTINCT aggregates are not window-able in Spark; collect_set is
+    # (the cell grain is category-product-bounded, so the set is tiny)
+    dof = ((F.size(F.collect_set(F.col("r")).over(wall)) - 1)
+           * (F.size(F.collect_set(F.col("c")).over(wall)) - 1))
+    return (out
+            .withColumn("chi2_micro",
+                        F.sum("term_micro").over(wall).cast("long"))
+            .withColumn("dof", dof.cast("int"))
+            .select(F.col("r").alias("row_value"),
+                    F.col("c").alias("col_value"),
+                    "observed", "expected_micro", "term_micro",
+                    "chi2_micro", "dof"))

@@ -111,6 +111,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "auc_purchase_score", "quantile_normalize_values",
     "u_shaped_attribution", "holt_trend_per_user",
     "avg_precision_purchase", "calibration_ece_bins",
+    "chi2_type_weekday",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

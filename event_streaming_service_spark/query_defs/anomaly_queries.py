@@ -326,3 +326,47 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return anomaly.holt_linear(ev, "user_id", "ts", "value",
                                HOLT_ALPHA, HOLT_GAMMA, "event_id")
+
+
+@register(
+    "chi2_type_weekday",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS r,
+               CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM events GROUP BY 1, 2),
+    marg AS (
+        SELECT r, c, observed,
+               SUM(observed) OVER (PARTITION BY r) AS rt,
+               SUM(observed) OVER (PARTITION BY c) AS ct,
+               SUM(observed) OVER () AS n
+        FROM cells),
+    terms AS (
+        SELECT r, c, observed,
+               CAST(FLOOR((rt * ct / n) * 1000000 + 0.5) AS BIGINT)
+                   AS expected_micro,
+               CAST(FLOOR(((observed - rt * ct / n)
+                           * (observed - rt * ct / n)
+                           / (rt * ct / n)) * 1000000 + 0.5)
+                    AS BIGINT) AS term_micro
+        FROM marg)
+    SELECT r AS row_value, c AS col_value, observed,
+           expected_micro, term_micro,
+           CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro,
+           CAST((COUNT(DISTINCT r) OVER () - 1)
+                * (COUNT(DISTINCT c) OVER () - 1) AS INTEGER) AS dof
+    FROM terms
+    """,
+    tags=("anomaly", "stats-test", "governance"),
+)
+def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of event_type x weekday
+    (operators/anomaly.py:chi2_independence): expected counts from the
+    margins, per-cell (O-E)^2/E pinned to micro-units before the
+    cross-cell sum, full contingency drilldown with the table
+    statistic and dof on every row. Weekday uses Spark dayofweek ==
+    DuckDB EXTRACT(dow) + 1 (the seasonal-anomalies convention)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.chi2_independence(
+        ev, F.col("event_type"), F.dayofweek(F.col("ts")).cast("long"))

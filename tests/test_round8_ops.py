@@ -535,3 +535,23 @@ def test_calibration_bins_perfectly_calibrated(spark):
     assert got[2]["conf_ppm"] == 200_000
     assert got[8]["rate_ppm"] == 800_000
     assert all(r["ece_ppm"] == 0 for r in got.values())
+
+
+def test_chi2_independence_known_2x2(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        chi2_independence)
+
+    # 2x2 table [[10, 20], [20, 10]]: margins 30/30, N=60,
+    # E=15 everywhere, term = 25/15 per cell, chi2 = 100/15
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, F.col("r"), F.col("c")).collect()
+    import math
+    term = math.floor(25 / 15 * 1e6 + 0.5)
+    assert len(out) == 4
+    for r in out:
+        assert r["expected_micro"] == 15_000_000
+        assert r["term_micro"] == term
+        assert r["chi2_micro"] == 4 * term
+        assert r["dof"] == 1
