@@ -43,48 +43,57 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation (VERDICT r7 item #1): drain the ENTIRE 20-name
-    # round-7 PENDING_ROTATION queue (the only oracle-backed queries
-    # never driver-verified), keep a minimal greedy tag-closure cover
-    # (17 anchors, mostly the compact *_surface bundles), and spend
-    # every remaining slot on the 13 LEAST-recently-green queries (all
-    # last green in round 1). The 34 round-7-green rows rotate out;
-    # tests/test_priority.py asserts tag closure over this budget.
+    # Round-9 rotation (VERDICT r8 item #1): drain the ENTIRE 18-name
+    # round-8 PENDING_ROTATION queue (the only oracle-backed queries
+    # never driver-verified), re-verify the two queries whose plans
+    # change this round (the r8 perf-weak fixes), keep a minimal
+    # greedy tag-closure cover (21 anchors), and spend the remaining
+    # 9 slots on the LEAST-recently-green queries. Oldest-green per
+    # block (VERDICT r8 item #6): queue=never, fix-targets=r8,
+    # anchors=r3..r8 (greedy prefers stale providers), tail=r1.
+    # The 2 round-1 rows without operator tags (salted_hot_key_agg,
+    # scd2_customer_updates) wait for the round-10 rotation — the
+    # budget is exactly full.
     #
-    # -- never driver-verified: the full round-7 rotation queue --
-    "association_rules_lift", "seasonal_hourly_anomalies",
-    "doc_chunks_rag", "group_split_leakproof",
-    "rrf_fused_topk", "cdc_merge_upsert",
-    "dyadic_quantile_sketch_prices", "kcore_copurchase",
-    "data_quality_report", "incremental_rollup_events",
-    "winsorized_price_stats", "ppr_trade_neighborhood",
-    "rfm_customer_segments", "near_dup_survivors_by_quality",
-    "rake_keyphrases_top20", "weekly_revenue_wow",
-    "ltv_by_cohort_month", "info_gain_price_splits",
-    "degree_assortativity_copurchase", "zipf_slope_tokens",
-    # -- tag-closure anchors (greedy set cover over the tags the 20
-    #    rows above leave uncovered; surfaces delegate to the
-    #    standalone operator builders) --
-    "ops_catalog_surface", "routing_pipeline_surface",
-    "corpus_pipeline_surface", "envelope_props_surface",
-    "streaming_core_surface", "ann_cosine_surface",
-    "corpus_fingerprint_surface", "governance_surface",
-    "joins_surface", "window_functions_profile",
-    "tpch_q3_shipping_priority",            # tpch+O4 (r2, oldest provider)
-    "winnow_shared_pairs",                  # 2.12-fingerprint (sole pair)
-    "late_drop_counts",                     # W3 (sole source)
+    # -- never driver-verified: the full round-8 rotation queue --
+    "multimodal_features_gif", "video_frames_gif",
+    "longest_repeated_ngram", "blocklist_scan",
+    "interval_coverage_supplier", "psi_value_drift",
+    "cusum_value_alerts", "embedding_gram_matrix",
+    "multimodal_resize_gif", "ivm_delta_join_orders",
+    "wl_roles_copurchase", "auc_purchase_score",
+    "quantile_normalize_values", "u_shaped_attribution",
+    "holt_trend_per_user", "avg_precision_purchase",
+    "calibration_ece_bins", "chi2_type_weekday",
+    # -- r8-green but their plans change THIS round (perf fixes:
+    #    shared copurchase-edge persist; winsorized ranked-frame
+    #    reuse) so they must be re-verified, not assumed green --
+    "degree_assortativity_copurchase", "winsorized_price_stats",
+    # -- tag-closure anchors (greedy set cover over the tags the 29
+    #    rows above leave uncovered; tie-breaks prefer the
+    #    least-recently-green provider) --
+    "ops_catalog_surface", "corpus_pipeline_surface",
+    "governance_surface", "streaming_core_surface",
+    "envelope_props_surface", "winnow_shared_pairs",
+    "window_functions_profile", "ann_cosine_surface",
+    "joins_surface", "corpus_fingerprint_surface",
+    "routing_pipeline_surface",
+    "tpch_q16_supplier_part_spec_counts",   # J3+tpch (r4)
+    "tpch_q13_order_count_distribution",    # 2.6 (r4)
+    "top_lagging",                          # O4 (r3, oldest provider)
+    "weighted_sample_by_length",            # 2.12-sampling (r4)
+    "hll_distinct_users",                   # 2.12-sketch (r7)
+    "ohlc_bars_daily",                      # 2.12-timeseries (r7)
     "mmr_diverse_topk",                     # 2.12-mmr (sole source)
-    "proto_wire_roundtrip",                 # S10 (sole source)
     "skew_key_diagnostics",                 # 2.12-skew (sole source)
-    "video_frames_apng",                    # 2.12-video
+    "proto_wire_roundtrip",                 # S10 (sole source)
+    "late_drop_counts",                     # W3 (sole source)
     # -- least-recently-green re-verification (all last green in
-    #    round 1; six rounds unchecked) --
-    "duplicate_counts", "embedding_norms_by_label",
-    "events_cube_type_outcome", "events_pivot_by_type",
-    "lag_per_partition", "lag_rollup_grand_total",
-    "lag_total_by_group", "latency_percentiles",
-    "minhash_lsh_pairs", "minhash_signatures",
-    "offset_probe", "replay_offset_range", "replay_time_range",
+    #    round 1; seven rounds unchecked) --
+    "retry_routing", "routing_keys", "routing_partitions",
+    "set_ops_engaged_users", "topic_message_count",
+    "topic_statistics", "union_by_name_topics",
+    "validation_rejects", "validation_summary",
 )
 
 # Oracle-backed queries waiting for a driver slot (bounded <= 25,
@@ -94,24 +103,10 @@ PRIORITY: tuple[str, ...] = (
 # must be drive_contract-green locally — hash + schema — before it is
 # queued: the freeze rule).
 PENDING_ROTATION: tuple[str, ...] = (
-    # round-8 registrations, each drive_contract-green (hash + schema)
-    # at sf0.01 before queueing: the GIF/LZW decode pair (still +
-    # animated) and the suffix-automaton repeated-n-gram profile
-    "multimodal_features_gif", "video_frames_gif",
-    "longest_repeated_ngram",
-    # second round-8 wave: Aho-Corasick banned-phrase scan and
-    # overlap-merging interval islands, same local-green gate
-    "blocklist_scan", "interval_coverage_supplier",
-    # third round-8 wave: ML-ops drift + sequential change detection
-    "psi_value_drift", "cusum_value_alerts",
-    "embedding_gram_matrix",
-    "multimodal_resize_gif", "ivm_delta_join_orders",
-    "wl_roles_copurchase",
-    # fourth round-8 wave: ML-eval + ML-preprocessing
-    "auc_purchase_score", "quantile_normalize_values",
-    "u_shaped_attribution", "holt_trend_per_user",
-    "avg_precision_purchase", "calibration_ece_bins",
-    "chi2_type_weekday",
+    # Round 9 starts with an EMPTY queue: the round-8 queue was
+    # drained into the budget above. New round-9 registrations append
+    # here (each must be drive_contract-green locally — hash + schema
+    # — before it is queued: the freeze rule).
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
