@@ -835,8 +835,13 @@ def auc_binary(df: DataFrame, key_col: str, score_col: str,
     All arithmetic stays integer: twice an averaged rank is
     2*rank_min + tie_count - 1 (an integer), so
         auc_ppm = (2*sum_pos_ranks2 ... ) * 1e6 DIV (2*n_pos*n_neg)
-    is engine-exact (truncating DIV both engines). Keys with a single
-    class (n_pos or n_neg = 0) have no defined AUC and are omitted.
+    is engine-exact (truncating DIV both engines). The ppm multiply
+    runs in DECIMAL(38,0): sum_pos_ranks2 grows ~n^2 per key, so the
+    bigint form (sr2 - n_pos*(n_pos+1)) * 1e6 would silently wrap for
+    keys beyond ~2M rows with ANSI mode off — decimal keeps the exact
+    value to ~1e16 rows/key (the DuckDB twin rides HUGEINT the same
+    way). Keys with a single class (n_pos or n_neg = 0) have no
+    defined AUC and are omitted.
 
     Scale shape: ONE shuffle on the key; the rank and tie-count
     windows and the final aggregate all share the key partitioning,
@@ -855,8 +860,9 @@ def auc_binary(df: DataFrame, key_col: str, score_col: str,
                 F.sum(F.col("__pos") * F.col("__r2")).cast("long")
                 .alias("__sr2")))
     auc_ppm = F.expr(
-        "CAST((__sr2 - n_pos * (n_pos + 1)) * 1000000"
-        " DIV (2 * n_pos * n_neg) AS BIGINT)")
+        "CAST((CAST(__sr2 AS DECIMAL(38,0))"
+        " - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+        " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
     return (agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
             .select(key_col, "n_pos", "n_neg",
                     auc_ppm.alias("auc_ppm")))
@@ -895,14 +901,21 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     pooled = global_rank(base, ["cents", id_col]).select(
         F.col("rank").alias("__gidx"), F.col("cents").alias("qnorm_cents"))
     n_total = pooled.count()
-    # SQL-expression form so the truncating DIV is literally the same
-    # operator the oracle runs
-    ranked = base.withColumn(
-        "__gidx", F.expr(
-            f"1 + CAST((row_number() OVER (PARTITION BY {group_col}"
-            f" ORDER BY cents, {id_col}) - 1) * {n_total - 1} AS BIGINT)"
-            f" DIV greatest(count(1) OVER (PARTITION BY {group_col})"
-            f" - 1, 1)"))
+    # Windows via the Column API (an interpolated identifier would
+    # break or mis-bind on names needing backticks); only the DIV
+    # arithmetic stays an F.expr over the pre-aliased internal
+    # columns so the truncating DIV is literally the same operator
+    # the oracle runs.
+    wg = Window.partitionBy(group_col).orderBy(F.col("cents"),
+                                               F.col(id_col))
+    ranked = (base
+              .withColumn("__r", F.row_number().over(wg))
+              .withColumn("__ng", F.count(F.lit(1)).over(
+                  Window.partitionBy(group_col)))
+              .withColumn("__gidx", F.expr(
+                  f"1 + CAST((__r - 1) * {n_total - 1} AS BIGINT)"
+                  f" DIV greatest(__ng - 1, 1)"))
+              .drop("__r", "__ng"))
     return (ranked.join(pooled, "__gidx")
             .select(id_col, group_col, F.col("cents").alias("value_cents"),
                     "qnorm_cents"))
@@ -1017,12 +1030,22 @@ def calibration_bins(df: DataFrame, score_col: str, label: Column,
     weights the head, ECE checks the SCALE of the scores.
 
     All arithmetic integer: scores pin to micro-units per row before
-    any sum. One hash agg to <= n_bins rows + one tiny window."""
+    any sum; conf_ppm divides micro-units by score_max in MICRO-units
+    (mean_micro * 1e6 DIV round(score_max * 1e6)) so a non-integral
+    score_max — 0.5 for probability-like scores, the usual
+    calibration domain — is exact rather than int()-truncated. Bins
+    clamp into [0, n_bins - 1] on BOTH ends (a negative score would
+    otherwise land in a negative bin). One hash agg to <= n_bins rows
+    + one tiny window."""
+    if not score_max > 0:
+        raise ValueError(f"score_max must be positive: {score_max}")
+    score_max_micro = int(round(score_max * 1_000_000))
     micro = F.floor(F.col(score_col) * 1_000_000 + F.lit(0.5)) \
         .cast("long")
-    bin_col = F.least(F.floor(F.col(score_col)
-                              * F.lit(n_bins / score_max)),
-                      F.lit(n_bins - 1)).cast("int")
+    bin_col = F.greatest(
+        F.least(F.floor(F.col(score_col) * F.lit(n_bins / score_max)),
+                F.lit(n_bins - 1)),
+        F.lit(0)).cast("int")
     base = (df.select(bin_col.alias("bin"), micro.alias("__mu"),
                       label.cast("long").alias("__pos"))
             .groupBy("bin")
@@ -1033,9 +1056,12 @@ def calibration_bins(df: DataFrame, score_col: str, label: Column,
     mean_micro = F.expr("__smu DIV n_rows")
     per = (base.withColumn("rate_ppm", rate_ppm)
            .withColumn("mean_score_micro", mean_micro)
-           # confidence proxy: score normalized onto [0, 1] ppm
+           # confidence proxy: score normalized onto [0, 1] ppm —
+           # micro-units over micro-units so non-integral score_max
+           # stays exact (mean/score_max == mean*1e6/(score_max*1e6),
+           # same truncation point)
            .withColumn("conf_ppm", F.expr(
-               f"mean_score_micro DIV {int(score_max)}"))
+               f"mean_score_micro * 1000000 DIV {score_max_micro}"))
            .withColumn("__gap",
                        F.abs(F.col("rate_ppm") - F.col("conf_ppm"))
                        * F.col("n_rows")))

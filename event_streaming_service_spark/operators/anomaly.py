@@ -157,7 +157,10 @@ def psi_drift(df: DataFrame, group_col: str, value_col: str,
     reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 retrain.
 
     Engine-exactness: bins are fixed-width integer arithmetic
-    (least(floor(value / bin_width), n_bins - 1)); the smoothed
+    (floor(value / bin_width) clamped into [0, n_bins - 1] on BOTH
+    ends — an unclamped negative value would produce a negative bin
+    the dense spine's left join silently drops, excluding those rows
+    from the counts AND the totals); the smoothed
     shares p, q and the per-bin term are the SAME short float-op
     sequence in both engines and the term is pinned to integer
     nano-units (floor(term * 1e9 + 0.5)) BEFORE the cross-bin sum —
@@ -170,8 +173,10 @@ def psi_drift(df: DataFrame, group_col: str, value_col: str,
     Scale shape: one hash agg to (group, bin, period) grain, a pivot
     to two count columns, and one window sum over <= n_bins rows per
     group — no joins, no skew surface (bins bound the grain)."""
-    bin_col = F.least(F.floor(F.col(value_col) / bin_width),
-                      F.lit(n_bins - 1)).cast("int")
+    bin_col = F.greatest(
+        F.least(F.floor(F.col(value_col) / bin_width),
+                F.lit(n_bins - 1)),
+        F.lit(0)).cast("int")
     base = (df.select(F.col(group_col).alias("grp"),
                       bin_col.alias("bin"),
                       period_flag.cast("int").alias("__p"))
@@ -354,19 +359,31 @@ def chi2_independence(df: DataFrame, row_col: Column, col_col: Column
     per-cell term (O - E)^2 / E pinned to integer micro-units
     (floor(term * 1e6 + 0.5)) BEFORE the cross-cell sum — the PSI
     device — so chi2_micro is an exact bigint both engines agree on.
-    Returns the full contingency grain (one row per observed cell)
-    with observed, expected_micro, term_micro, and the table-level
-    chi2_micro + dof broadcast onto every row (the drilldown shape).
+    Returns the DENSE contingency grain (one row per distinct-row x
+    distinct-col cell, observed or not: a zero cell still contributes
+    (0-E)^2/E = E to the statistic, so a sparse table computed only
+    over observed cells would understate chi2 — the psi_drift spine
+    rationale) with observed, expected_micro, term_micro, and the
+    table-level chi2_micro + dof broadcast onto every row (the
+    drilldown shape).
 
     Scale shape: one hash agg to cell grain (bounded by the category
-    product), two tiny window sums for the margins, no joins."""
+    product), a broadcast cross join of the two tiny dimension sets
+    to densify, two tiny window sums for the margins."""
     cells = (df.select(row_col.alias("r"), col_col.alias("c"))
              .groupBy("r", "c")
              .agg(F.count(F.lit(1)).cast("long").alias("observed")))
+    # Densify: every (distinct r) x (distinct c) cell must be present
+    # before the margins — both dimension sets are category-bounded,
+    # so the cross join is a broadcast of two tiny frames.
+    dense = (cells.select("r").distinct()
+             .crossJoin(F.broadcast(cells.select("c").distinct()))
+             .join(cells, ["r", "c"], "left")
+             .fillna(0, ["observed"]))
     wr = Window.partitionBy("r")
     wc = Window.partitionBy("c")
     wall = Window.partitionBy()
-    base = (cells
+    base = (dense
             .withColumn("__rt", F.sum("observed").over(wr))
             .withColumn("__ct", F.sum("observed").over(wc))
             .withColumn("__n", F.sum("observed").over(wall)))

@@ -165,8 +165,10 @@ def q_info_gain_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS sr2
         FROM ranked GROUP BY user_id)
     SELECT user_id, n_pos, n_neg,
-           CAST((sr2 - n_pos * (n_pos + 1)) * 1000000
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+           CAST((CAST(sr2 AS HUGEINT) - CAST(n_pos AS HUGEINT)
+                     * (n_pos + 1)) * 1000000
+                // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                AS BIGINT) AS auc_ppm
     FROM agg WHERE n_pos > 0 AND n_neg > 0
     """,
     tags=("analytics", "ml-eval", "auc", "windows"),
@@ -324,7 +326,8 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calibration_ece_bins",
     oracle="""
     WITH base AS (
-        SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INTEGER) AS bin,
+        SELECT CAST(GREATEST(LEAST(FLOOR(value / 50.0), 9), 0)
+                    AS INTEGER) AS bin,
                CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS mu,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                    AS pos
@@ -338,7 +341,7 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bin, n_rows, n_pos,
                n_pos * 1000000 // n_rows AS rate_ppm,
                smu // n_rows AS mean_score_micro,
-               (smu // n_rows) // 500 AS conf_ppm
+               (smu // n_rows) * 1000000 // 500000000 AS conf_ppm
         FROM agg)
     SELECT bin, n_rows, n_pos,
            CAST(rate_ppm AS BIGINT) AS rate_ppm,

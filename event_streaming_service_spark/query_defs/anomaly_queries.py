@@ -174,7 +174,8 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT event_type AS grp,
-               CAST(LEAST(FLOOR(value / 50.0), 9) AS INTEGER) AS bin,
+               CAST(GREATEST(LEAST(FLOOR(value / 50.0), 9), 0)
+                    AS INTEGER) AS bin,
                event_id % 2 AS p
         FROM events),
     cnt AS (SELECT grp, bin,
@@ -331,11 +332,16 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "chi2_type_weekday",
     oracle="""
-    WITH cells AS (
+    WITH obs AS (
         SELECT event_type AS r,
                CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS c,
                CAST(COUNT(*) AS BIGINT) AS observed
         FROM events GROUP BY 1, 2),
+    cells AS (
+        SELECT rr.r, cc.c, COALESCE(o.observed, 0) AS observed
+        FROM (SELECT DISTINCT r FROM obs) rr
+        CROSS JOIN (SELECT DISTINCT c FROM obs) cc
+        LEFT JOIN obs o ON o.r = rr.r AND o.c = cc.c),
     marg AS (
         SELECT r, c, observed,
                SUM(observed) OVER (PARTITION BY r) AS rt,
@@ -363,10 +369,12 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of event_type x weekday
     (operators/anomaly.py:chi2_independence): expected counts from the
-    margins, per-cell (O-E)^2/E pinned to micro-units before the
-    cross-cell sum, full contingency drilldown with the table
-    statistic and dof on every row. Weekday uses Spark dayofweek ==
-    DuckDB EXTRACT(dow) + 1 (the seasonal-anomalies convention)."""
+    margins over the DENSIFIED cell grain (a zero cell contributes
+    (0-E)^2/E = E, so sparse tables would understate chi2 otherwise),
+    per-cell (O-E)^2/E pinned to micro-units before the cross-cell
+    sum, full contingency drilldown with the table statistic and dof
+    on every row. Weekday uses Spark dayofweek == DuckDB
+    EXTRACT(dow) + 1 (the seasonal-anomalies convention)."""
     ev = tables.load_table(spark, sf_dir, "events")
     return anomaly.chi2_independence(
         ev, F.col("event_type"), F.dayofweek(F.col("ts")).cast("long"))

@@ -1,0 +1,132 @@
+"""Round-9 regression tests: the ADVICE r8 fixes (sparse-table chi2
+densification, PSI/calibration negative-bin clamps, non-integral
+score_max, Column-API quantile-normalize windows)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_chi2_sparse_table_includes_zero_cells(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        chi2_independence)
+
+    # (b, y) never observed: margins rt(a)=8, rt(b)=4, ct(x)=10,
+    # ct(y)=2, N=12 -> E(b,y) = 4*2/12 = 2/3 and the zero cell
+    # contributes (0-E)^2/E = E = 2/3 to chi2. Computing only over
+    # observed cells would understate the statistic by that term.
+    rows = ([("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 4)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r["row_value"], r["col_value"]): r
+           for r in chi2_independence(
+               df, F.col("r"), F.col("c")).collect()}
+    assert len(out) == 4  # dense 2x2 grain, not the 3 observed cells
+    zero = out[("b", "y")]
+    assert zero["observed"] == 0
+    assert zero["expected_micro"] == math.floor(2 / 3 * 1e6 + 0.5)
+    assert zero["term_micro"] == math.floor(2 / 3 * 1e6 + 0.5)
+    # chi2 is the sum over ALL four cells (exact rational check:
+    # E(a,x)=20/3, E(a,y)=4/3, E(b,x)=10/3, E(b,y)=2/3)
+    terms = {
+        ("a", "x"): (6 - 20 / 3) ** 2 / (20 / 3),
+        ("a", "y"): (2 - 4 / 3) ** 2 / (4 / 3),
+        ("b", "x"): (4 - 10 / 3) ** 2 / (10 / 3),
+        ("b", "y"): 2 / 3,
+    }
+    expect_chi2 = sum(math.floor(t * 1e6 + 0.5) for t in terms.values())
+    for r in out.values():
+        assert r["term_micro"] == math.floor(
+            terms[(r["row_value"], r["col_value"])] * 1e6 + 0.5)
+        assert r["chi2_micro"] == expect_chi2
+        assert r["dof"] == 1
+
+
+def test_psi_negative_values_clamp_to_bin_zero(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        psi_drift)
+
+    # A negative value used to produce bin -1, which the dense-spine
+    # left join silently dropped from the counts AND the totals.
+    rows = [(1, "g", -10.0), (2, "g", 5.0), (3, "g", 120.0),
+            (4, "g", -0.5), (5, "g", 480.0), (6, "g", 9999.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, t string, value double")
+    out = psi_drift(df, "t", "value", (F.col("event_id") % 2 == 1)
+                    ).collect()
+    assert {r["bin"] for r in out} == set(range(10))
+    # every row is counted: 3 odd ids in period b, 3 even in period a
+    assert sum(r["cnt_a"] for r in out) == 3
+    assert sum(r["cnt_b"] for r in out) == 3
+    # the two negatives (ids 1, 4) clamp into bin 0 alongside 5.0 (id 2)
+    b0 = next(r for r in out if r["bin"] == 0)
+    assert b0["cnt_a"] + b0["cnt_b"] == 3
+
+
+def test_calibration_non_integral_score_max_and_clamp(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        calibration_bins)
+
+    # probability-style scores with score_max = 0.5: int() truncation
+    # would divide by zero; micro-unit DIV keeps conf exact. The
+    # negative score clamps into bin 0 instead of vanishing into a
+    # negative bin.
+    rows = ([(0.1, "p")] * 2 + [(0.1, "n")] * 8
+            + [(0.4, "p")] * 8 + [(0.4, "n")] * 2
+            + [(-0.2, "n")])
+    df = spark.createDataFrame(rows, "value double, lbl string")
+    out = {r["bin"]: r for r in calibration_bins(
+        df, "value", F.col("lbl") == "p", score_max=0.5).collect()}
+    # 0.1 / 0.5 = 200000 ppm; 0.4 / 0.5 = 800000 ppm
+    assert out[8]["conf_ppm"] == 800_000
+    assert out[8]["rate_ppm"] == 800_000
+    # bin 0 holds the clamped -0.2 row: mean_micro = (-200000) DIV 1
+    assert out[0]["n_rows"] == 1
+    # bin 2 = scores 0.1 (bin floor(0.1 * 20) = 2)
+    assert out[2]["conf_ppm"] == 200_000
+
+    with pytest.raises(ValueError):
+        calibration_bins(df, "value", F.col("lbl") == "p",
+                         score_max=0.0)
+    with pytest.raises(ValueError):
+        calibration_bins(df, "value", F.col("lbl") == "p",
+                         score_max=-1.0)
+
+
+def test_quantile_normalize_handles_backtick_names(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        quantile_normalize)
+
+    # column names that need backticks (spaces) broke the old
+    # interpolated-SQL window; the Column API binds them correctly
+    rows = ([(i, "a", float(i)) for i in range(1, 6)]
+            + [(10 + i, "b", 100.0 + i) for i in range(1, 6)])
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, g string, value double")
+        .withColumnRenamed("event_id", "id col")
+        .withColumnRenamed("g", "group name"))
+    out = quantile_normalize(df, "group name", "value", "id col")
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r["group name"], []).append(r["qnorm_cents"])
+    assert sorted(by_grp["a"]) == sorted(by_grp["b"])
+    assert min(by_grp["a"]) == 100
+    assert max(by_grp["a"]) == 10500
+
+
+def test_auc_decimal_survives_wide_key(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        auc_binary)
+
+    # 5M rows on ONE key with perfect separation: the pre-decimal
+    # bigint form ((sr2 - n_pos*(n_pos+1)) * 1e6) wraps past ~4.3M
+    # rows per key (sr2 ~ n^2); DECIMAL(38,0) keeps AUC exact at 1.0.
+    n = 5_000_000
+    df = (spark.range(n)
+          .select(F.lit(1).alias("k"),
+                  F.col("id").cast("double").alias("value"),
+                  (F.col("id") >= n // 2).alias("lbl")))
+    r = auc_binary(df, "k", "value", F.col("lbl")).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n - n // 2, n // 2)
+    assert r["auc_ppm"] == 1_000_000
