@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "avg_precision_purchase",        # exact PR-curve rank sum
     "calibration_ece_bins",          # reliability bins + ECE
     "chi2_type_weekday",             # contingency independence test
+    # round-9 wave
+    "adamic_adar_capped",            # hub-capped wedge link prediction
 ]
 
 

@@ -103,10 +103,16 @@ PRIORITY: tuple[str, ...] = (
 # must be drive_contract-green locally — hash + schema — before it is
 # queued: the freeze rule).
 PENDING_ROTATION: tuple[str, ...] = (
-    # Round 9 starts with an EMPTY queue: the round-8 queue was
+    # Round 9 started with an EMPTY queue: the round-8 queue was
     # drained into the budget above. New round-9 registrations append
     # here (each must be drive_contract-green locally — hash + schema
     # — before it is queued: the freeze rule).
+    #
+    # hub-capped Adamic-Adar (VERDICT r8 item #4: the production
+    # 100x-scale configuration as a second headliner; the oracle
+    # mirrors the deterministic per-center truncation so it is
+    # hash-checkable at every SF)
+    "adamic_adar_capped",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

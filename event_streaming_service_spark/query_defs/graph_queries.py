@@ -17,6 +17,24 @@ from event_streaming_service_spark.sources import tables
 
 ITERS = 5
 
+
+def copurchase_edges(spark: SparkSession, sf_dir: str,
+                     a: str = "a", b: str = "b") -> DataFrame:
+    """Distinct undirected part co-purchase pairs (a < b): parts are
+    linked when they ship in the same order — ONE definition of the
+    lineitem self-join shared by the five copurchase graph queries
+    (triangles, adamic-adar, k-core, assortativity, WL roles) so the
+    edge semantics can never drift between them."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("pa"))
+    l2 = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("pb"))
+    return (l1.join(l2, "o")
+            .filter(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias(a), F.col("pb").alias(b))
+            .distinct())
+
 _EDGES = """
     base AS (
         SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
@@ -135,14 +153,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree — O(sqrt(m)) on any graph — so a celebrity part cannot
     explode the join) plus the global clustering coefficient in
     exact ppm."""
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    pairs = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
-             .select(F.col("l1.l_partkey").alias("a"),
-                     F.col("l2.l_partkey").alias("b"))
-             .distinct())
-    return graph.triangle_stats(pairs, "a", "b")
+    return graph.triangle_stats(
+        copurchase_edges(spark, sf_dir, "a", "b"), "a", "b")
 
 
 @register(
@@ -184,16 +196,69 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-adjacent pairs by summed 1/ln(deg) over common neighbors, each
     term pinned to integer micro-units before summation
     (operators/graph.py:adamic_adar_links)."""
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pb"))
-    edges = (a.join(b, "o")
-             .filter(F.col("pa") < F.col("pb"))
-             .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-             .distinct())
-    return graph.adamic_adar_links(edges, top_n=20)
+    return graph.adamic_adar_links(
+        copurchase_edges(spark, sf_dir, "a", "b"), top_n=20)
+
+
+_AA_CAP = 1024
+
+
+@register(
+    "adamic_adar_capped",
+    oracle=f"""
+    WITH pair AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+    adj AS MATERIALIZED (
+        SELECT x AS w, y AS n FROM pair
+        UNION ALL SELECT y AS w, x AS n FROM pair),
+    deg AS MATERIALIZED (
+        SELECT w, COUNT(*) AS deg,
+               CAST(FLOOR(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS term_micro
+        FROM adj GROUP BY w),
+    capped AS MATERIALIZED (
+        SELECT w, n FROM (
+            SELECT w, n, ROW_NUMBER() OVER (PARTITION BY w ORDER BY n)
+                       AS r
+            FROM adj)
+        WHERE r <= {_AA_CAP}),
+    wedges AS (
+        SELECT l.w, l.n AS u, r.n AS v
+        FROM capped l JOIN capped r ON l.w = r.w AND l.n < r.n),
+    scored AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(term_micro) AS BIGINT) AS aa_micro
+        FROM wedges JOIN deg USING (w)
+        GROUP BY u, v),
+    non_adj AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM pair p
+                          WHERE p.x = s.u AND p.y = s.v))
+    SELECT u, v, common_neighbors, aa_micro
+    FROM non_adj
+    ORDER BY aa_micro DESC, u, v LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "2.12-graph"),
+)
+def q_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar with the per-center expansion cap — the PRODUCTION
+    configuration at 100x scale (VERDICT r8 item #4): each center's
+    adjacency truncates to its 1024 smallest neighbor ids before the
+    wedge self-join, bounding fan-out at sum_w min(deg, 1024)^2
+    instead of sum_w deg^2, while AA terms keep the TRUE degree
+    (operators/graph.py:adamic_adar_links(max_center_degree=...)).
+    Truncation only DROPS wedges, so scores are lower bounds of the
+    exact query's — and the oracle applies the IDENTICAL deterministic
+    truncation (a row_number window per center), so the two engines
+    hash-match at every SF, including where the cap binds. The exact
+    path stays registered as adamic_adar_copurchase, the engine's
+    documented worst constant."""
+    return graph.adamic_adar_links(
+        copurchase_edges(spark, sf_dir, "a", "b"), top_n=20,
+        max_center_degree=_AA_CAP)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -230,16 +295,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (fixed-round semantics unrolled identically in the oracle;
     a no-op past the fixpoint) — surviving nodes with their in-core
     degree (operators/graph.py:kcore_peel)."""
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pb"))
-    edges = (a.join(b, "o")
-             .filter(F.col("pa") < F.col("pb"))
-             .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-             .distinct())
-    return graph.kcore_peel(edges, k=80, rounds=6)
+    return graph.kcore_peel(
+        copurchase_edges(spark, sf_dir, "a", "b"), k=80, rounds=6)
 
 
 _PPR_SEEDS = ("c1", "c2", "c3")
@@ -337,19 +394,21 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment Pearson r over (deg(u), deg(v)) for every directed edge
     orientation — positive r = hubs link hubs
     (operators/analytics.py:pearson_corr on the degree-joined edge
-    list)."""
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("pb"))
-    und = (a.join(b, "o").filter(F.col("pa") < F.col("pb"))
-           .select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-           .distinct())
+    list).
+
+    The edge pipeline is multiply-consumed — `und` feeds both union
+    branches of `adj`, `adj` feeds the degree aggregate AND the edge
+    projection, and `deg` joins the projection twice — so all three
+    frames persist (the adamic_adar_links convention,
+    operators/graph.py:250-260): without it Catalyst re-derives the
+    lineitem self-join once per consumer (the round-8 verdict's 6.0x
+    paired-ratio diagnosis). Cache lifecycle: query lifetime (lazy
+    result; session end or clearCache reclaims)."""
+    und = copurchase_edges(spark, sf_dir, "x", "y").persist()
     adj = (und.select(F.col("x").alias("w"), F.col("y").alias("n"))
            .union(und.select(F.col("y").alias("w"),
-                             F.col("x").alias("n"))))
-    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+                             F.col("x").alias("n")))).persist()
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d")).persist()
     ep = (adj
           .join(deg, "w")
           .join(deg.select(F.col("w").alias("n"),
@@ -400,12 +459,5 @@ def q_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     role have isomorphic 2-hop label trees. The oracle unrolls both
     rounds with the identical string algebra (md5, binary string
     sorts, zero-padded degree seeds are engine-identical)."""
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    pairs = (li.alias("l1").join(
-        li.alias("l2"),
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
-        .select(F.col("l1.l_partkey").alias("a"),
-                F.col("l2.l_partkey").alias("b"))
-        .distinct())
-    return graph.wl_roles(pairs).withColumnRenamed("a", "l_partkey")
+    return (graph.wl_roles(copurchase_edges(spark, sf_dir, "a", "b"))
+            .withColumnRenamed("a", "l_partkey"))
