@@ -202,6 +202,10 @@ BENCH_QUERIES = [
     "chi2_type_weekday",             # contingency independence test
     # round-9 wave
     "adamic_adar_capped",            # hub-capped wedge link prediction
+    "bpe_learned_merges",            # 6-round BPE merge learning
+    "langid_ngram_confusion",        # trigram lang-ID + confusion
+    "neyman_stratified_sample",      # optimal-allocation sampling
+    "ann_recall_report",             # LSH-vs-exact recall@k audit
 ]
 
 

@@ -185,6 +185,85 @@ def bpe_merge_pairs(docs: DataFrame, text_col: str = "text",
             .limit(top_n))
 
 
+# ---- full BPE merge learning --------------------------------------
+
+
+def bpe_learn_merges(docs: DataFrame, text_col: str = "text",
+                     n_merges: int = 6) -> DataFrame:
+    """The complete BPE merge-learning loop (Sennrich, Haddow & Birch
+    2016 — "Neural Machine Translation of Rare Words with Subword
+    Units"): iteratively merge the most frequent adjacent symbol pair,
+    n_merges times, and return the learned merge table
+    (merge_rank, lhs, rhs, pair_count) — the artifact a tokenizer
+    trainer ships. Extends bpe_merge_pairs (which computes only the
+    FIRST merge's statistic) to the full training loop.
+
+    Like the real trainers, the loop runs over the DISTINCT-WORD
+    vocabulary weighted by word frequency — the working set is the
+    vocab (orders of magnitude smaller than the corpus; the corpus is
+    scanned exactly once to build it). Each word is kept as a
+    separator string '|c||h||a||r|': DOUBLE separators between symbols
+    so applying a merge is one engine-portable left-to-right
+    replace('|l||r|' -> '|lr|') in which adjacent occurrences share no
+    characters ('|a||a||a|' merges to '|aa||a|' — exactly BPE's
+    leftmost-non-overlapping pair application; with single separators
+    the shared '|' would break the second match). '|' is stripped from
+    input words so it stays a reserved sentinel.
+
+    Determinism: argmax by (pair_count desc, lhs asc, rhs asc) — the
+    tiebreak is part of the contract, both engines rank identically
+    (binary string sorts).
+
+    Scale shape: per merge round, one split+explode over the vocab,
+    one hash agg to pair grain, a 1-row TakeOrdered argmax broadcast
+    back, and one projection. The vocab frame localCheckpoints every
+    round (it feeds the pair count AND the replace, and chains
+    n_merges deep — the iterative-operator convention); the argmax row
+    localCheckpoints so the output union does not recompute rounds."""
+    tok = (fan_out(docs)
+           .select(F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = (tok.select(F.replace(F.col("w"), F.lit("|"), F.lit(""))
+                        .alias("w"))
+             .where(F.length("w") >= 1)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    sep_string = F.concat(
+        F.lit("|"),
+        F.concat_ws("||", F.expr(
+            "transform(sequence(1, char_length(w)), i -> substr(w, i, 1))")),
+        F.lit("|"))
+    cur = vocab.select(sep_string.alias("s"), "wc").localCheckpoint()
+    merge_rows = []
+    for k in range(1, n_merges + 1):
+        toks_arr = F.split(
+            F.expr("substring(s, 2, char_length(s) - 2)"), r"\|\|")
+        pairs = (cur.select("wc", toks_arr.alias("t"))
+                 .where(F.size("t") >= 2)
+                 .select("wc", F.explode(F.expr(
+                     "transform(sequence(1, size(t) - 1),"
+                     " i -> struct(element_at(t, i) AS lhs,"
+                     " element_at(t, i + 1) AS rhs))")).alias("p")))
+        best = (pairs.groupBy(F.col("p.lhs").alias("lhs"),
+                              F.col("p.rhs").alias("rhs"))
+                .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+                .limit(1)
+                .select(F.lit(k).cast("int").alias("merge_rank"),
+                        "lhs", "rhs", "pair_count")
+                .localCheckpoint())
+        merge_rows.append(best)
+        pat = F.concat(F.lit("|"), F.col("lhs"), F.lit("||"),
+                       F.col("rhs"), F.lit("|"))
+        rep = F.concat(F.lit("|"), F.col("lhs"), F.col("rhs"),
+                       F.lit("|"))
+        cur = (cur.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+               .select(F.replace(F.col("s"), pat, rep).alias("s"), "wc")
+               .localCheckpoint())
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 # ---- vocabulary coverage ------------------------------------------
 
 

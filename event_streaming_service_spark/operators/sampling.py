@@ -235,3 +235,60 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
     return (df.withColumn("samp_key", score)
             .orderBy(F.col("samp_key").desc(), F.col(key_col))
             .limit(n))
+
+
+def neyman_stratified_sample(df: DataFrame, stratum_col: str,
+                             value_col: str, key_col: str,
+                             total_n: int = 100) -> DataFrame:
+    """Stratified sampling with NEYMAN (optimal) allocation: the
+    per-stratum sample size is proportional to N_h * S_h (stratum
+    size x stratum standard deviation — Neyman 1934), which minimizes
+    the variance of the stratified mean estimator at a fixed total
+    budget. The survey-sampling upgrade of quota_sample's fixed
+    quotas: high-variance strata earn more of the budget.
+
+    Engine-exact arithmetic: with the population stddev,
+        N_h * S_h = sqrt(N_h * sum(x^2) - (sum x)^2)
+    — the allocation weight is the floor-sqrt of an exact bigint
+    discriminant (identical IEEE sqrt below 2^53 in both engines; the
+    caller's value column must keep N_h * sum(x^2) under 2^53, which
+    integer char/token counts do by orders of magnitude). Allocation
+        n_h = min(N_h, max(1, total_n * w_h DIV sum_w))
+    is truncating-DIV integer math; every stratum keeps at least one
+    row. Selection inside a stratum is deterministic content-hash
+    order (md5, key asc tiebreak) — the same content-stable reservoir
+    contract as the other samplers in this module.
+
+    Scale shape: one stats aggregate to stratum grain (tiny), a
+    strata-bounded window for sum_w, one rank window per stratum for
+    the pick order, and a broadcast join of the allocation — the
+    stratum-key shuffle is the only data-sized exchange."""
+    v = F.col(value_col).cast("long")
+    stats = (df.groupBy(stratum_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_h"),
+                  F.sum(v).cast("long").alias("__sx"),
+                  F.sum(v * v).cast("long").alias("__sxx")))
+    disc = (F.col("n_h") * F.col("__sxx")
+            - F.col("__sx") * F.col("__sx"))
+    alloc = (stats
+             .withColumn("w_h", F.floor(F.sqrt(disc.cast("double")))
+                         .cast("long"))
+             .withColumn("__sum_w",
+                         F.sum("w_h").over(Window.partitionBy()))
+             .withColumn("alloc_n", F.least(
+                 F.col("n_h"),
+                 F.greatest(F.lit(1).cast("long"), F.expr(
+                     f"{total_n} * w_h DIV greatest(__sum_w, 1)")))
+                 .cast("long")))
+    wr = Window.partitionBy(stratum_col).orderBy(
+        sample_hash(F.col(key_col)), F.col(key_col))
+    ranked = (df.select(stratum_col, key_col)
+              .withColumn("pick_rank",
+                          F.row_number().over(wr).cast("long")))
+    return (ranked
+            .join(F.broadcast(alloc.select(stratum_col, "n_h", "w_h",
+                                           "alloc_n")),
+                  stratum_col)
+            .where(F.col("pick_rank") <= F.col("alloc_n"))
+            .select(stratum_col, key_col, "pick_rank", "n_h", "w_h",
+                    "alloc_n"))

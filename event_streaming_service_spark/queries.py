@@ -113,6 +113,14 @@ PENDING_ROTATION: tuple[str, ...] = (
     # mirrors the deterministic per-center truncation so it is
     # hash-checkable at every SF)
     "adamic_adar_capped",
+    # tokenizer-complete BPE (6 unrolled merge rounds), trigram
+    # language-ID confusion matrix, Neyman-allocation stratified
+    # sampling — each drive_contract-green at sf0.01 before queueing
+    "bpe_learned_merges", "langid_ngram_confusion",
+    "neyman_stratified_sample",
+    # LSH-vs-exact recall@k report (composes the two registered ANN
+    # pipelines; the ml-eval x similarity bridge)
+    "ann_recall_report",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -155,6 +155,70 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bpe_merge_pairs(_docs(spark, sf_dir))
 
 
+_N_MERGES = 6
+
+
+def _bpe_learn_oracle(n_merges: int) -> str:
+    """Unrolled BPE merge rounds as chained CTEs — the kcore/pagerank
+    device: each round counts weighted adjacent symbol pairs over the
+    separator-string vocabulary, takes the (count desc, lhs, rhs)
+    argmax, and applies the merge with the double-separator replace
+    (identical left-to-right non-overlapping semantics both engines)."""
+    ctes = [f"""tok AS (
+        SELECT unnest({_TOKS}) AS w FROM documents)""",
+            """vocab AS MATERIALIZED (
+        SELECT w, COUNT(*) AS wc
+        FROM (SELECT replace(w, '|', '') AS w FROM tok)
+        WHERE length(w) >= 1 GROUP BY w)""",
+            """docs0 AS MATERIALIZED (
+        SELECT '|' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)), '||') || '|'
+                   AS s,
+               wc
+        FROM vocab)"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""pairs{k} AS (
+        SELECT t[i] AS lhs, t[i + 1] AS rhs,
+               CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||')
+                         AS t,
+                     wc
+              FROM docs{k - 1}),
+             LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2
+        GROUP BY 1, 2)""")
+        ctes.append(f"""best{k} AS MATERIALIZED (
+        SELECT {k} AS merge_rank, lhs, rhs, pair_count
+        FROM pairs{k} ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
+        if k < n_merges:
+            ctes.append(f"""docs{k} AS MATERIALIZED (
+        SELECT replace(s, '|' || lhs || '||' || rhs || '|',
+                       '|' || lhs || rhs || '|') AS s, wc
+        FROM docs{k - 1}, best{k})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,"
+        f" pair_count FROM best{k}" for k in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=_bpe_learn_oracle(_N_MERGES),
+    tags=("text", "token-count", "bpe", "iterative"),
+)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE merge-learning loop (Sennrich et al. 2016) run for
+    six merges over the frequency-weighted distinct-word vocabulary
+    (operators/curation.py:bpe_learn_merges): per round one pair-count
+    aggregate, a 1-row argmax broadcast, and one double-separator
+    replace; the oracle unrolls the identical six rounds as chained
+    CTEs. Output: the learned merge table the tokenizer trainer
+    ships."""
+    return curation.bpe_learn_merges(_docs(spark, sf_dir),
+                                     n_merges=_N_MERGES)
+
+
 @register(
     "vocab_coverage",
     oracle=rf"""

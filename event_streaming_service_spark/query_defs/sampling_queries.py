@@ -110,3 +110,51 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     full sort."""
     docs = tables.load_table(spark, sf_dir, "documents").drop("text")
     return sampling.weighted_sample(docs, WEIGHTED_N, "n_chars")
+
+NEYMAN_N = 100
+
+
+@register(
+    "neyman_stratified_sample",
+    oracle=f"""
+    WITH stats AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY lang),
+    alloc AS (
+        SELECT lang, n_h,
+               CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)))
+                    AS BIGINT) AS w_h
+        FROM stats),
+    alloc2 AS (
+        SELECT lang, n_h, w_h, SUM(w_h) OVER () AS sum_w FROM alloc),
+    alloc3 AS (
+        SELECT lang, n_h, w_h,
+               CAST(LEAST(n_h, GREATEST(
+                   1, {NEYMAN_N} * w_h // GREATEST(sum_w, 1)))
+                    AS BIGINT) AS alloc_n
+        FROM alloc2),
+    ranked AS (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY {_HASH}, doc_id)
+                    AS BIGINT) AS pick_rank
+        FROM documents)
+    SELECT r.lang, r.doc_id, r.pick_rank, a.n_h, a.w_h, a.alloc_n
+    FROM ranked r JOIN alloc3 a USING (lang)
+    WHERE r.pick_rank <= a.alloc_n
+    """,
+    tags=("sampling", "2.12-sampling", "stratified"),
+)
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with Neyman (optimal) allocation over
+    document length per language
+    (operators/sampling.py:neyman_stratified_sample): allocation
+    weight sqrt(N_h * sum(x^2) - (sum x)^2) = N_h * stddev_h as an
+    exact integer discriminant, truncating-DIV budget split, and
+    content-hash pick order inside each stratum — high-variance
+    strata earn more of the 100-row budget."""
+    docs = tables.load_table(spark, sf_dir, "documents").drop("text")
+    return sampling.neyman_stratified_sample(
+        docs, "lang", "n_chars", "doc_id", total_n=NEYMAN_N)

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators import similarity
-from event_streaming_service_spark.queries import register
+from event_streaming_service_spark.queries import REGISTRY, register
 from event_streaming_service_spark.sources import tables
 
 K = 5
@@ -334,3 +334,64 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_vote(
         emb, k=KNN_K, n_query=N_QUERY_VECS,
         corpus_path=f"{sf_dir}/embeddings.parquet")
+
+
+# Reuse the two registered oracles verbatim as derived tables: the
+# recall report is DEFINED as exact-vs-approx over those two pipelines.
+_EXACT_ORACLE = REGISTRY["cosine_topk_bruteforce"].oracle
+_APPROX_ORACLE = REGISTRY["ann_lsh_cosine"].oracle
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH hit AS (
+        SELECT e.query_id,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM ({_EXACT_ORACLE}) e
+        LEFT JOIN ({_APPROX_ORACLE}) a
+          ON a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id)
+    SELECT query_id, n_hit, CAST({K} AS BIGINT) AS k,
+           CAST(n_hit * 1000000 // {K} AS BIGINT) AS recall_ppm,
+           CAST(SUM(n_hit * 1000000 // {K}) OVER ()
+                // COUNT(*) OVER () AS BIGINT) AS mean_recall_ppm
+    FROM hit
+    """,
+    tags=("similarity", "ann-lsh", "ml-eval"),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH approximate top-k against the exact
+    brute-force top-k, per query and macro-averaged — the
+    quality-vs-speed report every ANN deployment gates on before
+    swapping the exact scan out. Composes the two registered
+    pipelines (operators/similarity.py:cosine_topk / ann_cosine_topk)
+    with one (query, neighbor) equi-join; recall is truncating-DIV
+    ppm, the macro mean one more DIV, both engine-exact. The exact
+    side is the handicap at 100 TB — in production the report runs on
+    a sampled query set exactly like the N_QUERY_VECS slice here."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(
+        queries, emb, K, corpus_path=f"{sf_dir}/embeddings.parquet")
+    approx = similarity.ann_cosine_topk(queries, emb, K, EMBEDDING_DIM)
+    hit = (exact.select("query_id", "neighbor_id")
+           .join(approx.select("query_id", "neighbor_id",
+                               F.lit(1).alias("__hit")),
+                 ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long").alias("n_hit")))
+    from pyspark.sql import Window
+    wall = Window.partitionBy()
+    recall = F.expr(f"n_hit * 1000000 DIV {K}")
+    return (hit
+            .withColumn("k", F.lit(K).cast("long"))
+            .withColumn("recall_ppm", recall.cast("long"))
+            .withColumn("mean_recall_ppm", F.expr(
+                f"CAST(SUM(n_hit * 1000000 DIV {K}) OVER ()"
+                " DIV COUNT(1) OVER () AS BIGINT)"))
+            .select("query_id", "n_hit", "k", "recall_ppm",
+                    "mean_recall_ppm"))

@@ -67,6 +67,54 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("lang_guess"))
 
 
+@register(
+    "langid_ngram_confusion",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, lang, lower(text) AS t
+        FROM documents WHERE length(text) >= 3),
+    grams AS MATERIALIZED (
+        SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS g
+        FROM base,
+             LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)),
+    prof AS (
+        SELECT lang AS plang, g, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2),
+    profile AS MATERIALIZED (
+        SELECT plang, g FROM (
+            SELECT plang, g,
+                   ROW_NUMBER() OVER (PARTITION BY plang
+                                      ORDER BY c DESC, g) AS r
+            FROM prof)
+        WHERE r <= 200),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams),
+    scores AS (
+        SELECT d.doc_id, p.plang, COUNT(*) AS m
+        FROM dg d JOIN profile p USING (g) GROUP BY 1, 2),
+    pred AS (
+        SELECT doc_id, plang FROM (
+            SELECT doc_id, plang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY m DESC, plang) AS r
+            FROM scores)
+        WHERE r = 1)
+    SELECT b.lang AS true_lang,
+           COALESCE(p.plang, 'unknown') AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM base b LEFT JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    tags=("text", "lang-id", "ml-eval"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language classifier scored against the
+    corpus's own labels (operators/text.py:langid_ngram_confusion):
+    top-200 trigram profile per language, distinct-overlap argmax
+    prediction, confusion matrix output — the self-evaluating upgrade
+    of the stopword-density heuristic (language_id_heuristic)."""
+    return text.langid_ngram_confusion(_docs(spark, sf_dir))
+
+
 def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token aggregates shared by language-ID and quality:
     tokenize once, explode, count — ONE shuffle, no join. explode_outer

@@ -130,3 +130,74 @@ def test_auc_decimal_survives_wide_key(spark):
     r = auc_binary(df, "k", "value", F.col("lbl")).collect()[0]
     assert (r["n_pos"], r["n_neg"]) == (n - n // 2, n // 2)
     assert r["auc_ppm"] == 1_000_000
+
+
+def test_bpe_learn_merges_textbook_example(spark):
+    from event_streaming_service_spark.operators.curation import (
+        bpe_learn_merges)
+
+    # the Sennrich et al. walkthrough corpus: low, lower, lowest.
+    # pair counts round 1: (l,o)=3 (o,w)=3 (w,e)=2 (e,r)=1 (e,s)=1
+    # (s,t)=1 -> tie 3/3 broken lhs asc -> (l,o); then (lo,w)=3,
+    # (low,e)=2, then all-1 tie -> (lowe,r) by lhs/rhs asc.
+    df = spark.createDataFrame(
+        [(1, "low lower lowest")], "doc_id bigint, text string")
+    out = {r["merge_rank"]: (r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe_learn_merges(df, n_merges=4).collect()}
+    assert out[1] == ("l", "o", 3)
+    assert out[2] == ("lo", "w", 3)
+    assert out[3] == ("low", "e", 2)
+    assert out[4] == ("lowe", "r", 1)
+
+
+def test_bpe_merge_application_is_nonoverlapping(spark):
+    from event_streaming_service_spark.operators.curation import (
+        bpe_learn_merges)
+
+    # 'aaa' must merge leftmost-non-overlapping: (a,a) count 2 from
+    # 'aaa' + 2 from 'aa' x2 -> merge1 = (a,a,4); applying it to 'aaa'
+    # yields [aa, a] (NOT [aa, aa]), so round 2 sees (aa,a)=1 from
+    # 'aaa' and no pair from 'aa' -> merge2 = (aa, a, 1).
+    df = spark.createDataFrame(
+        [(1, "aaa aa aa")], "doc_id bigint, text string")
+    out = {r["merge_rank"]: (r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe_learn_merges(df, n_merges=2).collect()}
+    assert out[1] == ("a", "a", 4)
+    assert out[2] == ("aa", "a", 1)
+
+
+def test_langid_confusion_separable_corpus(spark):
+    from event_streaming_service_spark.operators.text import (
+        langid_ngram_confusion)
+
+    # two languages with disjoint trigram inventories classify
+    # perfectly; a doc below 3 chars is excluded entirely
+    rows = ([(i, "xx", "abcabcabc") for i in range(4)]
+            + [(10 + i, "yy", "zyxzyxzyx") for i in range(4)]
+            + [(99, "xx", "ab")])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {(r["true_lang"], r["pred_lang"]): r["n_docs"]
+           for r in langid_ngram_confusion(df).collect()}
+    assert out == {("xx", "xx"): 4, ("yy", "yy"): 4}
+
+
+def test_neyman_allocation_math(spark):
+    from event_streaming_service_spark.operators.sampling import (
+        neyman_stratified_sample)
+
+    # stratum a: constant values -> w=0 -> floor allocation of 1;
+    # stratum b: spread values -> earns the rest of the budget
+    rows = ([(i, "a", 10) for i in range(1, 21)]
+            + [(100 + i, "b", 10 * i) for i in range(1, 21)])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    out = neyman_stratified_sample(df, "lang", "n_chars", "doc_id",
+                                   total_n=10).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    assert len(by["a"]) == 1          # zero-variance stratum keeps 1
+    assert by["a"][0]["w_h"] == 0
+    assert len(by["b"]) == 10         # 10 * w_b DIV w_b = 10
+    assert all(r["alloc_n"] == 10 for r in by["b"])
+    # pick order is rank-contiguous and deterministic
+    assert sorted(r["pick_rank"] for r in by["b"]) == list(range(1, 11))
