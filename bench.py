@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "langid_ngram_confusion",        # trigram lang-ID + confusion
     "neyman_stratified_sample",      # optimal-allocation sampling
     "ann_recall_report",             # LSH-vs-exact recall@k audit
+    "ann_beam_graph_topk",           # navigable-graph beam ANN
 ]
 
 

@@ -647,3 +647,79 @@ def knn_label_vote(emb: DataFrame, k: int = 10, n_query: int = 8,
             .select("query_id", "true_label", "predicted_label", "votes",
                     (F.col("predicted_label") == F.col("true_label"))
                     .alias("correct")))
+
+
+def beam_search_topk(emb: DataFrame, k: int = 5, n_query: int = 8,
+                     graph_m: int = 8, beam_width: int = 8,
+                     hops: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     corpus_path: str | None = None) -> DataFrame:
+    """Graph-navigable ANN — the HNSW idea (Malkov & Yashunin 2016)
+    reduced to its deterministic, engine-portable core: ONE navigable
+    proximity-graph layer (each node's exact top-`graph_m` cosine
+    neighbors) searched by SYNCHRONIZED beam expansion instead of
+    sequential greedy descent. Every query starts at a fixed entry
+    point (the minimum corpus id); each of `hops` rounds scores the
+    current beam plus all its graph neighbors against the query and
+    keeps the top-`beam_width` (cosine 6dp desc, node-id tiebreak);
+    the answer is the top-`k` over every node VISITED along the way
+    (self excluded). No randomness, no insertion order, no layers —
+    so the whole search, unlike real HNSW, has an exact unrolled SQL
+    twin, while preserving the property that matters: query cost
+    scales with hops x beam x degree, NOT corpus size.
+
+    Scale shape: the graph build is cosine_topk(corpus, corpus) — at
+    production scale the offline index step (its tiled path never
+    broadcasts); the graph persists (hops + 1 consumers). Per hop the
+    frontier is n_query x beam rows: the expansion join keys on node
+    id against the m-regular graph, scoring joins the corpus vectors
+    on node id, and the beam is one row_number window per query.
+    Beams localCheckpoint per hop (3+ consumers each round — the
+    iterative-operator convention)."""
+    corpus = emb.select(F.col(id_col), F.col(vec_col))
+    graph = (cosine_topk(corpus, corpus, graph_m, id_col=id_col,
+                         vec_col=vec_col, corpus_path=corpus_path)
+             .select(F.col("query_id").alias("src"),
+                     F.col("neighbor_id").alias("dst"))
+             .persist())
+    qv = (emb.filter(F.col(id_col) < n_query)
+          .select(F.col(id_col).alias("query_id"),
+                  as_double(F.col(vec_col)).alias("qv")))
+    cv = (emb.select(F.col(id_col).alias("node"),
+                     as_double(F.col(vec_col)).alias("cv"))
+          .persist())
+    entry = corpus.agg(F.min(id_col).alias("node"))
+    beam = (qv.select("query_id")
+            .crossJoin(F.broadcast(entry))
+            .localCheckpoint())
+    visited = [beam]
+    c6 = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("__c6").desc(), F.col("node"))
+    for _ in range(hops):
+        expanded = (beam.join(graph, beam["node"] == graph["src"])
+                    .select("query_id", F.col("dst").alias("node")))
+        cand = (beam.unionByName(expanded).distinct()
+                .localCheckpoint())
+        visited.append(cand)
+        scored = (cand.join(cv, "node")
+                  .join(F.broadcast(qv), "query_id")
+                  .withColumn("__c6", c6))
+        beam = (scored.withColumn("__r", F.row_number().over(wb))
+                .filter(F.col("__r") <= beam_width)
+                .select("query_id", "node")
+                .localCheckpoint())
+    vis = visited[0]
+    for v in visited[1:]:
+        vis = vis.unionByName(v)
+    final = (vis.distinct()
+             .filter(F.col("node") != F.col("query_id"))
+             .join(cv, "node")
+             .join(F.broadcast(qv), "query_id")
+             .withColumn("cosine", c6))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node"))
+    return (final.withColumn("rank", F.row_number().over(wf).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("node").alias("neighbor_id"),
+                    "cosine", "rank"))

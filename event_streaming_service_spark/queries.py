@@ -121,6 +121,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     # LSH-vs-exact recall@k report (composes the two registered ANN
     # pipelines; the ml-eval x similarity bridge)
     "ann_recall_report",
+    # graph-navigable beam-search ANN (deterministic HNSW core:
+    # exact top-m proximity graph + 3-hop synchronized beam, fully
+    # unrolled in the oracle)
+    "ann_beam_graph_topk",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

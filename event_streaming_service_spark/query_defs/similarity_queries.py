@@ -395,3 +395,97 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV COUNT(1) OVER () AS BIGINT)"))
             .select("query_id", "n_hit", "k", "recall_ppm",
                     "mean_recall_ppm"))
+
+
+BEAM_M = 8       # proximity-graph degree
+BEAM_B = 8       # beam width
+BEAM_HOPS = 3
+
+
+def _beam_oracle(k: int, n_query: int, m: int, b: int,
+                 hops: int) -> str:
+    """Unrolled beam search as chained CTEs (the kcore/pagerank
+    device): the graph CTE is the exact per-node top-m (6dp-rounded
+    cosine, id tiebreak), each hop is candidates = beam u neighbors,
+    beam = per-query top-b, and the answer ranks every visited node."""
+    def cos(a_vec: str, b_vec: str) -> str:
+        return (f"ROUND(list_dot_product({a_vec}, {b_vec})"
+                f" / (sqrt(list_dot_product({a_vec}, {a_vec}))"
+                f" * sqrt(list_dot_product({b_vec}, {b_vec}))), 6)")
+
+    ctes = [
+        """v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings)""",
+        f"""g AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {cos('a.vec', 'b.vec')} DESC,
+                                b.vec_id) AS r
+            FROM v a, v b WHERE a.vec_id <> b.vec_id)
+        WHERE r <= {m})""",
+        f"""q AS MATERIALIZED (
+        SELECT vec_id AS query_id, vec AS qv FROM v
+        WHERE vec_id < {n_query})""",
+        "e AS (SELECT MIN(vec_id) AS node FROM v)",
+        "beam0 AS MATERIALIZED (SELECT query_id, node FROM q, e)",
+    ]
+    for t in range(1, hops + 1):
+        ctes.append(f"""cand{t} AS MATERIALIZED (
+        SELECT DISTINCT query_id, node FROM (
+            SELECT query_id, node FROM beam{t - 1}
+            UNION ALL
+            SELECT bm.query_id, g.dst AS node
+            FROM beam{t - 1} bm JOIN g ON g.src = bm.node))""")
+        ctes.append(f"""beam{t} AS MATERIALIZED (
+        SELECT query_id, node FROM (
+            SELECT c.query_id, c.node,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                       ORDER BY {cos('q.qv', 'n.vec')} DESC,
+                                c.node) AS r
+            FROM cand{t} c
+            JOIN v n ON n.vec_id = c.node
+            JOIN q ON q.query_id = c.query_id)
+        WHERE r <= {b})""")
+    unions = " UNION ALL ".join(
+        ["SELECT query_id, node FROM beam0"]
+        + [f"SELECT query_id, node FROM cand{t}"
+           for t in range(1, hops + 1)])
+    ctes.append(
+        f"vis AS (SELECT DISTINCT query_id, node FROM ({unions}))")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT s.query_id, s.node AS neighbor_id, s.c6 AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                        ORDER BY s.c6 DESC, s.node) AS INTEGER) AS rank
+        FROM (SELECT c.query_id, c.node, {cos('q.qv', 'n.vec')} AS c6
+              FROM vis c
+              JOIN v n ON n.vec_id = c.node
+              JOIN q ON q.query_id = c.query_id
+              WHERE c.node <> c.query_id) s)
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_beam_graph_topk",
+    oracle=_beam_oracle(K, N_QUERY_VECS, BEAM_M, BEAM_B, BEAM_HOPS),
+    tags=("similarity", "ann-graph", "iterative"),
+)
+def q_ann_beam_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-navigable ANN: exact top-8 proximity graph + 3-hop
+    synchronized beam search from a fixed entry node
+    (operators/similarity.py:beam_search_topk) — the HNSW idea made
+    deterministic so the whole search (graph build, every hop, the
+    visited-set answer) unrolls into an exact SQL twin. Completes the
+    ANN family: brute force, LSH, IVF, PQ, IVFPQ, trained PQ, and now
+    the navigable-graph shape whose query cost scales with
+    hops x beam x degree instead of corpus size."""
+    emb = _emb(spark, sf_dir)
+    return similarity.beam_search_topk(
+        emb, k=K, n_query=N_QUERY_VECS, graph_m=BEAM_M,
+        beam_width=BEAM_B, hops=BEAM_HOPS,
+        corpus_path=f"{sf_dir}/embeddings.parquet")

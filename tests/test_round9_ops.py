@@ -201,3 +201,50 @@ def test_neyman_allocation_math(spark):
     assert all(r["alloc_n"] == 10 for r in by["b"])
     # pick order is rank-contiguous and deterministic
     assert sorted(r["pick_rank"] for r in by["b"]) == list(range(1, 11))
+
+
+def test_beam_search_complete_graph_equals_bruteforce(spark):
+    from event_streaming_service_spark.operators.similarity import (
+        beam_search_topk, cosine_topk)
+
+    # with graph degree >= corpus-1 the proximity graph is complete,
+    # so one hop visits every node and beam search MUST reproduce the
+    # exact brute-force top-k (same rounding, same tiebreak)
+    import math
+    rows = [(i, [math.cos(0.3 * i + 0.1 * j) for j in range(8)], 0)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    exact = cosine_topk(df.filter(F.col("vec_id") < 3), df, 4,
+                        n_corpus=12)
+    beam = beam_search_topk(df, k=4, n_query=3, graph_m=11,
+                            beam_width=12, hops=1)
+    e = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, beam.collect()))
+    assert e == b
+
+
+def test_beam_search_visits_scale_with_beam_not_corpus(spark):
+    from event_streaming_service_spark.operators.similarity import (
+        beam_search_topk)
+
+    # a narrow beam on a bigger corpus returns exactly k rows per
+    # query and only ever ranks visited nodes: results are a subset of
+    # entry + 3 hops of degree-4 expansion (<= 1 + 4 + ... bounded)
+    import math
+    rows = [(i, [math.sin(0.17 * i + 0.05 * j) for j in range(8)], 0)
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = beam_search_topk(df, k=3, n_query=2, graph_m=4,
+                           beam_width=3, hops=3)
+    rows_out = out.collect()
+    per_q = {}
+    for r in rows_out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1}
+    for q, rs in per_q.items():
+        assert len(rs) == 3
+        assert all(r["neighbor_id"] != q for r in rs)
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
+            == [1, 2, 3]
