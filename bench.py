@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "neyman_stratified_sample",      # optimal-allocation sampling
     "ann_recall_report",             # LSH-vs-exact recall@k audit
     "ann_beam_graph_topk",           # navigable-graph beam ANN
+    "cuped_ab_adjusted",             # CUPED variance-reduced A/B
+    "markov_stationary_types",       # integer power-iteration chain
+    "kaplan_meier_conversion",       # product-limit survival curve
 ]
 
 

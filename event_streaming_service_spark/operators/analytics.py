@@ -330,6 +330,169 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
                F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))
 
 
+def markov_stationary(trans: DataFrame, from_col: str, to_col: str,
+                      weight_col: str, iterations: int = 5) -> DataFrame:
+    """Stationary distribution of the first-order Markov chain by
+    fixed-count power iteration in exact integer nano-units (the
+    pagerank device without damping):
+        pi_{t+1}[j] = sum_i (pi_t[i] * cnt_ij) DIV out_total_i,
+    truncating DIV per edge so every round is a deterministic integer
+    function both engines compute bit-identically (a float power
+    iteration folds inflows in partition order and could never
+    hash-match). Start mass 1e9 per state; states with no outgoing
+    transitions simply stop forwarding mass (mirrored in the SQL
+    twin). After enough rounds pi_nano/sum(pi_nano) approximates the
+    chain's long-run occupancy — the "where do user journeys spend
+    their time" readout of the transition matrix.
+
+    Scale shape: the edge list persists (joined every round); each
+    round is one broadcast-sized join + one hash aggregate at state
+    grain; pi localCheckpoints per round (multi-consumer chained
+    lineage — the iterative-operator convention)."""
+    tot = trans.groupBy(from_col).agg(
+        F.sum(weight_col).cast("long").alias("__tot"))
+    e = (trans.join(tot, from_col)
+         .select(F.col(from_col).alias("__src"),
+                 F.col(to_col).alias("__dst"),
+                 F.col(weight_col).cast("long").alias("__w"), "__tot")
+         .persist())
+    states = (e.select(F.col("__src").alias("state"))
+              .union(e.select(F.col("__dst").alias("state")))
+              .distinct().persist())
+    pi = states.select(
+        "state", F.lit(1_000_000_000).cast("long").alias("pi_nano"))
+    for _ in range(iterations):
+        inflow = (e.join(pi, pi["state"] == e["__src"])
+                  .select(F.col("__dst").alias("state"),
+                          F.expr("(pi_nano * __w) DIV __tot")
+                          .alias("__c")))
+        pi = (states
+              .join(inflow.groupBy("state")
+                    .agg(F.sum("__c").alias("__s")), "state", "left")
+              .select("state",
+                      F.coalesce(F.col("__s"), F.lit(0)).cast("long")
+                      .alias("pi_nano"))
+              .localCheckpoint())
+    return pi
+
+
+def kaplan_meier(df: DataFrame, duration_col: str, event_col: str
+                 ) -> DataFrame:
+    """Kaplan-Meier survival estimate (Kaplan & Meier 1958) over a
+    unit-grain frame of (duration, event): duration is the integer
+    time-to-event (days), event = 1 for an observed conversion/death
+    and 0 for right-censoring. The product-limit estimator
+        S(t) = prod over event times s <= t of (n_s - d_s) / n_s
+    is carried in LOG space with each factor pinned to integer
+    nano-nats BEFORE the cumulative sum —
+        term_nano = floor(ln((n-d)/n) * 1e9 + 0.5)  (0 when d = 0)
+    — the PMI/entropy/PSI device, so cum_log_surv_nano is an exact
+    bigint both engines agree on (a cumulative float PRODUCT could
+    never hash-match). The day the risk set is exhausted by events
+    (n = d, survival 0, log -inf) reports NULL term/cum; it can only
+    be the final row.
+
+    Output one row per distinct duration with any activity:
+    (day, n_risk, n_events, n_censored, term_nano,
+    cum_log_surv_nano). Scale shape: one hash aggregate to day grain
+    (duration-bounded), then two growing window frames (at-risk =
+    reverse cumulative of d+c; the log-survival cumsum) — growing
+    frames are maintained incrementally, O(1)/row."""
+    d = F.col(event_col).cast("long")
+    tab = (df.groupBy(F.col(duration_col).cast("long").alias("day"))
+           .agg(F.sum(d).cast("long").alias("n_events"),
+                F.sum(1 - d).cast("long").alias("n_censored")))
+    w_risk = (Window.orderBy(F.col("day").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    tab = tab.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_risk)
+        .cast("long"))
+    term = F.when(
+        F.col("n_risk") > F.col("n_events"),
+        F.floor(F.log((F.col("n_risk") - F.col("n_events"))
+                      / F.col("n_risk")) * 1e9 + F.lit(0.5))
+        .cast("long"))
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    out = tab.withColumn("term_nano", term)
+    return (out.withColumn(
+        "cum_log_surv_nano",
+        F.when(F.col("n_risk") > F.col("n_events"),
+               F.sum("term_nano").over(w_cum)).cast("long"))
+        .select("day", "n_risk", "n_events", "n_censored",
+                "term_nano", "cum_log_surv_nano"))
+
+
+def cuped_adjusted_means(df: DataFrame, variant_col: str, x_col: str,
+                         y_col: str, x_scale: int = 1,
+                         y_scale: int = 1) -> DataFrame:
+    """CUPED variance reduction for A/B experiments (Deng, Xu, Kohavi
+    & Walker 2013, "Improving the Sensitivity of Online Controlled
+    Experiments by Utilizing Pre-Experiment Data"): with x a
+    pre-experiment covariate and y the experiment metric per unit,
+        theta    = cov(x, y) / var(x)          (pooled across variants)
+        y_adj    = y - theta * (x - mean(x))
+    has the same expectation per variant as y but variance shrunk by
+    rho^2 — the standard trick that makes small lifts detectable.
+    Per-variant adjusted means come out in closed form
+        mean_adj_v = ybar_v - theta * (xbar_v - xbar),
+    so the whole computation is one global moment aggregate + one
+    per-variant aggregate — no per-unit adjusted column materializes.
+
+    Engine-exactness: the pearson_corr device — all moments are
+    decimal(38,0) sums over quantized inputs, each final expression
+    casts the exact integers to double and runs the IDENTICAL float op
+    sequence in both engines, pinned with ROUND at 6 dp
+    (var_reduction_ppm = floor(rho^2 * 1e6 + 0.5) as bigint). Zero
+    pooled x-variance yields NULL theta/adjusted/reduction.
+
+    Output one row per variant: n_units, mean_y, mean_y_adj, theta,
+    var_reduction_ppm (theta and the reduction repeat per row — the
+    drilldown shape). Scale shape: two hash aggregates over the unit
+    grain (the input persists — it feeds both) and a 1-row broadcast;
+    nothing else moves."""
+    qx = F.floor(F.col(x_col) * F.lit(float(x_scale)) + F.lit(0.5)) \
+        .cast("decimal(38,0)")
+    qy = F.floor(F.col(y_col) * F.lit(float(y_scale)) + F.lit(0.5)) \
+        .cast("decimal(38,0)")
+    base = (df.select(F.col(variant_col).alias("variant"),
+                      qx.alias("__x"), qy.alias("__y"))
+            .persist())
+    g = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"))
+    pv = (base.groupBy("variant")
+          .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__nv"),
+               F.sum("__x").alias("__sxv"),
+               F.sum("__y").alias("__syv")))
+    j = pv.crossJoin(F.broadcast(g))
+    cov = (F.col("__n") * F.col("__sxy")
+           - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (F.col("__n") * F.col("__sxx")
+          - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (F.col("__n") * F.col("__syy")
+          - F.col("__sy") * F.col("__sy")).cast("double")
+    theta = cov / vx
+    ybar_v = F.col("__syv").cast("double") / F.col("__nv").cast("double")
+    xbar_v = F.col("__sxv").cast("double") / F.col("__nv").cast("double")
+    xbar = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    return j.select(
+        "variant",
+        F.col("__nv").cast("bigint").alias("n_units"),
+        F.round(ybar_v, 6).alias("mean_y"),
+        F.when(vx > 0,
+               F.round(ybar_v - theta * (xbar_v - xbar), 6))
+         .alias("mean_y_adj"),
+        F.when(vx > 0, F.round(theta, 6)).alias("theta"),
+        F.when((vx > 0) & (vy > 0),
+               F.floor(cov * cov / (vx * vy) * 1_000_000 + F.lit(0.5))
+               .cast("bigint")).alias("var_reduction_ppm"))
+
+
 def last_touch_attribution(events: DataFrame, key_col: str, ts_col: str,
                            type_col: str, conversion_type: str,
                            touch_types: list[str],

@@ -125,6 +125,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # exact top-m proximity graph + 3-hop synchronized beam, fully
     # unrolled in the oracle)
     "ann_beam_graph_topk",
+    # experimentation + survival + chain-occupancy analytics
+    "cuped_ab_adjusted", "markov_stationary_types",
+    "kaplan_meier_conversion",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

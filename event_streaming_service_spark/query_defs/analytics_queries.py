@@ -363,3 +363,150 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return analytics.calibration_bins(
         ev, "value", F.col("event_type") == "purchase")
+
+
+@register(
+    "cuped_ab_adjusted",
+    oracle="""
+    WITH unit AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(SUM(CASE WHEN event_id % 2 = 0
+                             THEN CAST(FLOOR(value * 100 + 0.5)
+                                       AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x_cents,
+               CAST(SUM(CASE WHEN event_id % 2 = 1
+                             THEN CAST(FLOOR(value * 100 + 0.5)
+                                       AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y_cents
+        FROM events GROUP BY user_id),
+    g AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x_cents) AS HUGEINT) AS sx,
+               CAST(SUM(y_cents) AS HUGEINT) AS sy,
+               SUM(CAST(x_cents AS HUGEINT) * y_cents) AS sxy,
+               SUM(CAST(x_cents AS HUGEINT) * x_cents) AS sxx,
+               SUM(CAST(y_cents AS HUGEINT) * y_cents) AS syy
+        FROM unit),
+    pv AS (
+        SELECT variant, CAST(COUNT(*) AS HUGEINT) AS nv,
+               CAST(SUM(x_cents) AS HUGEINT) AS sxv,
+               CAST(SUM(y_cents) AS HUGEINT) AS syv
+        FROM unit GROUP BY variant),
+    m AS (
+        SELECT variant, nv, sxv, syv, n, sx, sy,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS vy
+        FROM pv, g)
+    SELECT variant, CAST(nv AS BIGINT) AS n_units,
+           ROUND(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS mean_y,
+           CASE WHEN vx > 0 THEN
+               ROUND(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+                     - (cov / vx)
+                       * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           END AS mean_y_adj,
+           CASE WHEN vx > 0 THEN ROUND(cov / vx, 6) END AS theta,
+           CASE WHEN vx > 0 AND vy > 0 THEN
+               CAST(FLOOR(cov * cov / (vx * vy) * 1000000 + 0.5)
+                    AS BIGINT)
+           END AS var_reduction_ppm
+    FROM m
+    """,
+    tags=("analytics", "ml-eval", "experimentation", "bi"),
+)
+def q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout
+    (operators/analytics.py:cuped_adjusted_means): per-user
+    pre-metric x and experiment metric y (exact integer cents from
+    the deterministic event_id-parity period split; user_id parity as
+    the variant assignment), pooled theta = cov/var from
+    decimal(38,0) moments, per-variant adjusted means in closed form
+    — the variance-reduction gate every experimentation pipeline runs
+    before reading a lift."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    unit = (ev.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_id") % 2 == 0, cents)
+                       .otherwise(0)).cast("long").alias("x_cents"),
+                 F.sum(F.when(F.col("event_id") % 2 == 1, cents)
+                       .otherwise(0)).cast("long").alias("y_cents"))
+            .withColumn("variant",
+                        (F.col("user_id") % 2).cast("int")))
+    return analytics.cuped_adjusted_means(unit, "variant", "x_cents",
+                                          "y_cents")
+
+
+@register(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+        SELECT e.user_id, MIN(e.ts) AS conv_ts
+        FROM events e JOIN t0 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+        GROUP BY e.user_id),
+    last AS (
+        SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+    unit AS (
+        SELECT t0.user_id,
+               CAST(CAST(COALESCE(c.conv_ts, l.last_ts) AS DATE)
+                    - CAST(t0.t0 AS DATE) AS BIGINT) AS day,
+               CASE WHEN c.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM t0
+        LEFT JOIN conv c USING (user_id)
+        JOIN last l USING (user_id)),
+    tab AS (
+        SELECT day, CAST(SUM(ev) AS BIGINT) AS n_events,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        FROM unit GROUP BY day),
+    risk AS (
+        SELECT *, CAST(SUM(n_events + n_censored)
+                       OVER (ORDER BY day DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                      AS n_risk
+        FROM tab),
+    terms AS (
+        SELECT day, n_risk, n_events, n_censored,
+               CASE WHEN n_risk > n_events THEN
+                   CAST(FLOOR(ln((n_risk - n_events) * 1.0 / n_risk)
+                              * 1e9 + 0.5) AS BIGINT)
+               END AS term_nano
+        FROM risk)
+    SELECT day, n_risk, n_events, n_censored, term_nano,
+           CASE WHEN n_risk > n_events THEN
+               CAST(SUM(term_nano) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+           END AS cum_log_surv_nano
+    FROM terms
+    """,
+    tags=("analytics", "survival", "bi", "window-frames"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve
+    (operators/analytics.py:kaplan_meier): per user, days from first
+    view to first strictly-later purchase (right-censored at the last
+    event when no purchase follows); the product-limit estimator runs
+    in nano-nat log space with per-day pinning so the cumulative
+    survival is an exact bigint. The churn/conversion readout LTV and
+    retention queries only approximate."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    t0 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    conv = (ev.join(t0, "user_id")
+            .filter((F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t0")))
+            .groupBy("user_id").agg(F.min("ts").alias("conv_ts")))
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    unit = (t0.join(conv, "user_id", "left")
+            .join(last, "user_id")
+            .select(F.datediff(
+                F.to_date(F.coalesce(F.col("conv_ts"),
+                                     F.col("last_ts"))),
+                F.to_date(F.col("t0"))).cast("long").alias("day"),
+                F.col("conv_ts").isNotNull().cast("int").alias("ev")))
+    return analytics.kaplan_meier(unit, "day", "ev")

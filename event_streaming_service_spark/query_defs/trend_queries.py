@@ -293,3 +293,64 @@ def q_ltv_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.withColumn("cum_revenue_cents",
                         F.sum("revenue_cents").over(cum)
                         .cast("bigint"))
+
+
+MARKOV_ITERS = 5
+
+
+def _markov_oracle(iters: int) -> str:
+    """Unrolled integer power iteration (the pagerank CTE scheme) over
+    the lag-window transition counts."""
+    ctes = ["""seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events)""",
+            """c AS MATERIALIZED (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)""",
+            """tot AS (
+        SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM c GROUP BY prev_type)""",
+            """e AS MATERIALIZED (
+        SELECT c.prev_type, c.next_type, c.cnt, t.tot
+        FROM c JOIN tot t USING (prev_type))""",
+            """states AS MATERIALIZED (
+        SELECT DISTINCT prev_type AS state FROM e
+        UNION SELECT DISTINCT next_type FROM e)""",
+            """r0 AS (
+        SELECT state, CAST(1000000000 AS BIGINT) AS pi FROM states)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS MATERIALIZED (
+        SELECT s.state,
+               CAST(COALESCE(SUM((p.pi * e.cnt) // e.tot), 0)
+                    AS BIGINT) AS pi
+        FROM states s
+        LEFT JOIN e ON e.next_type = s.state
+        LEFT JOIN r{i - 1} p ON p.state = e.prev_type
+        GROUP BY s.state)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT state, pi AS pi_nano FROM r{iters}")
+
+
+@register(
+    "markov_stationary_types",
+    oracle=_markov_oracle(MARKOV_ITERS),
+    tags=("analytics", "markov", "iterative", "A6"),
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run occupancy of the event-type Markov chain
+    (operators/analytics.py:markov_stationary): five integer-nano
+    power-iteration rounds over the per-user lag-window transition
+    counts, unrolled identically in the oracle — the stationary
+    readout of event_transition_matrix's one-step probabilities."""
+    events = tables.load_table(spark, sf_dir, "events")
+    trans = analytics.transition_matrix(
+        events, "user_id", "ts", "event_type",
+        order_tiebreak="event_id").select(
+        "prev_type", "next_type", "n_transitions")
+    return analytics.markov_stationary(
+        trans, "prev_type", "next_type", "n_transitions",
+        iterations=MARKOV_ITERS)

@@ -248,3 +248,98 @@ def test_beam_search_visits_scale_with_beam_not_corpus(spark):
         assert all(r["neighbor_id"] != q for r in rs)
         assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] \
             == [1, 2, 3]
+
+
+def test_cuped_known_values(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        cuped_adjusted_means)
+
+    # y = 2x + variant-lift: the adjusted means strip the covariate
+    # imbalance. Exact hand check: units (variant, x, y): A gets
+    # x {1,2,3} y=2x; B gets x {4,5,6} y=2x+1. Pooled: n=6 sx=21
+    # sy=45 sxy=197 sxx=91 syy=427.
+    # cov = 6*197-21*45 = 237; vx = 6*91-441 = 105; theta = 237/105
+    # xbar=3.5; A: ybar=4, xbar_v=2 -> adj = 4 + (237/105)*1.5
+    # B: ybar=11, xbar_v=5 -> adj = 11 - (237/105)*1.5
+    # vy = 6*427-2025 = 537; rho^2 = 237^2/(105*537)
+    rows = [("A", 1, 2), ("A", 2, 4), ("A", 3, 6),
+            ("B", 4, 9), ("B", 5, 11), ("B", 6, 13)]
+    df = spark.createDataFrame(rows, "variant string, x bigint, y bigint")
+    out = {r["variant"]: r for r in cuped_adjusted_means(
+        df, "variant", "x", "y").collect()}
+    assert out["A"]["n_units"] == 3
+    assert out["A"]["theta"] == round(237 / 105, 6)
+    assert out["A"]["mean_y"] == 4.0
+    assert out["A"]["mean_y_adj"] == round(4 + 237 / 105 * 1.5, 6)
+    assert out["B"]["mean_y_adj"] == round(11 - 237 / 105 * 1.5, 6)
+    # the adjusted gap (0.228571) is far smaller than the raw gap (7):
+    # the covariate explained most of the difference
+    assert abs(out["B"]["mean_y_adj"] - out["A"]["mean_y_adj"]) < 0.25
+    assert out["A"]["var_reduction_ppm"] == math.floor(
+        237 * 237 / (105 * 537) * 1e6 + 0.5)
+
+
+def test_markov_stationary_absorbing_chain(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        markov_stationary)
+
+    # a -> b always, b -> b always: all mass drains into b.
+    # pi0 = (1e9, 1e9); after 1 round: a=0, b=2e9; stays.
+    trans = spark.createDataFrame(
+        [("a", "b", 5), ("b", "b", 7)],
+        "prev string, next string, cnt bigint")
+    out = {r["state"]: r["pi_nano"] for r in markov_stationary(
+        trans, "prev", "next", "cnt", iterations=3).collect()}
+    assert out == {"a": 0, "b": 2_000_000_000}
+
+
+def test_markov_stationary_two_cycle(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        markov_stationary)
+
+    # a <-> b swap chain: mass ping-pongs, totals conserved exactly
+    # (weights divide evenly: 1 outgoing edge each)
+    trans = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 4)],
+        "prev string, next string, cnt bigint")
+    out = {r["state"]: r["pi_nano"] for r in markov_stationary(
+        trans, "prev", "next", "cnt", iterations=4).collect()}
+    assert out == {"a": 1_000_000_000, "b": 1_000_000_000}
+
+
+def test_kaplan_meier_textbook(spark):
+    import math
+    from event_streaming_service_spark.operators.analytics import (
+        kaplan_meier)
+
+    # durations: events at day 1 (1 of 5 at risk) and day 3 (1 of 3),
+    # censored at day 2 and day 4, plus one censored at day 1.
+    # risk sets: day1 n=5 (d=1,c=1), day2 n=3 (c=1), day3 n=2 (d=1),
+    # day4 n=1 (c=1). S(1)=4/5, S(3)=4/5*1/2.
+    rows = [(1, 1), (1, 0), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "day bigint, ev int")
+    out = {r["day"]: r for r in kaplan_meier(df, "day", "ev").collect()}
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert out[2]["n_risk"] == 3 and out[2]["n_censored"] == 1
+    assert out[3]["n_risk"] == 2
+    t1 = math.floor(math.log(4 / 5) * 1e9 + 0.5)
+    t3 = math.floor(math.log(1 / 2) * 1e9 + 0.5)
+    assert out[1]["term_nano"] == t1
+    assert out[2]["term_nano"] == 0          # censor-only day: ln(1)
+    assert out[3]["term_nano"] == t3
+    assert out[3]["cum_log_surv_nano"] == t1 + 0 + t3
+
+
+def test_kaplan_meier_exhausted_risk_set_is_null(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        kaplan_meier)
+
+    # final day kills everyone at risk: n = d -> survival 0, term and
+    # cum report NULL instead of a fake -inf pin
+    rows = [(1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(rows, "day bigint, ev int")
+    out = {r["day"]: r for r in kaplan_meier(df, "day", "ev").collect()}
+    assert out[2]["n_risk"] == 2 and out[2]["n_events"] == 2
+    assert out[2]["term_nano"] is None
+    assert out[2]["cum_log_surv_nano"] is None
+    assert out[1]["term_nano"] is not None
