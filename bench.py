@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "cuped_ab_adjusted",             # CUPED variance-reduced A/B
     "markov_stationary_types",       # integer power-iteration chain
     "kaplan_meier_conversion",       # product-limit survival curve
+    "containment_doc_pairs",         # asymmetric doc-in-doc overlap
 ]
 
 

@@ -167,6 +167,80 @@ def jaccard_pairs(docs: DataFrame, threshold: float,
     )
 
 
+def containment_pairs(docs: DataFrame, threshold_ppm: int,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3,
+                      hot_shingle_cap: int | None = None) -> DataFrame:
+    """ASYMMETRIC shingle containment — the doc-in-doc detector
+    Jaccard structurally misses: C(src -> dst) = |S_src n S_dst| /
+    |S_src| flags src as quoted/embedded/wrapped inside dst even when
+    dst is far larger (a 100x container caps the pair's Jaccard at
+    ~0.01 while containment is ~1.0 — the quote-plagiarism /
+    boilerplate-wrapper case every training-data pipeline chases).
+    Directed: (a inside b) and (b inside a) are separate rows.
+
+    threshold_ppm is an integer; the comparison
+        n_shared * 1e6 DIV n_src >= threshold_ppm
+    is exact in both engines (no float threshold boundary).
+
+    Candidate generation: the PPJoin prefix argument is one-sided for
+    containment — if |S_src n S_dst| >= t*|S_src| then src's first
+    |S_src| - floor(t*|S_src|) + 1 rarest-first shingles must hit
+    S_dst (pigeonhole over the shared total order) — so only the
+    CONTAINED side explodes a prefix; the container side stays a full
+    inverted index (no shrink is sound for it). `hot_shingle_cap`
+    drops boilerplate shingles from BOTH sides first (exact
+    containment over the capped space, the jaccard_pairs convention)
+    — at corpus scale the cap is what bounds the index posting
+    fan-out. Verification is one array_intersect over the persisted
+    per-doc arrays (cites jaccard_pairs above for the device)."""
+    sets_ = shingle_sets(docs, id_col, text_col, n)
+    df_ = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if hot_shingle_cap is not None:
+        df_ = df_.filter(F.col("__df") <= hot_shingle_cap)
+    arrs = (sets_.join(df_, "shingle")
+            .groupBy(id_col)
+            .agg(F.sort_array(
+                     F.collect_list(F.struct("__df", "shingle")))
+                 .alias("__ord"),
+                 F.count(F.lit(1)).alias("__n"))
+            .withColumn("__set",
+                        F.transform("__ord", lambda x: x["shingle"]))
+            .drop("__ord")
+            .persist())
+    t = threshold_ppm / 1_000_000.0
+    prefix_len = (F.col("__n")
+                  - F.floor(F.lit(float(t)) * F.col("__n"))
+                  + F.lit(1)).cast("int")
+    prefix = arrs.select(
+        F.col(id_col).alias("__src"),
+        F.explode(F.slice("__set", F.lit(1), prefix_len))
+        .alias("shingle"))
+    index = (sets_.join(df_, "shingle")
+             .select(F.col(id_col).alias("__dst"), "shingle"))
+    cand = (prefix.join(index, "shingle")
+            .filter(F.col("__src") != F.col("__dst"))
+            .select("__src", "__dst")
+            .distinct())
+    pairs = (cand
+             .join(arrs.select(F.col(id_col).alias("__src"),
+                               F.col("__set").alias("__sa"),
+                               F.col("__n").alias("n_src")), "__src")
+             .join(arrs.select(F.col(id_col).alias("__dst"),
+                               F.col("__set").alias("__sb")), "__dst"))
+    return (pairs
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("__sa", "__sb"))
+                        .cast("bigint"))
+            .withColumn("containment_ppm",
+                        F.expr("n_shared * 1000000 DIV n_src"))
+            .filter(F.col("containment_ppm") >= threshold_ppm)
+            .select(F.col("__src").alias("src_doc"),
+                    F.col("__dst").alias("dst_doc"),
+                    "n_shared", F.col("n_src").cast("bigint")
+                    .alias("n_src"), "containment_ppm"))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """MinHash signatures: NUM_HASHES permutation-minima per doc over

@@ -128,6 +128,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # experimentation + survival + chain-occupancy analytics
     "cuped_ab_adjusted", "markov_stationary_types",
     "kaplan_meier_conversion",
+    # asymmetric doc-in-doc containment (the quote/wrapper case
+    # Jaccard's symmetric denominator dilutes away)
+    "containment_doc_pairs",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -536,3 +536,47 @@ def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_survivors(
         clusters.drop("is_canonical"),
         docs.select("doc_id", "n_chars"), "n_chars")
+
+
+CONTAINMENT_PPM = 800_000
+
+
+@register(
+    "containment_doc_pairs",
+    oracle="WITH " + _SHINGLES + f""",
+    capped AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   COUNT(*) OVER (PARTITION BY shingle) AS df
+            FROM shingle_sets)
+        WHERE df <= {HOT_SHINGLE_CAP}),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM capped
+        GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+    SELECT s.src_doc, s.dst_doc, s.n_shared, z.n AS n_src,
+           CAST(s.n_shared * 1000000 // z.n AS BIGINT)
+               AS containment_ppm
+    FROM shared s JOIN sizes z ON z.doc_id = s.src_doc
+    WHERE s.n_shared * 1000000 // z.n >= {CONTAINMENT_PPM}
+    """,
+    tags=("dedup-jaccard", "dedup-containment", "text"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs at >= 0.8
+    (operators/dedup.py:containment_pairs): |S_src n S_dst| / |S_src|
+    flags documents quoted or wrapped inside larger ones — the
+    asymmetric near-dup case Jaccard's symmetric denominator dilutes
+    away. One-sided rarest-first prefix filter on the contained side
+    (zero recall loss), hot-shingle cap on both, integer-ppm
+    threshold. The oracle verifies over the plain capped equi-join
+    (the optimization claim is exactness, so the unoptimized twin is
+    the proof)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir),
+                                   CONTAINMENT_PPM,
+                                   hot_shingle_cap=HOT_SHINGLE_CAP)

@@ -343,3 +343,25 @@ def test_kaplan_meier_exhausted_risk_set_is_null(spark):
     assert out[2]["term_nano"] is None
     assert out[2]["cum_log_surv_nano"] is None
     assert out[1]["term_nano"] is not None
+
+
+def test_containment_catches_doc_in_doc(spark):
+    from event_streaming_service_spark.operators.dedup import (
+        containment_pairs, jaccard_pairs)
+
+    # doc 1 is fully quoted inside the much larger doc 2: containment
+    # 1 -> 2 is 1.0 while Jaccard dilutes far below 0.5. Doc 3 is
+    # unrelated.
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, quote), (2, quote + " " + filler),
+            (3, "zeta eta theta iota kappa lambda")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["src_doc"], r["dst_doc"]): r
+           for r in containment_pairs(df, 800_000).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["containment_ppm"] == 1_000_000
+    assert (2, 1) not in out          # asymmetric: 2 is not inside 1
+    assert all(src != 3 and dst != 3 for src, dst in out)
+    jac = jaccard_pairs(df, 0.5).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)

@@ -71,17 +71,36 @@ def main() -> None:
                 con.execute(spec.oracle).fetchall()
                 if i > 0:
                     best_d = min(best_d, time.perf_counter() - t0)
-            ratio = f"{best_s / best_d:.1f}x"
+            # floor annotation (VERDICT r8 item #5): a DuckDB side at
+            # or under 0.15 s measures Spark's fixed per-query floor
+            # (job scheduling, codegen, Arrow spin-up), not relative
+            # work — the ratio column must say so inline so a 15x
+            # floor artifact cannot be misread as a real gap.
+            floor = best_d <= 0.15
+            ratio = f"{best_s / best_d:.1f}x" + (" (floor)" if floor
+                                                 else "")
             dtxt = f"{best_d:.2f}"
             total_s += best_s
             total_d += best_d
+            rows.append((name, best_s, best_d, floor))
         else:
             dtxt, ratio = "— (rows-only)", "—"
-        rows.append((name, f"{best_s:.2f}", dtxt, ratio))
-        print(f"| {name} | {rows[-1][1]} | {dtxt} | {ratio} |", flush=True)
+        print(f"| {name} | {best_s:.2f} | {dtxt} | {ratio} |",
+              flush=True)
 
     print(f"| **total (oracle-paired)** | **{total_s:.2f}** | "
           f"**{total_d:.2f}** | **{total_s / total_d:.1f}x** |")
+    # honesty split: floor rows vs work-bound rows
+    fl = [(s, d) for _, s, d, f in rows if f]
+    wb = [(s, d) for _, s, d, f in rows if not f]
+    if fl:
+        fs, fd = sum(s for s, _ in fl), sum(d for _, d in fl)
+        print(f"| *floor rows (DuckDB <= 0.15 s): {len(fl)}* | "
+              f"*{fs:.2f}* | *{fd:.2f}* | *n/a (fixed floor)* |")
+    if wb:
+        ws, wd = sum(s for s, _ in wb), sum(d for _, d in wb)
+        print(f"| *work-bound rows: {len(wb)}* | *{ws:.2f}* | "
+              f"*{wd:.2f}* | *{ws / wd:.1f}x* |")
 
 
 if __name__ == "__main__":
