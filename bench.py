@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "markov_stationary_types",       # integer power-iteration chain
     "kaplan_meier_conversion",       # product-limit survival curve
     "containment_doc_pairs",         # asymmetric doc-in-doc overlap
+    "acf_hourly_by_type",            # dense-spine autocorrelation
 ]
 
 

@@ -131,6 +131,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # asymmetric doc-in-doc containment (the quote/wrapper case
     # Jaccard's symmetric denominator dilutes away)
     "containment_doc_pairs",
+    # hourly-count autocorrelation at lags 1-3 (dense spine +
+    # exact-moment Pearson)
+    "acf_hourly_by_type",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -354,3 +354,92 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.markov_stationary(
         trans, "prev_type", "next_type", "n_transitions",
         iterations=MARKOV_ITERS)
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def _acf_lag_union_sql() -> str:
+    return "\n        UNION ALL ".join(
+        f"""SELECT event_type, {k} AS lag, cnt AS x,
+               LAG(cnt, {k}) OVER (PARTITION BY event_type
+                                   ORDER BY h) AS y
+        FROM dense""" for k in ACF_LAGS)
+
+
+@register(
+    "acf_hourly_by_type",
+    oracle=f"""
+    WITH hc AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+    spine AS (
+        SELECT t.event_type, s.h
+        FROM (SELECT DISTINCT event_type FROM hc) t, b,
+             LATERAL (SELECT unnest(range(b.h0, b.h1 + 1)) AS h) s),
+    dense AS (
+        SELECT s.event_type, s.h, COALESCE(hc.cnt, 0) AS cnt
+        FROM spine s
+        LEFT JOIN hc ON hc.event_type = s.event_type AND hc.h = s.h),
+    lagged AS (
+        {_acf_lag_union_sql()}),
+    m AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           9)
+           END AS pearson_r
+    FROM m
+    """,
+    tags=("analytics", "timeseries", "acf", "2.12-timeseries"),
+)
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series per event_type
+    at lags 1-3 (the periodicity diagnostic run before any seasonal
+    model): counts densify onto the global hour spine (a gap IS a
+    zero, not a missing sample), each lag pairs (x_t, x_{t-k}) via one
+    lag window, and the correlation is the exact-moment Pearson device
+    (operators/analytics.py:pearson_corr — decimal moments, one pinned
+    final float op)."""
+    from event_streaming_service_spark.functions.scalars import (
+        wall_clock_millis)
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    hc = (ev.select("event_type",
+                    wall_clock_millis(F.col("ts")).alias("__ms"))
+          .select("event_type",
+                  F.expr("__ms DIV 3600000").alias("h"))
+          .groupBy("event_type", "h")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (hc.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence("h0", "h1")).alias("h")))
+    dense = (spine.join(hc, ["event_type", "h"], "left")
+             .fillna(0, ["cnt"])
+             .persist())
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = None
+    for k in ACF_LAGS:
+        part = (dense
+                .withColumn("y", F.lag("cnt", k).over(w))
+                .filter(F.col("y").isNotNull())
+                .select("event_type", F.lit(k).cast("int").alias("lag"),
+                        F.col("cnt").alias("x"), "y"))
+        lagged = part if lagged is None else lagged.unionByName(part)
+    return analytics.pearson_corr(lagged, "x", "y",
+                                  group_cols=["event_type", "lag"],
+                                  x_scale=1, y_scale=1)
