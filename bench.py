@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "kaplan_meier_conversion",       # product-limit survival curve
     "containment_doc_pairs",         # asymmetric doc-in-doc overlap
     "acf_hourly_by_type",            # dense-spine autocorrelation
+    "theil_sen_value_trend",         # median-of-slopes robust trend
 ]
 
 

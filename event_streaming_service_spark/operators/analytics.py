@@ -330,6 +330,61 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
                F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))
 
 
+def theil_sen_trend(events: DataFrame, key_col: str, ts_col: str,
+                    value_col: str, tiebreak_col: str,
+                    max_events_per_key: int = 128) -> DataFrame:
+    """Theil-Sen robust trend per key (Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes — up to ~29% of the points can be
+    arbitrary outliers before the estimate moves, where the OLS slope
+    (value_trend_per_user) is dragged by a single spike. The
+    robust-regression sibling of mad_outliers.
+
+    Engine-exactness: each pairwise slope is pinned to integer
+    milli-cents-per-hour BEFORE the median —
+        slope_milli_cph = (dy_cents * 3_600_000_000) DIV dms
+    (truncating DIV toward zero, both engines; dy up to ~1e6 cents
+    keeps the multiply < 2^62) — and the median of integers is the
+    proven cross-engine aggregate (mad_outliers). Same-timestamp
+    pairs (dms = 0) are excluded deterministically.
+
+    Scale shape: pairwise slopes are O(n^2) per key — the hot-key
+    hazard — so each key's timeline deterministically truncates to
+    its first `max_events_per_key` events ((ts, tiebreak) order,
+    row_number on the same key partitioning the self-join shuffles
+    on) before pairing, bounding fan-out at C(cap, 2) per key; the
+    estimator itself is sampling-robust by construction. Keys with
+    < 2 usable events are absent (no pairs, inner grain)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    # the cap rank orders by (ms, tiebreak) — the same two columns the
+    # oracle ranks on, so both engines truncate identical timelines
+    # (ordering by the raw timestamp here and ms there could disagree
+    # on sub-millisecond ties)
+    w = Window.partitionBy(key_col).orderBy(F.col("__ms"),
+                                            F.col("__tb"))
+    base = (events
+            .select(F.col(key_col),
+                    wall_clock_millis(F.col(ts_col)).alias("__ms"),
+                    F.col(tiebreak_col).alias("__tb"),
+                    cents.alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_events_per_key))
+    a = base.select(F.col(key_col), F.col("__ms").alias("__ma"),
+                    F.col("__c").alias("__ca"),
+                    F.col("__rn").alias("__ra"))
+    b = base.select(F.col(key_col), F.col("__ms").alias("__mb"),
+                    F.col("__c").alias("__cb"),
+                    F.col("__rn").alias("__rb"))
+    pairs = (a.join(b, key_col)
+             .filter((F.col("__ra") < F.col("__rb"))
+                     & (F.col("__mb") != F.col("__ma")))
+             .select(key_col, F.expr(
+                 "((__cb - __ca) * 3600000000) DIV (__mb - __ma)")
+                 .alias("__slope")))
+    return (pairs.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.median("__slope").alias("theil_sen_milli_cph")))
+
+
 def markov_stationary(trans: DataFrame, from_col: str, to_col: str,
                       weight_col: str, iterations: int = 5) -> DataFrame:
     """Stationary distribution of the first-order Markov chain by

@@ -134,6 +134,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     # hourly-count autocorrelation at lags 1-3 (dense spine +
     # exact-moment Pearson)
     "acf_hourly_by_type",
+    # Theil-Sen robust trend (median of capped pairwise slopes)
+    "theil_sen_value_trend",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

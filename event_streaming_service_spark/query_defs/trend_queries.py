@@ -443,3 +443,41 @@ def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.pearson_corr(lagged, "x", "y",
                                   group_cols=["event_type", "lag"],
                                   x_scale=1, y_scale=1)
+
+
+TS_CAP = 128
+
+
+@register(
+    "theil_sen_value_trend",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id)
+                   AS rn
+        FROM events),
+    capped AS (SELECT * FROM base WHERE rn <= {TS_CAP}),
+    pairs AS (
+        SELECT a.user_id,
+               ((b.c - a.c) * 3600000000) // (b.ms - a.ms) AS slope
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.rn < b.rn
+        WHERE b.ms <> a.ms)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(median(slope) AS DOUBLE) AS theil_sen_milli_cph
+    FROM pairs GROUP BY user_id
+    """,
+    tags=("analytics", "robust-stats", "timeseries", "trend"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust value trend per user
+    (operators/analytics.py:theil_sen_trend): median of pairwise
+    slopes pinned to integer milli-cents-per-hour before the median,
+    pairwise fan-out bounded by the deterministic per-key event cap —
+    the outlier-immune sibling of value_trend_per_user's OLS slope."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.theil_sen_trend(ev, "user_id", "ts", "value",
+                                     "event_id",
+                                     max_events_per_key=TS_CAP)

@@ -365,3 +365,36 @@ def test_containment_catches_doc_in_doc(spark):
     assert all(src != 3 and dst != 3 for src, dst in out)
     jac = jaccard_pairs(df, 0.5).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        theil_sen_trend)
+
+    # values climb exactly 1 cent-unit (=100 milli) per hour; one
+    # wild outlier at t=3 leaves the pairwise-slope MEDIAN untouched
+    # (OLS would be dragged far off 100)
+    rows = [(i, 1, f"2024-01-01 0{i}:00:00",
+             float(i) if i != 3 else 1000.0) for i in range(1, 8)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    r = theil_sen_trend(df, "user_id", "ts", "value",
+                        "event_id").collect()[0]
+    assert r["n_pairs"] == 21
+    # slope 1.0 value/hour = 100 cents/hour = 100000 milli-cph
+    assert r["theil_sen_milli_cph"] == 100_000.0
+
+
+def test_theil_sen_cap_bounds_pairs(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        theil_sen_trend)
+
+    rows = [(i, 1, f"2024-01-01 00:{i:02d}:00", float(i))
+            for i in range(30)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    r = theil_sen_trend(df, "user_id", "ts", "value", "event_id",
+                        max_events_per_key=10).collect()[0]
+    assert r["n_pairs"] == 45  # C(10, 2), not C(30, 2)
