@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "containment_doc_pairs",         # asymmetric doc-in-doc overlap
     "acf_hourly_by_type",            # dense-spine autocorrelation
     "theil_sen_value_trend",         # median-of-slopes robust trend
+    "bootstrap_mean_ci_by_type",     # one-pass Poisson bootstrap CI
 ]
 
 

@@ -330,6 +330,87 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
                F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))
 
 
+# Poisson(1) pmf cumulative thresholds in 28-bit hash units — module
+# constants so the Spark ladder and the generated SQL ladder are
+# identical by construction (weights 0..4 cover 99.63% of the pmf;
+# the tail folds into w=4).
+import math as _math
+
+_POIS_CUM = [
+    int(_math.floor(sum(_math.exp(-1) / _math.factorial(j)
+                        for j in range(k + 1)) * (1 << 28)))
+    for k in range(4)
+]
+
+
+def bootstrap_mean_ci(df: DataFrame, group_col: str, value_col: str,
+                      key_col: str, n_boot: int = 32) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean
+    (the streaming-friendly bootstrap: Chamandy et al. 2012, "Est-
+    imating Uncertainty for Massive Data Streams" — each resample
+    gives every row an independent Poisson(1) multiplicity, so no
+    resample ever materializes): the multiplicity is DERIVED from a
+    content hash of (key, replicate) through the exact Poisson(1) CDF
+    ladder in 28-bit integer units, so all `n_boot` resamples are a
+    pure function of the data — identical across engines, runs, and
+    partitionings, which is what makes the CI oracle-checkable at
+    all.
+
+    One aggregation pass computes all replicates: 2*n_boot
+    conditional sums per group (sum of w_b * cents and sum of w_b)
+    with map-side combine — the corpus is scanned ONCE regardless of
+    n_boot; no explode, no shuffle growth. Replicate means pin to
+    integer micro-units (truncating DIV); the interval is the order
+    statistics of the n_boot means (2nd and n_boot-1-th: a ~94%
+    interval at n_boot=32 — the index convention is part of the
+    contract).
+
+    Output per group: (group, n_rows, mean_micro, ci_lo_micro,
+    ci_hi_micro)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    from event_streaming_service_spark.operators.dedup import (
+        portable_token_hash)
+
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(key_col).cast("string").alias("__k"),
+                     cents.alias("__c"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__c").cast("long").alias("__s")]
+    for b in range(n_boot):
+        h = portable_token_hash(
+            F.concat(F.col("__k"), F.lit(f":{b}")))
+        w = (F.when(h < _POIS_CUM[0], 0)
+             .when(h < _POIS_CUM[1], 1)
+             .when(h < _POIS_CUM[2], 2)
+             .when(h < _POIS_CUM[3], 3)
+             .otherwise(4)).cast("long")
+        aggs.append(F.sum(w * F.col("__c")).cast("long")
+                    .alias(f"__sx{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"__sw{b}"))
+    wide = base.groupBy("grp").agg(*aggs)
+    stack = ", ".join(f"{b}, __sx{b}, __sw{b}" for b in range(n_boot))
+    long = wide.select(
+        "grp", "__n", "__s",
+        F.expr(f"stack({n_boot}, {stack})").alias("b", "__sx", "__sw"))
+    means = long.select(
+        "grp", "__n", "__s",
+        F.expr("CASE WHEN __sw > 0 THEN (__sx * 1000000) DIV __sw END")
+        .alias("__m"))
+    wrank = Window.partitionBy("grp").orderBy("__m")
+    ranked = means.withColumn("__r", F.row_number().over(wrank))
+    lo_idx, hi_idx = 2, n_boot - 1
+    return (ranked.groupBy("grp", "__n", "__s")
+            .agg(F.min(F.when(F.col("__r") == lo_idx, F.col("__m")))
+                 .alias("ci_lo_micro"),
+                 F.min(F.when(F.col("__r") == hi_idx, F.col("__m")))
+                 .alias("ci_hi_micro"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("__n").alias("n_rows"),
+                    F.expr("(__s * 1000000) DIV __n")
+                    .alias("mean_micro"),
+                    "ci_lo_micro", "ci_hi_micro"))
+
+
 def theil_sen_trend(events: DataFrame, key_col: str, ts_col: str,
                     value_col: str, tiebreak_col: str,
                     max_events_per_key: int = 128) -> DataFrame:

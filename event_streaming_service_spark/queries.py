@@ -98,10 +98,6 @@ PRIORITY: tuple[str, ...] = (
 
 # Oracle-backed queries waiting for a driver slot (bounded <= 25,
 # drained by the NEXT round's rotation — tests/test_priority.py).
-# Round 8 starts with an EMPTY queue: the round-7 queue was drained
-# into the budget above. New round-8 registrations append here (each
-# must be drive_contract-green locally — hash + schema — before it is
-# queued: the freeze rule).
 PENDING_ROTATION: tuple[str, ...] = (
     # Round 9 started with an EMPTY queue: the round-8 queue was
     # drained into the budget above. New round-9 registrations append
@@ -136,6 +132,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "acf_hourly_by_type",
     # Theil-Sen robust trend (median of capped pairwise slopes)
     "theil_sen_value_trend",
+    # one-pass Poisson-bootstrap CI (32 content-hash resamples)
+    "bootstrap_mean_ci_by_type",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -510,3 +510,74 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_date(F.col("t0"))).cast("long").alias("day"),
                 F.col("conv_ts").isNotNull().cast("int").alias("ev")))
     return analytics.kaplan_meier(unit, "day", "ev")
+
+
+N_BOOT = 32
+
+
+def _bootstrap_oracle(n_boot: int) -> str:
+    from event_streaming_service_spark.operators.analytics import (
+        _POIS_CUM)
+    from event_streaming_service_spark.operators.dedup import (
+        portable_token_hash_sql)
+
+    def w_sql(b: int) -> str:
+        h = portable_token_hash_sql(
+            f"CAST(event_id AS VARCHAR) || ':{b}'")
+        return (f"CASE WHEN {h} < {_POIS_CUM[0]} THEN 0"
+                f" WHEN {h} < {_POIS_CUM[1]} THEN 1"
+                f" WHEN {h} < {_POIS_CUM[2]} THEN 2"
+                f" WHEN {h} < {_POIS_CUM[3]} THEN 3 ELSE 4 END")
+
+    sums = ",\n               ".join(
+        f"CAST(SUM(({w_sql(b)}) * c) AS BIGINT) AS sx{b}, "
+        f"CAST(SUM({w_sql(b)}) AS BIGINT) AS sw{b}"
+        for b in range(n_boot))
+    unions = "\n        UNION ALL ".join(
+        f"SELECT grp, n, s, sx{b} AS sx, sw{b} AS sw FROM wide"
+        for b in range(n_boot))
+    return f"""
+    WITH base AS (
+        SELECT event_type AS grp, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events),
+    wide AS MATERIALIZED (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               {sums}
+        FROM base GROUP BY grp),
+    long AS ({unions}),
+    means AS (
+        SELECT grp, n, s,
+               CASE WHEN sw > 0 THEN (sx * 1000000) // sw END AS m
+        FROM long),
+    ranked AS (
+        SELECT grp, n, s, m,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m) AS r
+        FROM means)
+    SELECT grp AS event_type, n AS n_rows,
+           CAST((s * 1000000) // n AS BIGINT) AS mean_micro,
+           CAST(MIN(CASE WHEN r = 2 THEN m END) AS BIGINT)
+               AS ci_lo_micro,
+           CAST(MIN(CASE WHEN r = {n_boot - 1} THEN m END) AS BIGINT)
+               AS ci_hi_micro
+    FROM ranked GROUP BY grp, n, s
+    """
+
+
+@register(
+    "bootstrap_mean_ci_by_type",
+    oracle=_bootstrap_oracle(N_BOOT),
+    tags=("analytics", "ml-eval", "uncertainty", "experimentation"),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap ~94% CI for the mean event value per type
+    (operators/analytics.py:bootstrap_mean_ci): 32 content-hash-
+    deterministic resamples computed in ONE aggregation pass (64
+    conditional sums, map-side combined — the corpus never explodes),
+    replicate means micro-pinned, interval = 2nd/31st order
+    statistics. Uncertainty quantification for every mean the
+    dashboards report."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.bootstrap_mean_ci(ev, "event_type", "value",
+                                       "event_id", n_boot=N_BOOT)

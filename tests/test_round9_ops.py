@@ -398,3 +398,22 @@ def test_theil_sen_cap_bounds_pairs(spark):
     r = theil_sen_trend(df, "user_id", "ts", "value", "event_id",
                         max_events_per_key=10).collect()[0]
     assert r["n_pairs"] == 45  # C(10, 2), not C(30, 2)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        bootstrap_mean_ci)
+
+    rows = [(i, "t", float(100 + (i % 7))) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id bigint, grp string, value double")
+    out1 = bootstrap_mean_ci(df, "grp", "value", "event_id").collect()
+    out2 = bootstrap_mean_ci(
+        df.repartition(7), "grp", "value", "event_id").collect()
+    assert out1 == out2          # content-hash resamples: partition-proof
+    r = out1[0]
+    assert r["n_rows"] == 400
+    assert r["ci_lo_micro"] <= r["mean_micro"] <= r["ci_hi_micro"]
+    # micro-CENT units: mean = 102.9925 -> 10_299_250_000; the CI is
+    # tight (sub-cent) around it for this near-constant sample
+    assert r["mean_micro"] == 10_299_250_000
+    assert r["ci_hi_micro"] - r["ci_lo_micro"] < 100_000_000
