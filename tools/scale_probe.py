@@ -1107,6 +1107,86 @@ def probe_cdc_merge(spark):
     return sec, "base=20M ops=20M action histogram closed-form exact"
 
 
+def probe_bootstrap(spark):
+    """One-pass Poisson bootstrap at 50M rows: the claim is that 32
+    resamples cost ONE aggregation pass (64 conditional sums), never
+    an explode — so 50M rows must take scan-time, not 32x scan-time.
+    Closed-form asserts: n_rows exact per group, CI brackets the
+    known mean of a uniform ramp, and the interval is sane."""
+    from event_streaming_service_spark.operators.analytics import (
+        bootstrap_mean_ci)
+    n = 50_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") % 1000) / 100.0).alias("value"))
+    t0 = time.perf_counter()
+    rows = bootstrap_mean_ci(df, "grp", "value", "event_id",
+                             n_boot=32).collect()
+    sec = time.perf_counter() - t0
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_rows"] == n // 4, r
+        # value cycles 0.00..9.99 -> mean 4.995 = 499.5 cents
+        assert abs(r["mean_micro"] - 499_500_000) < 2_000_000, r
+        assert r["ci_lo_micro"] <= r["mean_micro"] <= r["ci_hi_micro"]
+    return sec, "n=50M groups=4 resamples=32 one-pass CI brackets mean"
+
+
+def probe_theil_sen(spark):
+    """Hot-key hazard: ONE key holding 1M events would pair into
+    5*10^11 slopes uncapped; the per-key cap must bound it at
+    C(128,2) = 8128 pairs while the slope estimate stays exact on a
+    clean linear ramp (1 cent-unit per hour -> 100000 milli-cph)."""
+    from event_streaming_service_spark.operators.analytics import (
+        theil_sen_trend)
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.lit(1).cast("bigint").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_millis(F.col("id") * 3_600_000).alias("ts"),
+        F.col("id").cast("double").alias("value"))
+    t0 = time.perf_counter()
+    rows = theil_sen_trend(df, "user_id", "ts", "value",
+                           "event_id").collect()
+    sec = time.perf_counter() - t0
+    assert len(rows) == 1
+    assert rows[0]["n_pairs"] == 128 * 127 // 2, rows[0]
+    assert rows[0]["theil_sen_milli_cph"] == 100_000.0, rows[0]
+    return sec, "hot key n=1M pairs capped at C(128,2)=8128 slope exact"
+
+
+def probe_containment(spark):
+    """Containment join at 200k docs with planted doc-in-doc pairs:
+    1k 'quote' docs each fully contained in a unique larger 'host'
+    doc; 199k background docs share no shingle with them. The
+    candidate join must find exactly the 1k planted directed pairs at
+    containment 1.0 (background docs pair only below threshold)."""
+    from event_streaming_service_spark.operators.dedup import (
+        containment_pairs)
+    quote = F.concat_ws(
+        " ", *[F.concat(F.lit(f"q{i}t"), F.col("id")) for i in range(6)])
+    host = F.concat(quote, F.lit(" "), F.concat_ws(
+        " ", *[F.concat(F.lit(f"h{i}x"), F.col("id")) for i in range(20)]))
+    bg = F.concat_ws(
+        " ", *[F.concat(F.lit(f"b{i}y"), F.col("id")) for i in range(8)])
+    quotes = spark.range(1_000).select(
+        F.col("id").alias("doc_id"), quote.alias("text"))
+    hosts = spark.range(1_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), host.alias("text"))
+    backs = spark.range(199_000).select(
+        (F.col("id") + 2_000_000).alias("doc_id"), bg.alias("text"))
+    docs = quotes.unionByName(hosts).unionByName(backs)
+    t0 = time.perf_counter()
+    rows = containment_pairs(docs, 800_000).collect()
+    sec = time.perf_counter() - t0
+    planted = {(r["src_doc"], r["dst_doc"]) for r in rows}
+    assert planted == {(i, i + 1_000_000) for i in range(1_000)}, \
+        (len(planted), sorted(planted)[:3])
+    assert all(r["containment_ppm"] == 1_000_000 for r in rows)
+    return sec, "docs=200k planted=1000 directed pairs exact, no noise"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -1139,6 +1219,9 @@ PROBES = {
     "kcore": probe_kcore,
     "global_rank": probe_global_rank,
     "cdc_merge": probe_cdc_merge,
+    "bootstrap": probe_bootstrap,
+    "theil_sen": probe_theil_sen,
+    "containment": probe_containment,
 }
 
 
