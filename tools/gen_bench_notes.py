@@ -41,6 +41,13 @@ def main() -> None:
             SF_DIR, os.path.join(repo_root, ".bench_cache"))
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")  # see bench.py
+    # One generation run, no per-row splicing — but the JVM is torn
+    # down and rebuilt every SESSION_EVERY queries: a single 150-query
+    # session accumulates heap/GC state that clearCache cannot reclaim
+    # and inflates LATE rows specifically (round-9 observation:
+    # near_dup_survivors read 18.1 s at table position ~110 vs 5.4 s
+    # in a fresh session — 3.3x of pure session state, not plan). The
+    # rebuild keeps every row's measurement condition comparable.
     spark = get_spark("bench-notes", cpus=CPUS, shuffle_partitions=max(CPUS, 32))
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -48,9 +55,14 @@ def main() -> None:
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
+    SESSION_EVERY = 40
     rows = []
     total_s = total_d = 0.0
-    for name in BENCH_QUERIES:
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi > 0 and qi % SESSION_EVERY == 0:
+            spark.stop()
+            spark = get_spark("bench-notes", cpus=CPUS,
+                              shuffle_partitions=max(CPUS, 32))
         spec = REGISTRY[name]
         best_s = float("inf")
         for i in range(3):  # first run = untimed warmup
