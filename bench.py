@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "acf_hourly_by_type",            # dense-spine autocorrelation
     "theil_sen_value_trend",         # median-of-slopes robust trend
     "bootstrap_mean_ci_by_type",     # one-pass Poisson bootstrap CI
+    "ivf_recall_report",             # IVF-vs-exact recall@k audit
 ]
 
 

@@ -134,6 +134,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "theil_sen_value_trend",
     # one-pass Poisson-bootstrap CI (32 content-hash resamples)
     "bootstrap_mean_ci_by_type",
+    # IVF recall@k audit (the cell-probe sibling of ann_recall_report)
+    "ivf_recall_report",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -489,3 +489,59 @@ def q_ann_beam_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=K, n_query=N_QUERY_VECS, graph_m=BEAM_M,
         beam_width=BEAM_B, hops=BEAM_HOPS,
         corpus_path=f"{sf_dir}/embeddings.parquet")
+
+
+_IVF_ORACLE = REGISTRY["ivf_cosine_topk"].oracle
+
+
+@register(
+    "ivf_recall_report",
+    oracle=f"""
+    WITH hit AS (
+        SELECT e.query_id,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM ({_EXACT_ORACLE}) e
+        LEFT JOIN ({_IVF_ORACLE}) a
+          ON a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id)
+    SELECT query_id, n_hit, CAST({K} AS BIGINT) AS k,
+           CAST(n_hit * 1000000 // {K} AS BIGINT) AS recall_ppm,
+           CAST(SUM(n_hit * 1000000 // {K}) OVER ()
+                // COUNT(*) OVER () AS BIGINT) AS mean_recall_ppm
+    FROM hit
+    """,
+    tags=("similarity", "ann-ivf", "ml-eval"),
+)
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF cell-probe top-k against the exact brute
+    force, per query and macro-averaged — the same audit
+    ann_recall_report runs for the LSH family, over the OTHER
+    production ANN shape (coarse quantizer + probed cells). Composes
+    the two registered pipelines with one (query, neighbor)
+    equi-join; integer-ppm recall both engines truncate
+    identically."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(
+        queries, emb, K, corpus_path=f"{sf_dir}/embeddings.parquet")
+    approx = similarity.ivf_cosine_topk(queries, emb, K,
+                                        n_cells=IVF_CELLS,
+                                        n_probe=IVF_PROBE)
+    hit = (exact.select("query_id", "neighbor_id")
+           .join(approx.select("query_id", "neighbor_id",
+                               F.lit(1).alias("__hit")),
+                 ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long").alias("n_hit")))
+    return (hit
+            .withColumn("k", F.lit(K).cast("long"))
+            .withColumn("recall_ppm",
+                        F.expr(f"n_hit * 1000000 DIV {K}").cast("long"))
+            .withColumn("mean_recall_ppm", F.expr(
+                f"CAST(SUM(n_hit * 1000000 DIV {K}) OVER ()"
+                " DIV COUNT(1) OVER () AS BIGINT)"))
+            .select("query_id", "n_hit", "k", "recall_ppm",
+                    "mean_recall_ppm"))

@@ -140,6 +140,34 @@ SHOWCASE = {
         "(adding a rule adds a column, not a pass); the 1-row wide "
         "aggregate unpivots with stack(), and the FK leg is a "
         "distinct-key broadcast anti-join."),
+    "bootstrap_mean_ci_by_type": (
+        "One-pass Poisson bootstrap: all 32 resamples are 64 "
+        "conditional sums inside ONE scan + hash aggregate (the "
+        "multiplicities derive from content hashes, so no resample "
+        "ever materializes and the shuffle carries groups x 66 "
+        "partial states); the replicate means unpivot with stack() "
+        "and the order-statistic interval is a window over 32 rows "
+        "per group."),
+    "containment_doc_pairs": (
+        "Asymmetric doc-in-doc join: only the CONTAINED side explodes "
+        "its rarest-first prefix (the one-sided pigeonhole bound); "
+        "the container side stays a full inverted index, and the "
+        "verify is one array_intersect over the persisted per-doc "
+        "arrays — candidate fan-out is bounded by prefix x posting "
+        "lists, never all pairs."),
+    "ann_beam_graph_topk": (
+        "Graph-navigable ANN: the offline index (exact top-m "
+        "proximity graph) comes from the broadcast/tiled BLAS top-k "
+        "kernel and persists; each of the 3 beam hops is a "
+        "frontier-sized equi-join against the m-regular graph plus "
+        "one row_number window per query — query cost scales with "
+        "hops x beam x degree, not corpus size."),
+    "theil_sen_value_trend": (
+        "Median-of-slopes robust trend: the per-key cap (row_number "
+        "on the SAME key partitioning the pair self-join shuffles on) "
+        "bounds the O(n^2) pairwise fan-out at C(128,2) per key "
+        "before any pair materializes; slopes pin to integers in the "
+        "join projection and the median is one hash aggregate."),
 }
 
 
