@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "theil_sen_value_trend",         # median-of-slopes robust trend
     "bootstrap_mean_ci_by_type",     # one-pass Poisson bootstrap CI
     "ivf_recall_report",             # IVF-vs-exact recall@k audit
+    "ols2_value_by_time",            # 2-feature Cramer normal equations
 ]
 
 

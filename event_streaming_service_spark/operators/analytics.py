@@ -330,6 +330,70 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
                F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))
 
 
+def ols2_regression(df: DataFrame, group_col: str, x1_col: str,
+                    x2_col: str, y_col: str,
+                    y_scale: int = 100) -> DataFrame:
+    """Two-feature linear regression per group by NORMAL EQUATIONS —
+    regression-as-aggregation generalized beyond trend_ols's single
+    regressor: y ~ b0 + b1*x1 + b2*x2 solved in closed form with
+    Cramer's rule over the 3x3 moment matrix X'X. ONE hash aggregate
+    computes the nine exact decimal(38,0) moments (x inputs must be
+    small integers — hour-of-day, weekday, bucket ids — and y
+    quantizes by y_scale); the four 3x3 determinants expand as exact
+    integer polynomials (magnitudes ~(sum x^2)^2 * sum xy stay under
+    decimal(38) for 10^9-row groups of day-grain features), and the
+    ONLY float ops are the three final divides, ROUND-pinned at 9dp —
+    the pearson_corr contract extended to a linear system. Groups
+    with a singular X'X (collinear or constant features) emit NULL
+    coefficients.
+
+    Scale shape: one map-side-combined aggregate to group grain;
+    nothing else moves. The same pattern extends to k features as
+    (k+1)(k+2)/2 moment columns + a driver-side solve; k=2 keeps the
+    whole solve in-plan."""
+    x1 = F.col(x1_col).cast("decimal(38,0)")
+    x2 = F.col(x2_col).cast("decimal(38,0)")
+    y = F.floor(F.col(y_col) * F.lit(float(y_scale)) + F.lit(0.5)) \
+        .cast("decimal(38,0)")
+    agg = (df.select(F.col(group_col), x1.alias("__x1"),
+                     x2.alias("__x2"), y.alias("__y"))
+           .groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                F.sum("__x1").alias("__s1"),
+                F.sum("__x2").alias("__s2"),
+                F.sum(F.col("__x1") * F.col("__x1")).alias("__s11"),
+                F.sum(F.col("__x1") * F.col("__x2")).alias("__s12"),
+                F.sum(F.col("__x2") * F.col("__x2")).alias("__s22"),
+                F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x1") * F.col("__y")).alias("__s1y"),
+                F.sum(F.col("__x2") * F.col("__y")).alias("__s2y")))
+    # X'X = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]];
+    # X'y = [sy, s1y, s2y]. Cramer: beta_i = det(A_i) / det(A), all
+    # determinants exact integer polynomials of the moments.
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * g)
+                + c * (d * h - e * g))
+
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
+    s11, s12, s22 = F.col("__s11"), F.col("__s12"), F.col("__s22")
+    sy, s1y, s2y = F.col("__sy"), F.col("__s1y"), F.col("__s2y")
+    d = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    dd = d.cast("double")
+    nonsing = d != F.lit(0).cast("decimal(38,0)")
+    return agg.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n_points"),
+        F.when(nonsing, F.round(d0.cast("double") / dd, 9))
+         .alias("beta0"),
+        F.when(nonsing, F.round(d1.cast("double") / dd, 9))
+         .alias("beta_x1"),
+        F.when(nonsing, F.round(d2.cast("double") / dd, 9))
+         .alias("beta_x2"))
+
+
 # Poisson(1) pmf cumulative thresholds in 28-bit hash units — module
 # constants so the Spark ladder and the generated SQL ladder are
 # identical by construction (weights 0..4 cover 99.63% of the pmf;

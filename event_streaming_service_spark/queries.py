@@ -136,6 +136,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "bootstrap_mean_ci_by_type",
     # IVF recall@k audit (the cell-probe sibling of ann_recall_report)
     "ivf_recall_report",
+    # two-feature OLS via exact-moment Cramer normal equations
+    "ols2_value_by_time",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -581,3 +581,68 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return analytics.bootstrap_mean_ci(ev, "event_type", "value",
                                        "event_id", n_boot=N_BOOT)
+
+
+def _det3_sql(a, b, c, d, e, f, g, h, i):
+    """The same cofactor expansion operators/analytics.py:ols2 uses,
+    as SQL text over HUGEINT moment columns."""
+    return (f"({a} * ({e} * {i} - {f} * {h})"
+            f" - {b} * ({d} * {i} - {f} * {g})"
+            f" + {c} * ({d} * {h} - {e} * {g}))")
+
+
+_OLS2_D = _det3_sql("n", "s1", "s2", "s1", "s11", "s12",
+                    "s2", "s12", "s22")
+_OLS2_D0 = _det3_sql("sy", "s1", "s2", "s1y", "s11", "s12",
+                     "s2y", "s12", "s22")
+_OLS2_D1 = _det3_sql("n", "sy", "s2", "s1", "s1y", "s12",
+                     "s2", "s2y", "s22")
+_OLS2_D2 = _det3_sql("n", "s1", "sy", "s1", "s11", "s1y",
+                     "s2", "s12", "s2y")
+
+
+@register(
+    "ols2_value_by_time",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS x1,
+               CAST(EXTRACT(dow FROM ts) + 1 AS HUGEINT) AS x2,
+               CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS y
+        FROM events),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x1) AS s1, SUM(x2) AS s2,
+               SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+               SUM(x2 * x2) AS s22,
+               SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        FROM base GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN {_OLS2_D} <> 0 THEN
+               ROUND(CAST({_OLS2_D0} AS DOUBLE)
+                     / CAST({_OLS2_D} AS DOUBLE), 9) END AS beta0,
+           CASE WHEN {_OLS2_D} <> 0 THEN
+               ROUND(CAST({_OLS2_D1} AS DOUBLE)
+                     / CAST({_OLS2_D} AS DOUBLE), 9) END AS beta_x1,
+           CASE WHEN {_OLS2_D} <> 0 THEN
+               ROUND(CAST({_OLS2_D2} AS DOUBLE)
+                     / CAST({_OLS2_D} AS DOUBLE), 9) END AS beta_x2
+    FROM m
+    """,
+    tags=("analytics", "regression", "ml-eval", "A5"),
+)
+def q_ols2_value_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS per event_type — value(cents) ~ hour-of-day +
+    weekday — solved in closed form by Cramer's rule over exact
+    decimal moments (operators/analytics.py:ols2_regression): one
+    map-side-combined aggregate, three pinned final divides. The
+    multivariate sibling of value_trend_per_user's single-regressor
+    slope. Weekday uses Spark dayofweek == DuckDB EXTRACT(dow)+1."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    base = ev.select("event_type",
+                     F.hour("ts").alias("h"),
+                     F.dayofweek("ts").alias("w"),
+                     F.col("value"))
+    return analytics.ols2_regression(base, "event_type", "h", "w",
+                                     "value")

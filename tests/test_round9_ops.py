@@ -417,3 +417,31 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     # tight (sub-cent) around it for this near-constant sample
     assert r["mean_micro"] == 10_299_250_000
     assert r["ci_hi_micro"] - r["ci_lo_micro"] < 100_000_000
+
+
+def test_ols2_recovers_planted_coefficients(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        ols2_regression)
+
+    # exact plant: y = 7 + 3*x1 - 2*x2 over a full (x1, x2) grid;
+    # integer y with y_scale=1 -> Cramer recovers the coefficients
+    # EXACTLY (zero residual, determinants exact integers)
+    rows = [("g", x1, x2, float(7 + 3 * x1 - 2 * x2))
+            for x1 in range(5) for x2 in range(4)]
+    df = spark.createDataFrame(rows, "grp string, x1 int, x2 int, y double")
+    r = ols2_regression(df, "grp", "x1", "x2", "y",
+                        y_scale=1).collect()[0]
+    assert r["n_points"] == 20
+    assert (r["beta0"], r["beta_x1"], r["beta_x2"]) == (7.0, 3.0, -2.0)
+
+
+def test_ols2_singular_emits_null(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        ols2_regression)
+
+    # x2 = 2*x1 exactly -> X'X singular -> NULL coefficients
+    rows = [("g", i, 2 * i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "grp string, x1 int, x2 int, y double")
+    r = ols2_regression(df, "grp", "x1", "x2", "y").collect()[0]
+    assert r["beta0"] is None and r["beta_x1"] is None \
+        and r["beta_x2"] is None
