@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "bootstrap_mean_ci_by_type",     # one-pass Poisson bootstrap CI
     "ivf_recall_report",             # IVF-vs-exact recall@k audit
     "ols2_value_by_time",            # 2-feature Cramer normal equations
+    "gini_revenue_by_nation",        # rank-form concentration Gini
 ]
 
 

@@ -330,6 +330,44 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str,
                F.round(cov / F.sqrt(vx * vy), 9)).alias("pearson_r"))
 
 
+def gini_concentration(df: DataFrame, group_col: str, value_col: str,
+                       key_col: str) -> DataFrame:
+    """Gini coefficient of a value distribution per group — the
+    concentration/inequality readout (revenue concentration across
+    customers, token mass across documents) behind every "top 1% of
+    X holds Y%" statement, and the scalar the ABC/Pareto queries only
+    bucket. Rank form over the ascending sort:
+        G = (2 * sum(rank * x) - (n + 1) * sum(x)) / (n * sum(x)),
+    with rank = row_number over (value, key) — the deterministic
+    total order IS part of the contract (ties contribute identically
+    in both engines). All arithmetic exact: integer cents, bigint
+    rank products, and the single ppm division runs in decimal(38,0)
+    (numerator * 1e6 exceeds bigint at ~10^5 rows x 10^7 cents — the
+    auc_binary lesson). Non-positive totals emit NULL.
+
+    Scale shape: one rank window per group + one hash aggregate, both
+    on the same group partitioning — one shuffle total."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(group_col).orderBy(F.col("__c"),
+                                              F.col(key_col))
+    base = (df.select(F.col(group_col), F.col(key_col),
+                      cents.alias("__c"))
+            .withColumn("__r", F.row_number().over(w)))
+    agg = (base.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("__c").cast("long").alias("total_cents"),
+                F.sum(F.col("__r").cast("decimal(38,0)")
+                      * F.col("__c")).alias("__sr")))
+    gini = F.expr(
+        "CAST((2 * __sr - CAST(n_keys + 1 AS DECIMAL(38,0))"
+        " * total_cents) * 1000000"
+        " DIV (CAST(n_keys AS DECIMAL(38,0)) * total_cents)"
+        " AS BIGINT)")
+    return (agg.select(group_col, "n_keys", "total_cents",
+                       F.when(F.col("total_cents") > 0, gini)
+                       .alias("gini_ppm")))
+
+
 def ols2_regression(df: DataFrame, group_col: str, x1_col: str,
                     x2_col: str, y_col: str,
                     y_scale: int = 100) -> DataFrame:

@@ -138,6 +138,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "ivf_recall_report",
     # two-feature OLS via exact-moment Cramer normal equations
     "ols2_value_by_time",
+    # revenue-concentration Gini (exact rank form, the ABC scalar)
+    "gini_revenue_by_nation",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -646,3 +646,55 @@ def q_ols2_value_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("value"))
     return analytics.ols2_regression(base, "event_type", "h", "w",
                                      "value")
+
+
+@register(
+    "gini_revenue_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT nationkey, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY nationkey
+                                       ORDER BY cents, o_custkey)
+                    AS HUGEINT) AS r
+        FROM rev),
+    agg AS (
+        SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               SUM(r * cents) AS sr
+        FROM ranked GROUP BY nationkey)
+    SELECT nationkey, n_keys, total_cents,
+           CASE WHEN total_cents > 0 THEN
+               CAST((2 * sr - CAST(n_keys + 1 AS HUGEINT)
+                         * total_cents) * 1000000
+                    // (CAST(n_keys AS HUGEINT) * total_cents)
+                    AS BIGINT)
+           END AS gini_ppm
+    FROM agg
+    """,
+    tags=("analytics", "inequality", "bi", "A5"),
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each
+    nation (operators/analytics.py:gini_concentration): the
+    concentration scalar behind the ABC/Pareto buckets — exact rank
+    form over integer cents, the single ppm division in
+    decimal/HUGEINT."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    cust = tables.load_table(spark, sf_dir, "customer")
+    rev = (orders.join(cust,
+                       cust["c_custkey"] == orders["o_custkey"])
+           .groupBy(F.col("c_nationkey").alias("nationkey"),
+                    F.col("o_custkey"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100
+                              + F.lit(0.5)).cast("long"))
+                .cast("long").alias("rev_cents"))
+           .select("nationkey", "o_custkey",
+                   (F.col("rev_cents") / 100.0).alias("rev")))
+    return analytics.gini_concentration(rev, "nationkey", "rev",
+                                        "o_custkey")

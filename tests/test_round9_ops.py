@@ -445,3 +445,19 @@ def test_ols2_singular_emits_null(spark):
     r = ols2_regression(df, "grp", "x1", "x2", "y").collect()[0]
     assert r["beta0"] is None and r["beta_x1"] is None \
         and r["beta_x2"] is None
+
+
+def test_gini_known_distributions(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        gini_concentration)
+
+    # perfectly equal values -> G = (2*S_r - (n+1)*S)/(n*S) with
+    # S_r = S*(n+1)/2 -> 0; one key holding everything -> (n-1)/n
+    rows = ([("eq", i, 10.0) for i in range(1, 5)]
+            + [("one", 1, 40.0)] + [("one", i, 0.0) for i in range(2, 5)])
+    df = spark.createDataFrame(rows, "grp string, k bigint, v double")
+    out = {r["grp"]: r for r in gini_concentration(
+        df, "grp", "v", "k").collect()}
+    assert out["eq"]["gini_ppm"] == 0
+    assert out["one"]["gini_ppm"] == 750_000          # (n-1)/n, n=4
+    assert out["one"]["total_cents"] == 4000
