@@ -140,6 +140,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     "ols2_value_by_time",
     # revenue-concentration Gini (exact rank form, the ABC scalar)
     "gini_revenue_by_nation",
+    # arrival burstiness (Fano factor over the dense hourly spine)
+    # and lead/lag cross-correlation between the click and purchase
+    # series — the acf family's two missing siblings
+    "fano_burstiness_by_type", "xcorr_hourly_types",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

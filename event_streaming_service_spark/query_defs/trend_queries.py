@@ -481,3 +481,180 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.theil_sen_trend(ev, "user_id", "ts", "value",
                                      "event_id",
                                      max_events_per_key=TS_CAP)
+
+
+def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, h, cnt) densified onto the GLOBAL hour spine — a
+    silent hour IS a zero observation, not a missing row (the acf
+    device, shared by the burstiness and cross-correlation queries).
+    Spine size = types x hours: dimension-bounded, the explode never
+    exceeds ~1e5 rows per type-year."""
+    from event_streaming_service_spark.functions.scalars import (
+        wall_clock_millis)
+
+    hc = (ev.select("event_type",
+                    wall_clock_millis(F.col("ts")).alias("__ms"))
+          .select("event_type", F.expr("__ms DIV 3600000").alias("h"))
+          .groupBy("event_type", "h")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (hc.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence("h0", "h1")).alias("h")))
+    return (spine.join(hc, ["event_type", "h"], "left")
+            .fillna(0, ["cnt"]))
+
+
+def _dense_hourly_sql(where: str = "") -> str:
+    """The SQL twin of _dense_hourly_counts; `where` must match any
+    pre-filter applied to the Spark input (the spine's hour BOUNDS
+    come from the filtered stream, so the filter must sit inside hc,
+    not on a later projection)."""
+    return _DENSE_HOURLY_TEMPLATE.format(where=where)
+
+
+_DENSE_HOURLY_TEMPLATE = """
+    hc AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events {where} GROUP BY 1, 2),
+    b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+    spine AS (
+        SELECT t.event_type, s.h
+        FROM (SELECT DISTINCT event_type FROM hc) t, b,
+             LATERAL (SELECT unnest(range(b.h0, b.h1 + 1)) AS h) s),
+    dense AS (
+        SELECT s.event_type, s.h, COALESCE(hc.cnt, 0) AS cnt
+        FROM spine s
+        LEFT JOIN hc ON hc.event_type = s.event_type AND hc.h = s.h)
+"""
+
+
+@register(
+    "fano_burstiness_by_type",
+    oracle=f"""
+    WITH {_dense_hourly_sql()},
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(cnt) AS HUGEINT) AS sc,
+                 SUM(CAST(cnt AS HUGEINT) * cnt) AS scc
+          FROM dense GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sc AS BIGINT) AS n_events,
+           CAST(sc * 1000000 // n AS BIGINT) AS mean_ppm,
+           CASE WHEN sc > 0 THEN
+               CAST((n * scc - sc * sc) * 1000000 // (n * sc)
+                    AS BIGINT)
+           END AS fano_ppm
+    FROM m
+    """,
+    tags=("analytics", "timeseries", "burstiness", "2.12-timeseries"),
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of the hourly
+    arrival-count series per event_type: the burstiness diagnostic —
+    a Poisson process sits at 1.0, clumped traffic (retry storms,
+    batch replays) far above, rate-limited flow below. Population
+    moments over the DENSE hourly spine (a silent hour is a zero)
+    in exact decimal arithmetic; the single division is a truncating
+    ppm DIV, so the statistic is an exact bigint in both engines.
+    One hash agg over the spine — k output rows, no skew surface."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    m = (_dense_hourly_counts(ev)
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum("cnt").cast(dec).alias("__sc"),
+              F.sum(F.col("cnt").cast(dec) * F.col("cnt"))
+              .cast(dec).alias("__scc")))
+    return m.select(
+        "event_type",
+        F.col("__n").cast("bigint").alias("n_hours"),
+        F.col("__sc").cast("bigint").alias("n_events"),
+        F.expr("CAST(__sc * 1000000 DIV __n AS BIGINT)")
+        .alias("mean_ppm"),
+        F.when(F.col("__sc") > 0, F.expr(
+            "CAST((__n * __scc - __sc * __sc) * 1000000"
+            " DIV (__n * __sc) AS BIGINT)")).alias("fano_ppm"))
+
+
+XCORR_X_TYPE = "click"
+XCORR_Y_TYPE = "purchase"
+XCORR_LAGS = (0, 1, 2, 3)
+
+
+def _xcorr_lag_union_sql() -> str:
+    return "\n        UNION ALL ".join(
+        f"""SELECT {k} AS lag, x,
+               LAG(y, {k}) OVER (ORDER BY h) AS y
+        FROM paired""" for k in XCORR_LAGS)
+
+
+@register(
+    "xcorr_hourly_types",
+    oracle=f"""
+    WITH {_dense_hourly_sql(
+        f"WHERE event_type IN ('{XCORR_X_TYPE}', '{XCORR_Y_TYPE}')")},
+    paired AS (
+        SELECT h,
+               MAX(CASE WHEN event_type = '{XCORR_X_TYPE}'
+                        THEN cnt END) AS x,
+               MAX(CASE WHEN event_type = '{XCORR_Y_TYPE}'
+                        THEN cnt END) AS y
+        FROM dense
+        GROUP BY h),
+    lagged AS (
+        {_xcorr_lag_union_sql()}),
+    m AS (
+        SELECT lag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM lagged WHERE y IS NOT NULL GROUP BY 1)
+    SELECT lag, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           9)
+           END AS pearson_r
+    FROM m
+    """,
+    tags=("analytics", "timeseries", "xcorr", "2.12-timeseries"),
+)
+def q_xcorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase hourly
+    count series at lags 0-3: does click volume LEAD purchase volume,
+    and by how many hours — the "does X drive Y" diagnostic behind
+    attribution windows and campaign lift reads. Both series densify
+    onto the shared hour spine (zeros included: correlation against a
+    sparse series is meaningless), purchase shifts back by k via one
+    lag window over the GLOBAL hourly grain (thousands of rows — the
+    partition-less window is a post-aggregate detail, the acf/wow
+    convention), and each lag's r is the exact-moment Pearson device
+    with one pinned final sqrt/divide."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    dense = _dense_hourly_counts(
+        ev.filter(F.col("event_type").isin(XCORR_X_TYPE, XCORR_Y_TYPE)))
+    paired = (dense.groupBy("h")
+              .agg(F.max(F.when(F.col("event_type") == XCORR_X_TYPE,
+                                F.col("cnt"))).alias("x"),
+                   F.max(F.when(F.col("event_type") == XCORR_Y_TYPE,
+                                F.col("cnt"))).alias("y"))
+              .persist())
+    w = Window.orderBy("h")
+    lagged = None
+    for k in XCORR_LAGS:
+        part = (paired
+                .withColumn("__y", F.lag("y", k).over(w))
+                .filter(F.col("__y").isNotNull())
+                .select(F.lit(k).cast("int").alias("lag"),
+                        "x", F.col("__y").alias("y")))
+        lagged = part if lagged is None else lagged.unionByName(part)
+    return analytics.pearson_corr(lagged, "x", "y", group_cols=["lag"],
+                                  x_scale=1, y_scale=1)

@@ -461,3 +461,54 @@ def test_gini_known_distributions(spark):
     assert out["eq"]["gini_ppm"] == 0
     assert out["one"]["gini_ppm"] == 750_000          # (n-1)/n, n=4
     assert out["one"]["total_cents"] == 4000
+
+
+def test_fano_poisson_vs_bursty(spark):
+    from event_streaming_service_spark.query_defs.trend_queries import (
+        _dense_hourly_counts)
+
+    # constant series (1 event every hour) -> variance 0 -> fano 0;
+    # bursty series (all mass in one hour of four) -> fano = var/mean
+    # = (n*scc - sc^2)/(n*sc) = (4*16 - 16)/(4*4) = 3.0
+    base = 1_600_000_000_000
+    rows = ([(base + h * 3_600_000, "flat") for h in range(4)]
+            + [(base + 0 * 3_600_000, "burst")] * 4)
+    df = spark.createDataFrame(
+        [(ms, t) for ms, t in rows], "ms bigint, event_type string")
+    from event_streaming_service_spark.functions.scalars import (
+        millis_to_ts)
+    ev = df.select(millis_to_ts(F.col("ms")).alias("ts"), "event_type")
+    dense = _dense_hourly_counts(ev)
+    dec = "decimal(38,0)"
+    m = (dense.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum("cnt").cast(dec).alias("__sc"),
+              F.sum(F.col("cnt").cast(dec) * F.col("cnt"))
+              .cast(dec).alias("__scc")))
+    out = {r["event_type"]: r for r in m.select(
+        "event_type",
+        F.expr("CAST((__n * __scc - __sc * __sc) * 1000000"
+               " DIV (__n * __sc) AS BIGINT)").alias("fano_ppm"),
+        F.col("__n").cast("bigint").alias("n_hours")).collect()}
+    # both types densify onto the SHARED 4-hour spine
+    assert out["flat"]["n_hours"] == 4
+    assert out["burst"]["n_hours"] == 4
+    assert out["flat"]["fano_ppm"] == 0
+    assert out["burst"]["fano_ppm"] == 3_000_000
+
+
+def test_dense_hourly_spine_fills_gaps(spark):
+    from event_streaming_service_spark.functions.scalars import (
+        millis_to_ts)
+    from event_streaming_service_spark.query_defs.trend_queries import (
+        _dense_hourly_counts)
+
+    # events at hours 0 and 3 only -> spine emits hours 1, 2 as zeros
+    base = 1_600_000_000_000
+    df = spark.createDataFrame(
+        [(base, "a"), (base + 3 * 3_600_000, "a")], "ms bigint, t string")
+    ev = df.select(millis_to_ts(F.col("ms")).alias("ts"),
+                   F.col("t").alias("event_type"))
+    rows = sorted((r["h"], r["cnt"])
+                  for r in _dense_hourly_counts(ev).collect())
+    assert [c for _, c in rows] == [1, 0, 0, 1]
