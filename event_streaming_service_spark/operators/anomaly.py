@@ -407,3 +407,71 @@ def chi2_independence(df: DataFrame, row_col: Column, col_col: Column
                     F.col("c").alias("col_value"),
                     "observed", "expected_micro", "term_micro",
                     "chi2_micro", "dof"))
+
+
+def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
+                  period_flag: Column, value_scale: int = 100
+                  ) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group — the
+    distribution-level drift test PSI's fixed-width bins only
+    approximate: D = max_x |F_a(x) - F_b(x)| over the pooled empirical
+    support, sensitive to ANY shape change (location, scale, tails)
+    without a binning choice.
+
+    Engine-exactness: the statistic is computed entirely in integers.
+    Values quantize to cents (floor(v*scale+0.5)); at each distinct
+    value the scaled ECDF gap is
+        gap = |cum_a * n_b - cum_b * n_a|
+    (an integer: both ECDFs put over the common denominator n_a*n_b),
+    and the reported statistic is
+        ks_d_ppm = max(gap) * 1e6 DIV (n_a * n_b)
+    — a truncating integer DIV, so the result is an exact bigint. The
+    split location `at_v_cents` is the SMALLEST value achieving the
+    max gap (deterministic tiebreak).
+
+    Scale shape: one hash agg to the (group, distinct value) grain,
+    one cumulative window per group ordered by value (the grain is
+    distinct-values-bounded, not row-bounded), and a two-level
+    argmax — no joins against the raw rows, no skew surface beyond
+    a group's distinct-value count. Groups missing either period
+    emit NULL ks_d_ppm (no comparison exists)."""
+    dec = "decimal(38,0)"
+    q = F.floor(F.col(value_col) * F.lit(float(value_scale))
+                + F.lit(0.5)).cast("long")
+    c = (df.select(F.col(group_col).alias("grp"), q.alias("v"),
+                   period_flag.cast("int").alias("__p"))
+         .groupBy("grp", "v")
+         .agg(F.sum(F.when(F.col("__p") == 0, 1).otherwise(0))
+              .cast(dec).alias("ca"),
+              F.sum(F.when(F.col("__p") == 1, 1).otherwise(0))
+              .cast(dec).alias("cb")))
+    wcum = (Window.partitionBy("grp").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy("grp")
+    g = (c.withColumn("__cum_a", F.sum("ca").over(wcum).cast(dec))
+         .withColumn("__cum_b", F.sum("cb").over(wcum).cast(dec))
+         .withColumn("__na", F.sum("ca").over(wg).cast(dec))
+         .withColumn("__nb", F.sum("cb").over(wg).cast(dec))
+         .withColumn("gap", F.abs(F.col("__cum_a") * F.col("__nb")
+                                  - F.col("__cum_b") * F.col("__na"))
+                     .cast(dec)))
+    m = (g.groupBy("grp")
+         .agg(F.max("gap").alias("__mg"),
+              F.max("__na").alias("__na"),
+              F.max("__nb").alias("__nb")))
+    arg = (g.select("grp", "v", "gap")
+           .join(m, "grp")
+           .filter(F.col("gap") == F.col("__mg"))
+           .groupBy("grp")
+           .agg(F.min("v").alias("at_v_cents"),
+                F.max("__mg").alias("__mg"),
+                F.max("__na").alias("__na"),
+                F.max("__nb").alias("__nb")))
+    return arg.select(
+        F.col("grp").alias(group_col),
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+               F.expr("CAST(__mg * 1000000 DIV (__na * __nb)"
+                      " AS BIGINT)")).alias("ks_d_ppm"),
+        F.col("at_v_cents").cast("bigint").alias("at_v_cents"))

@@ -144,6 +144,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # and lead/lag cross-correlation between the click and purchase
     # series — the acf family's two missing siblings
     "fano_burstiness_by_type", "xcorr_hourly_types",
+    # bin-free two-sample KS drift (exact integer ECDF gap) — the
+    # distribution-shape sibling of psi_value_drift
+    "ks_value_drift",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

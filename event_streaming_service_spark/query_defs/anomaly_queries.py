@@ -378,3 +378,54 @@ def q_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return anomaly.chi2_independence(
         ev, F.col("event_type"), F.dayofweek(F.col("ts")).cast("long"))
+
+
+@register(
+    "ks_value_drift",
+    oracle="""
+    WITH q AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+               event_id % 2 AS p
+        FROM events),
+    c AS (SELECT grp, v,
+                 SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS cb
+          FROM q GROUP BY 1, 2),
+    cum AS (
+        SELECT grp, v,
+               CAST(SUM(ca) OVER w AS HUGEINT) AS cum_a,
+               CAST(SUM(cb) OVER w AS HUGEINT) AS cum_b,
+               CAST(SUM(ca) OVER (PARTITION BY grp) AS HUGEINT) AS na,
+               CAST(SUM(cb) OVER (PARTITION BY grp) AS HUGEINT) AS nb
+        FROM c
+        WINDOW w AS (PARTITION BY grp ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    g AS (SELECT grp, v,
+                 ABS(cum_a * nb - cum_b * na) AS gap, na, nb
+          FROM cum),
+    m AS (SELECT grp, MAX(gap) AS mg, MAX(na) AS na, MAX(nb) AS nb
+          FROM g GROUP BY grp)
+    SELECT m.grp AS event_type,
+           CAST(m.na AS BIGINT) AS n_a,
+           CAST(m.nb AS BIGINT) AS n_b,
+           CASE WHEN m.na > 0 AND m.nb > 0 THEN
+               CAST(m.mg * 1000000 // (m.na * m.nb) AS BIGINT)
+           END AS ks_d_ppm,
+           CAST(MIN(g.v) AS BIGINT) AS at_v_cents
+    FROM m JOIN g ON g.grp = m.grp AND g.gap = m.mg
+    GROUP BY m.grp, m.na, m.nb, m.mg
+    """,
+    tags=("anomaly", "drift", "stats-test", "ml-ops"),
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test of the value
+    distribution per event_type between the two half-populations
+    (event_id parity, the psi_value_drift split)
+    (operators/anomaly.py:ks_two_sample): the bin-free sibling of PSI
+    — max scaled ECDF gap |cum_a*n_b - cum_b*n_a| in exact integers,
+    reported as a truncating ks_d_ppm plus the smallest value at
+    which the two curves diverge most."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.ks_two_sample(ev, "event_type", "value",
+                                 (F.col("event_id") % 2 == 1))

@@ -512,3 +512,39 @@ def test_dense_hourly_spine_fills_gaps(spark):
     rows = sorted((r["h"], r["cnt"])
                   for r in _dense_hourly_counts(ev).collect())
     assert [c for _, c in rows] == [1, 0, 0, 1]
+
+
+def test_ks_two_sample_known_distributions(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        ks_two_sample)
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: max ECDF gap is 1/2, first
+    # reached at v=2 (gap 8 over the common denominator 4*4=16)
+    rows = ([("g", 0, float(v)) for v in (1, 2, 3, 4)]
+            + [("g", 1, float(v)) for v in (3, 4, 5, 6)])
+    df = spark.createDataFrame(rows, "grp string, p int, value double")
+    r = ks_two_sample(df, "grp", "value",
+                      F.col("p") == 1).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_d_ppm"] == 500_000
+    assert r["at_v_cents"] == 200
+
+
+def test_ks_identical_samples_zero(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        ks_two_sample)
+
+    rows = [("g", p, float(v)) for p in (0, 1) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "grp string, p int, value double")
+    r = ks_two_sample(df, "grp", "value", F.col("p") == 1).collect()[0]
+    assert r["ks_d_ppm"] == 0
+
+
+def test_ks_missing_period_null(spark):
+    from event_streaming_service_spark.operators.anomaly import (
+        ks_two_sample)
+
+    df = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 0, 2.0)], "grp string, p int, value double")
+    r = ks_two_sample(df, "grp", "value", F.col("p") == 1).collect()[0]
+    assert r["ks_d_ppm"] is None
