@@ -1474,3 +1474,45 @@ def calibration_bins(df: DataFrame, score_col: str, label: Column,
             " AS BIGINT)"))
         .select("bin", "n_rows", "n_pos", "rate_ppm",
                 "mean_score_micro", "conf_ppm", "ece_ppm"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  group_cols: list[str] | None = None,
+                  x_scale: int = 100, y_scale: int = 100) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    readout Pearson misses whenever the relationship is nonlinear
+    (price vs quantity under tiered discounts, latency vs load near
+    saturation): Pearson r computed on the RANKS of x and y.
+
+    Tied values take the average rank, which can be a half-integer —
+    so both rank columns carry the DOUBLE rank
+        rank2 = 2 * RANK() + tie_count - 1
+    (an exact integer: 2 * (min_rank + (ties-1)/2)), and the doubling
+    cancels in the correlation. The moment sums are then the
+    pearson_corr device verbatim: exact decimal accumulation, one
+    pinned final sqrt/divide at 9 dp.
+
+    Scale shape: two rank windows per group (a rank statistic needs
+    the per-group sort — rows/group bounds the window task) + one
+    tie-count window each on the (group, value) grain, then a single
+    hash aggregate. No joins, no collect."""
+    groups = list(group_cols or [])
+    qx = F.floor(F.col(x_col) * F.lit(float(x_scale)) + F.lit(0.5)) \
+          .cast("long")
+    qy = F.floor(F.col(y_col) * F.lit(float(y_scale)) + F.lit(0.5)) \
+          .cast("long")
+    base = df.select(*groups, qx.alias("__qx"), qy.alias("__qy"))
+    wx = Window.partitionBy(*groups).orderBy("__qx")
+    wy = Window.partitionBy(*groups).orderBy("__qy")
+    tx = Window.partitionBy(*groups, "__qx")
+    ty = Window.partitionBy(*groups, "__qy")
+    ranked = (base
+              .withColumn("__rx2", (F.lit(2) * F.rank().over(wx)
+                                    + F.count(F.lit(1)).over(tx)
+                                    - F.lit(1)).cast("long"))
+              .withColumn("__ry2", (F.lit(2) * F.rank().over(wy)
+                                    + F.count(F.lit(1)).over(ty)
+                                    - F.lit(1)).cast("long")))
+    out = pearson_corr(ranked, "__rx2", "__ry2", group_cols=groups,
+                       x_scale=1, y_scale=1)
+    return out.withColumnRenamed("pearson_r", "spearman_rho")

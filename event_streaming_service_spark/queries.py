@@ -147,6 +147,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     # bin-free two-sample KS drift (exact integer ECDF gap) — the
     # distribution-shape sibling of psi_value_drift
     "ks_value_drift",
+    # rank correlation via exact integer double-ranks (2*RANK+ties-1)
+    "spearman_price_quantity",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

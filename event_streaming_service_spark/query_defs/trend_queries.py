@@ -658,3 +658,49 @@ def q_xcorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged = part if lagged is None else lagged.unionByName(part)
     return analytics.pearson_corr(lagged, "x", "y", group_cols=["lag"],
                                   x_scale=1, y_scale=1)
+
+
+@register(
+    "spearman_price_quantity",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS grp,
+               CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS qy
+        FROM lineitem),
+    ranked AS (
+        SELECT grp,
+               CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY qx)
+                    + COUNT(*) OVER (PARTITION BY grp, qx) - 1
+                    AS HUGEINT) AS x,
+               CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY qy)
+                    + COUNT(*) OVER (PARTITION BY grp, qy) - 1
+                    AS HUGEINT) AS y
+        FROM q),
+    s AS (
+        SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM ranked GROUP BY grp)
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           9)
+           END AS spearman_rho
+    FROM s
+    """,
+    tags=("analytics", "correlation", "robust-stats", "A5"),
+)
+def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag (operators/analytics.py:spearman_corr): Pearson on
+    average ranks carried as exact integer DOUBLE ranks
+    (2*RANK + ties - 1), so tied halves never touch a float — the
+    monotone-association sibling of price_quantity_correlation, immune
+    to the price outliers that bend the linear r."""
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    return analytics.spearman_corr(lineitem, "l_quantity",
+                                   "l_extendedprice",
+                                   group_cols=["l_returnflag"])

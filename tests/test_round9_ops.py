@@ -548,3 +548,43 @@ def test_ks_missing_period_null(spark):
         [("g", 0, 1.0), ("g", 0, 2.0)], "grp string, p int, value double")
     r = ks_two_sample(df, "grp", "value", F.col("p") == 1).collect()[0]
     assert r["ks_d_ppm"] is None
+
+
+def test_spearman_known_values(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        spearman_corr)
+
+    # permutation ranks: x=1..5, y=(2,1,4,3,5) -> rho = 1 - 6*4/120
+    rows = list(zip([1, 2, 3, 4, 5], [2, 1, 4, 3, 5]))
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in rows],
+        "grp string, x double, y double")
+    r = spearman_corr(df, "x", "y", group_cols=["grp"]).collect()[0]
+    assert r["n_points"] == 5
+    assert abs(r["spearman_rho"] - 0.8) < 1e-9
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        spearman_corr)
+
+    # y = x^3: nonlinear but strictly monotone -> rho exactly 1
+    df = spark.createDataFrame(
+        [("g", float(x), float(x ** 3)) for x in range(1, 8)],
+        "grp string, x double, y double")
+    r = spearman_corr(df, "x", "y", group_cols=["grp"]).collect()[0]
+    assert r["spearman_rho"] == 1.0
+
+
+def test_spearman_ties_average_rank(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        spearman_corr)
+
+    # x = (1,1,2) -> avg ranks (1.5,1.5,3); y = (1,2,3) -> (1,2,3);
+    # Pearson over those ranks = 6/sqrt(48)
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 3.0)],
+        "grp string, x double, y double")
+    r = spearman_corr(df, "x", "y", group_cols=["grp"]).collect()[0]
+    import math
+    assert abs(r["spearman_rho"] - 6 / math.sqrt(48)) < 1e-9
