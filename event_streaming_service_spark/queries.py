@@ -149,6 +149,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "ks_value_drift",
     # rank correlation via exact integer double-ranks (2*RANK+ties-1)
     "spearman_price_quantity",
+    # per-language training-mixture reweighting (token-mass ppm)
+    "mixture_sampling_weights",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

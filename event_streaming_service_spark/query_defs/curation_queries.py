@@ -281,3 +281,72 @@ def q_group_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/curation.py:group_split_audit)."""
     return curation.group_split_audit(
         _docs(spark, sf_dir), "source", weight_col="n_chars")
+
+
+@register(
+    "mixture_sampling_weights",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(length({_TOKS}) AS BIGINT) AS n_toks
+        FROM documents),
+    g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS lang_tokens
+          FROM d GROUP BY lang),
+    t AS (SELECT *,
+                 CAST(SUM(lang_tokens) OVER () AS HUGEINT) AS total,
+                 CAST(COUNT(*) OVER () AS HUGEINT) AS k
+          FROM g)
+    SELECT lang, n_docs, lang_tokens,
+           CAST(CAST(lang_tokens AS HUGEINT) * 1000000 // total
+                AS BIGINT) AS share_ppm,
+           CASE WHEN lang_tokens > 0 THEN
+               CAST(total * 1000000 // (k * lang_tokens) AS BIGINT)
+           END AS weight_ppm,
+           CASE WHEN lang_tokens > 0 THEN
+               CAST(CAST(lang_tokens AS HUGEINT)
+                    * (total * 1000000 // (k * lang_tokens))
+                    // 1000000 AS BIGINT)
+           END AS resampled_tokens
+    FROM t
+    """,
+    tags=("curation", "mixture", "token-count", "llm-pipeline"),
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-mixture reweighting: the static domain
+    -balancing step of a pretraining data pipeline (the DoReMi/
+    Pile-style 'equalize token mass across domains' baseline). Each
+    language's whitespace-token mass yields its corpus share and the
+    resampling multiplier that flattens the mixture,
+        weight_ppm = total_tokens * 1e6 DIV (n_langs * lang_tokens),
+    plus the token count a weighted sampler would draw. All integer
+    ppm arithmetic (truncating DIV); token counts are the vocab
+    -coverage regex split. Scale shape: one narrow projection for the
+    per-doc counts (no shuffle), a k-row hash agg, and window totals
+    over the k-row grain."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+    n_toks = F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                             lambda t: t != F.lit(""))).cast("long")
+    g = (docs.select("lang", n_toks.alias("__nt"))
+         .groupBy("lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("__nt").cast("long").alias("lang_tokens")))
+    wall = Window.partitionBy()
+    dec = "decimal(38,0)"
+    t = (g.withColumn("__total",
+                      F.sum("lang_tokens").over(wall).cast(dec))
+         .withColumn("__k", F.count(F.lit(1)).over(wall).cast(dec)))
+    weight = F.expr(
+        "CAST(__total * 1000000"
+        " DIV (__k * CAST(lang_tokens AS DECIMAL(38,0))) AS BIGINT)")
+    return t.select(
+        "lang", "n_docs", "lang_tokens",
+        F.expr("CAST(CAST(lang_tokens AS DECIMAL(38,0)) * 1000000"
+               " DIV __total AS BIGINT)").alias("share_ppm"),
+        F.when(F.col("lang_tokens") > 0, weight).alias("weight_ppm"),
+        F.when(F.col("lang_tokens") > 0, F.expr(
+            "CAST(CAST(lang_tokens AS DECIMAL(38,0))"
+            " * (__total * 1000000"
+            "    DIV (__k * CAST(lang_tokens AS DECIMAL(38,0))))"
+            " DIV 1000000 AS BIGINT)")).alias("resampled_tokens"))

@@ -588,3 +588,26 @@ def test_spearman_ties_average_rank(spark):
     r = spearman_corr(df, "x", "y", group_cols=["grp"]).collect()[0]
     import math
     assert abs(r["spearman_rho"] - 6 / math.sqrt(48)) < 1e-9
+
+
+def test_mixture_weights_flatten_token_mass(spark, tmp_path):
+    import event_streaming_service_spark.query_defs.curation_queries as cq
+
+    # two langs, 3:1 token mass -> weights 2/3 and 2; resampled mass
+    # equalizes at total/k = 200 tokens each (minus DIV truncation)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 300), "en", "s", 1),
+         (2, " ".join(["b"] * 100), "de", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    import os
+    p = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    # load_table reads <sf_dir>/documents.parquet
+    out = {r["lang"]: r for r in
+           cq.q_mixture_weights(spark, str(tmp_path)).collect()}
+    assert out["en"]["lang_tokens"] == 300
+    assert out["en"]["share_ppm"] == 750_000
+    assert out["en"]["weight_ppm"] == 666_666          # 400/(2*300)
+    assert out["de"]["weight_ppm"] == 2_000_000        # 400/(2*100)
+    assert out["en"]["resampled_tokens"] == 199        # truncation
+    assert out["de"]["resampled_tokens"] == 200
