@@ -434,3 +434,77 @@ def wl_roles(edges: DataFrame, rounds: int = 2,
             .select(F.col("n").alias(a_col),
                     F.col("deg").cast("bigint").alias("deg"),
                     F.col("h").alias("wl_role")))
+
+
+HITS_SCALE = 1_000_000_000
+
+
+def hits(edges: DataFrame, iterations: int = 3,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer-exact HITS (Kleinberg hubs & authorities) over a
+    directed edge list: hub score = how much good authority a node
+    points AT, authority score = how much good hub mass points at IT
+    — the directed complement of PageRank's single centrality (a
+    customer buying from every top supplier is a hub; a supplier every
+    big buyer touches is an authority).
+
+    Each half-round is the textbook update followed by L1
+    normalization to HITS_SCALE total (the usual L2 norm needs a
+    sqrt; L1 keeps the fixpoint's direction and stays in integers):
+        auth_raw(i) = sum_{j->i} hub(j);  auth = auth_raw * S DIV tot
+    and symmetrically for hubs from the fresh authorities. The DIV is
+    truncating in both engines, every intermediate is decimal(38,0),
+    so the unrolled oracle hash-matches exactly.
+
+    Scale shape: per round, one equi-join of the cached edge list
+    against the node-grain score frame + one hash agg, then a 1-row
+    total broadcast-cross-joined back (the quantiles.py device — no
+    global window). Node-only rows keep 0 via left joins."""
+    dec = "decimal(38,0)"
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().cache())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    hubs = nodes.withColumn("s", F.lit(HITS_SCALE).cast(dec))
+    auths = None
+    for _ in range(iterations):
+        araw = (nodes.join(
+                    e.join(hubs, e.src == hubs.node)
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("s").cast(dec).alias("raw")),
+                    "node", "left")
+                .select("node", F.coalesce(F.col("raw"),
+                                           F.lit(0).cast(dec))
+                        .alias("raw"))
+                # node-grain; consumed TWICE (total + normalize) and
+                # feeding 5 more rounds of lineage -> pin it, or the
+                # plan tree doubles per half-round (OOMs the driver)
+                .localCheckpoint(eager=True))
+        atot = araw.agg(F.sum("raw").cast(dec).alias("__tot"))
+        auths = (araw.crossJoin(F.broadcast(atot))
+                 .select("node", F.expr(
+                     f"CAST((raw * {HITS_SCALE} - pmod(raw *"
+                     f" {HITS_SCALE}, __tot)) / __tot"
+                     " AS DECIMAL(38,0))").alias("s")))
+        hraw = (nodes.join(
+                    e.join(auths, e.dst == auths.node)
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("s").cast(dec).alias("raw")),
+                    "node", "left")
+                .select("node", F.coalesce(F.col("raw"),
+                                           F.lit(0).cast(dec))
+                        .alias("raw"))
+                .localCheckpoint(eager=True))
+        htot = hraw.agg(F.sum("raw").cast(dec).alias("__tot"))
+        hubs = (hraw.crossJoin(F.broadcast(htot))
+                .select("node", F.expr(
+                    f"CAST((raw * {HITS_SCALE} - pmod(raw *"
+                    f" {HITS_SCALE}, __tot)) / __tot"
+                    " AS DECIMAL(38,0))").alias("s")))
+    return (hubs.withColumnRenamed("s", "__h")
+            .join(auths.withColumnRenamed("s", "__a"), "node")
+            .select("node",
+                    F.col("__h").cast("bigint").alias("hub_nano"),
+                    F.col("__a").cast("bigint").alias("auth_nano")))

@@ -151,6 +151,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     "spearman_price_quantity",
     # per-language training-mixture reweighting (token-mass ppm)
     "mixture_sampling_weights",
+    # HITS hubs/authorities: 3 L1-normalized integer rounds over the
+    # directed customer->supplier graph, oracle fully unrolled
+    "hits_trade_hubs",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

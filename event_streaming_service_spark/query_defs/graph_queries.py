@@ -461,3 +461,73 @@ def q_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts, zero-padded degree seeds are engine-identical)."""
     return (graph.wl_roles(copurchase_edges(spark, sf_dir, "a", "b"))
             .withColumnRenamed("a", "l_partkey"))
+
+
+HITS_ITERS = 3
+
+
+def _hits_round_ctes(i: int) -> str:
+    hprev = "h0" if i == 1 else f"h{i - 1}"
+    return f"""
+    a{i}r AS (
+        SELECT n.node, COALESCE(SUM(h.s), 0) AS raw
+        FROM dnodes n
+        LEFT JOIN dedges e ON e.dst = n.node
+        LEFT JOIN {hprev} h ON h.node = e.src
+        GROUP BY n.node),
+    a{i} AS (SELECT node, CAST(raw AS HUGEINT) * 1000000000
+                          // (SELECT SUM(raw) FROM a{i}r) AS s
+             FROM a{i}r),
+    h{i}r AS (
+        SELECT n.node, COALESCE(SUM(a.s), 0) AS raw
+        FROM dnodes n
+        LEFT JOIN dedges e ON e.src = n.node
+        LEFT JOIN a{i} a ON a.node = e.dst
+        GROUP BY n.node),
+    h{i} AS (SELECT node, CAST(raw AS HUGEINT) * 1000000000
+                          // (SELECT SUM(raw) FROM h{i}r) AS s
+             FROM h{i}r)"""
+
+
+@register(
+    "hits_trade_hubs",
+    oracle=(
+        """
+    WITH dedges AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    dnodes AS (
+        SELECT src AS node FROM dedges
+        UNION SELECT dst AS node FROM dedges),
+    h0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS s FROM dnodes),
+"""
+        + ",".join(_hits_round_ctes(i) for i in range(1, HITS_ITERS + 1))
+        + f"""
+    SELECT h.node,
+           CAST(h.s AS BIGINT) AS hub_nano,
+           CAST(a.s AS BIGINT) AS auth_nano
+    FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.node = h.node
+    """
+    ),
+    tags=("graph", "hits", "iterative", "J2"),
+)
+def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED customer -> supplier
+    purchase graph (operators/graph.py:hits): customers earn hub mass
+    by buying from well-bought suppliers, suppliers earn authority by
+    being bought by strong hubs — the question PageRank's undirected
+    centrality cannot ask. 3 L1-normalized integer rounds, oracle
+    fully unrolled."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    lineitem = tables.load_table(spark, sf_dir, "lineitem")
+    edges = (orders
+             .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    return graph.hits(edges, iterations=HITS_ITERS)

@@ -611,3 +611,21 @@ def test_mixture_weights_flatten_token_mass(spark, tmp_path):
     assert out["de"]["weight_ppm"] == 2_000_000        # 400/(2*100)
     assert out["en"]["resampled_tokens"] == 199        # truncation
     assert out["de"]["resampled_tokens"] == 200
+
+
+def test_hits_one_round_hand_computed(spark):
+    from event_streaming_service_spark.operators.graph import hits
+
+    # c1->s1, c2->s1, c2->s2. Round 1:
+    #   auth raw: s1=2e9, s2=1e9, tot=3e9 -> s1=666666666, s2=333333333
+    #   hub  raw: c1=666666666, c2=999999999, tot=1666666665
+    #           -> c1=400000000, c2=600000000 (the c2 DIV is exact)
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c2", "s1"), ("c2", "s2")], "src string, dst string")
+    out = {r["node"]: r for r in hits(edges, iterations=1).collect()}
+    assert out["s1"]["auth_nano"] == 666_666_666
+    assert out["s2"]["auth_nano"] == 333_333_333
+    assert out["c1"]["auth_nano"] == 0 and out["c2"]["auth_nano"] == 0
+    assert out["c1"]["hub_nano"] == 400_000_000
+    assert out["c2"]["hub_nano"] == 600_000_000
+    assert out["s1"]["hub_nano"] == 0 and out["s2"]["hub_nano"] == 0
