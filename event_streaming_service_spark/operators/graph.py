@@ -508,3 +508,48 @@ def hits(edges: DataFrame, iterations: int = 3,
             .select("node",
                     F.col("__h").cast("bigint").alias("hub_nano"),
                     F.col("__a").cast("bigint").alias("auth_nano")))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected edge list (RAGHAVAN et al.'s near-linear LPA, made
+    fully deterministic): every node starts as its own label; each
+    round every node adopts the label that is MOST FREQUENT among its
+    neighbors, ties broken by the SMALLEST label — the (count desc,
+    label asc) ranking, so the classic random tie-flip disappears and
+    the fixed round count has an exact unrolled SQL twin. Communities
+    after k rounds are k-hop label basins: denser regions collapse
+    onto their minimum id, bridges keep their sides apart (contrast
+    with the near-dup min-label propagation, which computes CONNECTED
+    COMPONENTS — LPA splits a connected graph into cohesive parts).
+
+    Scale shape per round: one equi-join of the cached undirected
+    edge list against the node-grain label frame, a hash agg to the
+    (node, neighbor-label) grain, and one per-node argmax window
+    whose partition is bounded by degree. Labels pin via eager
+    localCheckpoint per round (node-grain rows; keeps the iterated
+    lineage flat — the pagerank/BPE convention)."""
+    und = (edges.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
+           .unionByName(
+               edges.select(F.col(b_col).alias("n"),
+                            F.col(a_col).alias("m")))
+           .distinct().cache())
+    labels = (und.select(F.col("n").alias("node")).distinct()
+              .withColumn("lab", F.col("node"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(rounds):
+        counts = (und.join(labels, und.m == labels.node)
+                  .groupBy("n", "lab")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        labels = (counts
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select(F.col("n").alias("node"), "lab")
+                  .localCheckpoint(eager=True))
+    wlab = Window.partitionBy("lab")
+    return labels.select(
+        "node", F.col("lab").alias("community"),
+        F.count(F.lit(1)).over(wlab).cast("bigint")
+        .alias("community_size"))

@@ -154,6 +154,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # HITS hubs/authorities: 3 L1-normalized integer rounds over the
     # directed customer->supplier graph, oracle fully unrolled
     "hits_trade_hubs",
+    # deterministic synchronous label-propagation communities (3
+    # rounds, min-label tiebreak) over the shared copurchase edges
+    "lpa_communities_copurchase",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

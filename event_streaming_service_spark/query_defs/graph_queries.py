@@ -531,3 +531,59 @@ def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("dst"))
              .distinct())
     return graph.hits(edges, iterations=HITS_ITERS)
+
+
+LPA_ROUNDS = 3
+
+
+def _lpa_round_ctes(i: int) -> str:
+    prev = "l0" if i == 1 else f"l{i - 1}"
+    return f"""
+    c{i} AS (
+        SELECT u.n, l.lab, COUNT(*) AS c
+        FROM und u JOIN {prev} l ON l.node = u.m
+        GROUP BY u.n, l.lab),
+    l{i} AS (
+        SELECT n AS node, lab FROM (
+            SELECT n, lab,
+                   ROW_NUMBER() OVER (PARTITION BY n
+                                      ORDER BY c DESC, lab) AS rn
+            FROM c{i})
+        WHERE rn = 1)"""
+
+
+@register(
+    "lpa_communities_copurchase",
+    oracle=(
+        """
+    WITH pair AS (
+        SELECT DISTINCT l1.l_partkey AS x, l2.l_partkey AS y
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey),
+    und AS (
+        SELECT x AS n, y AS m FROM pair
+        UNION ALL SELECT y AS n, x AS m FROM pair),
+    l0 AS (SELECT DISTINCT n AS node, n AS lab FROM und),
+"""
+        + ",".join(_lpa_round_ctes(i) for i in range(1, LPA_ROUNDS + 1))
+        + f"""
+    SELECT node AS l_partkey, lab AS community,
+           CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT)
+               AS community_size
+    FROM l{LPA_ROUNDS}
+    """
+    ),
+    tags=("graph", "community", "iterative", "2.12-graph"),
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the part co-purchase graph
+    (operators/graph.py:label_propagation, edges from the shared
+    copurchase_edges helper): 3 synchronous rounds, most-frequent
+    neighbor label with a min-label tiebreak, so the usually-random
+    LPA is deterministic and its unrolled SQL twin hash-matches. The
+    community readout near_dup-style min-label CC cannot give: parts
+    of one connected graph split into cohesive purchase clusters."""
+    edges = copurchase_edges(spark, sf_dir)
+    return (graph.label_propagation(edges, rounds=LPA_ROUNDS)
+            .withColumnRenamed("node", "l_partkey"))

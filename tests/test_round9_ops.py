@@ -629,3 +629,39 @@ def test_hits_one_round_hand_computed(spark):
     assert out["c1"]["hub_nano"] == 400_000_000
     assert out["c2"]["hub_nano"] == 600_000_000
     assert out["s1"]["hub_nano"] == 0 and out["s2"]["hub_nano"] == 0
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    from event_streaming_service_spark.operators.graph import (
+        label_propagation)
+
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10.
+    # Hand-traced synchronous rounds (min-label tiebreak):
+    #   r1: 1->2 2->1 3->1 10->3 11->10 12->10
+    #   r2: 1->1 2->1 3->1 10->10 11->3 12->3
+    #   r3: 1->1 2->1 3->1 10->3  11->3 12->3
+    # -> left clique = {1}; the right clique coheres on the label 3
+    # that crossed the bridge (still one community, disjoint from
+    # the left), sizes 3 + 3
+    tri = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12),
+           (3, 10)]
+    edges = spark.createDataFrame(tri, "a bigint, b bigint")
+    out = {r["node"]: r for r in
+           label_propagation(edges, rounds=3).collect()}
+    assert {out[n]["community"] for n in (1, 2, 3)} == {1}
+    assert {out[n]["community"] for n in (10, 11, 12)} == {3}
+    assert out[1]["community_size"] == 3
+    assert out[10]["community_size"] == 3
+
+
+def test_lpa_tie_breaks_to_min_label(spark):
+    from event_streaming_service_spark.operators.graph import (
+        label_propagation)
+
+    # node 5's neighbors {1, 9} each appear once -> adopts min(1, 9)
+    edges = spark.createDataFrame([(1, 5), (5, 9)], "a bigint, b bigint")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(edges, rounds=1).collect()}
+    assert out[5] == 1
+    # 1 and 9 each have the single neighbor 5
+    assert out[1] == 5 and out[9] == 5
