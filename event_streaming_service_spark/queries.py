@@ -157,6 +157,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     # deterministic synchronous label-propagation communities (3
     # rounds, min-label tiebreak) over the shared copurchase edges
     "lpa_communities_copurchase",
+    # reciprocal-best-match pairing on the exact cosine top-1
+    "mutual_knn_pairs",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

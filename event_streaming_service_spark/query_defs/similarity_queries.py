@@ -545,3 +545,56 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV COUNT(1) OVER () AS BIGINT)"))
             .select("query_id", "n_hit", "k", "recall_ppm",
                     "mean_recall_ppm"))
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings),
+         c AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id, ROUND({_COS}, 6) AS cosine
+            FROM q, c WHERE query_id <> neighbor_id),
+         top1 AS (
+            SELECT query_id, neighbor_id, cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored)
+            WHERE rn = 1)
+    SELECT x.query_id AS id_a, y.query_id AS id_b,
+           x.cosine AS cosine
+    FROM top1 x JOIN top1 y
+      ON x.neighbor_id = y.query_id
+     AND y.neighbor_id = x.query_id
+     AND x.query_id < y.query_id
+    """,
+    tags=("similarity", "mutual-nn", "dedup", "2.12-similarity"),
+)
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b) where b is a's top-1
+    cosine neighbor AND a is b's — the reciprocal-best-match criterion
+    used for high-precision duplicate pairing and cross-corpus
+    alignment (far stricter than a one-directional threshold: a hub
+    vector that is everyone's neighbor almost never reciprocates).
+    Composes the exact top-1 of cosine_topk (broadcast/tiled BLAS
+    kernel, 6 dp pinned cosine, id tiebreak) with one self-join on the
+    node-grain top-1 frame; the a < b guard emits each pair once. At
+    ANN scale the same join applies verbatim on the IVF or LSH top-1
+    instead of the exact one."""
+    emb = _emb(spark, sf_dir)
+    top1 = (similarity.cosine_topk(
+                emb, emb, 1,
+                corpus_path=f"{sf_dir}/embeddings.parquet")
+            .select("query_id", "neighbor_id", "cosine"))
+    x, y = top1.alias("x"), top1.alias("y")
+    return (x.join(y, (F.col("x.neighbor_id") == F.col("y.query_id"))
+                   & (F.col("y.neighbor_id") == F.col("x.query_id"))
+                   & (F.col("x.query_id") < F.col("y.query_id")))
+            .select(F.col("x.query_id").alias("id_a"),
+                    F.col("y.query_id").alias("id_b"),
+                    F.col("x.cosine").alias("cosine")))

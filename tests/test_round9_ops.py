@@ -665,3 +665,22 @@ def test_lpa_tie_breaks_to_min_label(spark):
     assert out[5] == 1
     # 1 and 9 each have the single neighbor 5
     assert out[1] == 5 and out[9] == 5
+
+
+def test_mutual_knn_reciprocity(spark):
+    from event_streaming_service_spark.operators.similarity import (
+        cosine_topk)
+
+    # colinear pair (1,2) reciprocate; 3 points at 1 but is nobody's
+    # top-1 back (1's nearest is its duplicate 2)
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    top1 = cosine_topk(emb, emb, 1).select(
+        "query_id", "neighbor_id", "cosine")
+    x, y = top1.alias("x"), top1.alias("y")
+    pairs = (x.join(y, (F.col("x.neighbor_id") == F.col("y.query_id"))
+                    & (F.col("y.neighbor_id") == F.col("x.query_id"))
+                    & (F.col("x.query_id") < F.col("y.query_id")))
+             .select(F.col("x.query_id").alias("id_a"),
+                     F.col("y.query_id").alias("id_b"))).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
