@@ -573,7 +573,7 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND y.neighbor_id = x.query_id
      AND x.query_id < y.query_id
     """,
-    tags=("similarity", "mutual-nn", "dedup", "2.12-similarity"),
+    tags=("similarity", "mutual-nn", "dedup", "ann-baseline"),
 )
 def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual nearest-neighbor pairs: (a, b) where b is a's top-1
