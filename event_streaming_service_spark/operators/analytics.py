@@ -1516,3 +1516,52 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     out = pearson_corr(ranked, "__rx2", "__ry2", group_cols=groups,
                        x_scale=1, y_scale=1)
     return out.withColumnRenamed("pearson_r", "spearman_rho")
+
+
+def mann_kendall_trend(events: DataFrame, key_col: str, ts_col: str,
+                       value_col: str, tiebreak_col: str,
+                       max_events_per_key: int = 128) -> DataFrame:
+    """Mann-Kendall trend TEST per key (Mann 1945 / Kendall 1975):
+    the significance-side companion of theil_sen_trend's magnitude.
+        S = sum over time-ordered pairs of sign(y_j - y_i)
+    counts concordant minus discordant pairs — a pure integer, immune
+    to any monotone transform of the values — and Kendall's tau-a
+        tau_ppm = S * 1e6 DIV n_pairs  (truncating toward zero,
+    spelled identically in both engines: DuckDB's // floors, so the
+    oracle uses the same CASE-wrapped sign trick Spark's DIV gets).
+    |tau| near 1 = consistently monotone series; near 0 = no trend.
+
+    Exactness: values quantize to cents before comparison (ties are
+    sign 0, counted in n_pairs — tau-a, not the tie-adjusted tau-b);
+    pairs order by (ms, tiebreak) rank exactly like theil_sen_trend,
+    and the same deterministic per-key cap bounds the O(n^2) fan-out
+    (hot-key hazard). Keys with < 2 capped events are absent."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(key_col).orderBy(F.col("__ms"),
+                                            F.col("__tb"))
+    base = (events
+            .select(F.col(key_col),
+                    wall_clock_millis(F.col(ts_col)).alias("__ms"),
+                    F.col(tiebreak_col).alias("__tb"),
+                    cents.alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_events_per_key))
+    a = base.select(F.col(key_col), F.col("__c").alias("__ca"),
+                    F.col("__rn").alias("__ra"))
+    b = base.select(F.col(key_col), F.col("__c").alias("__cb"),
+                    F.col("__rn").alias("__rb"))
+    pairs = (a.join(b, key_col)
+             .filter(F.col("__ra") < F.col("__rb"))
+             .select(key_col,
+                     F.signum(F.col("__cb") - F.col("__ca"))
+                     .cast("long").alias("__s")))
+    agg = (pairs.groupBy(key_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("__s").cast("bigint").alias("s_stat")))
+    # truncating-toward-zero ppm: DuckDB // floors (so -1//2 = -1),
+    # Spark DIV truncates — make both truncate via sign * (|S|*1e6 //
+    # n_pairs), identical in the oracle
+    tau = (F.signum(F.col("s_stat")).cast("long")
+           * F.expr("(abs(s_stat) * 1000000) DIV n_pairs"))
+    return agg.select(key_col, "n_pairs", "s_stat",
+                      tau.cast("bigint").alias("tau_ppm"))

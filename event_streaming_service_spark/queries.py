@@ -159,6 +159,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     "lpa_communities_copurchase",
     # reciprocal-best-match pairing on the exact cosine top-1
     "mutual_knn_pairs",
+    # Mann-Kendall S + tau-a: the significance companion of the
+    # Theil-Sen magnitude, same capped pair grain (queue now at the
+    # 25 bound — round-10's rotation drains it)
+    "mann_kendall_value_trend",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

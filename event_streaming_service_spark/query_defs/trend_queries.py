@@ -704,3 +704,45 @@ def q_spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.spearman_corr(lineitem, "l_quantity",
                                    "l_extendedprice",
                                    group_cols=["l_returnflag"])
+
+
+@register(
+    "mann_kendall_value_trend",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id)
+                   AS rn
+        FROM events),
+    capped AS (SELECT * FROM base WHERE rn <= {TS_CAP}),
+    pairs AS (
+        SELECT a.user_id,
+               CASE WHEN b.c > a.c THEN 1
+                    WHEN b.c < a.c THEN -1 ELSE 0 END AS s
+        FROM capped a JOIN capped b
+          ON a.user_id = b.user_id AND a.rn < b.rn),
+    agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(s) AS BIGINT) AS s_stat
+        FROM pairs GROUP BY user_id)
+    SELECT user_id, n_pairs, s_stat,
+           CAST(CASE WHEN s_stat >= 0 THEN 1 ELSE -1 END
+                * ((ABS(s_stat) * 1000000) // n_pairs)
+                AS BIGINT) AS tau_ppm
+    FROM agg
+    """,
+    tags=("analytics", "robust-stats", "trend", "stats-test"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per user
+    (operators/analytics.py:mann_kendall_trend): the concordant-minus
+    -discordant pair statistic S and Kendall tau-a in exact ppm over
+    the SAME capped (ts, event_id)-ranked timelines theil_sen_trend
+    pairs — magnitude there, direction-consistency here, one shared
+    truncation so the two readouts describe the same series."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.mann_kendall_trend(ev, "user_id", "ts", "value",
+                                        "event_id",
+                                        max_events_per_key=TS_CAP)

@@ -684,3 +684,51 @@ def test_mutual_knn_reciprocity(spark):
              .select(F.col("x.query_id").alias("id_a"),
                      F.col("y.query_id").alias("id_b"))).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_mann_kendall_known_series(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        mann_kendall_trend)
+
+    base = 1_600_000_000_000
+    # strictly rising 5-point series: S = C(5,2) = 10, tau = 1
+    up = [(1, base + i * 1000, float(i)) for i in range(5)]
+    # one dip: values 0,1,9,2,3 -> hand count S = 6 - 2 = ... compute
+    # pairs of (0,1,9,2,3): concordant: (0,1)(0,9)(0,2)(0,3)(1,9)(1,2)
+    # (1,3)(2,3)=8, discordant: (9,2)(9,3)=2 -> S=6, tau=600000
+    dip = [(2, base + i * 1000, float(v))
+           for i, v in enumerate([0, 1, 9, 2, 3])]
+    from event_streaming_service_spark.functions.scalars import (
+        millis_to_ts)
+    df = (spark.createDataFrame(up + dip,
+                                "user_id bigint, ms bigint, value double")
+          .select("user_id", millis_to_ts(F.col("ms")).alias("ts"),
+                  "value",
+                  F.col("ms").alias("event_id")))
+    out = {r["user_id"]: r for r in mann_kendall_trend(
+        df, "user_id", "ts", "value", "event_id").collect()}
+    assert out[1]["n_pairs"] == 10
+    assert out[1]["s_stat"] == 10
+    assert out[1]["tau_ppm"] == 1_000_000
+    assert out[2]["s_stat"] == 6
+    assert out[2]["tau_ppm"] == 600_000
+
+
+def test_mann_kendall_negative_trend_truncates_toward_zero(spark):
+    from event_streaming_service_spark.operators.analytics import (
+        mann_kendall_trend)
+    from event_streaming_service_spark.functions.scalars import (
+        millis_to_ts)
+
+    base = 1_600_000_000_000
+    # values 2,1,0,1: pairs (2,1)(2,0)(2,1)(1,0)(1,1)(0,1) ->
+    # s = -1-1-1-1+0+1 = -3, n_pairs 6, tau = -sign*[3e6//6] = -500000
+    rows = [(1, base + i * 1000, float(v))
+            for i, v in enumerate([2, 1, 0, 1])]
+    df = (spark.createDataFrame(rows,
+                                "user_id bigint, ms bigint, value double")
+          .select("user_id", millis_to_ts(F.col("ms")).alias("ts"),
+                  "value", F.col("ms").alias("event_id")))
+    r = mann_kendall_trend(df, "user_id", "ts", "value",
+                           "event_id").collect()[0]
+    assert (r["n_pairs"], r["s_stat"], r["tau_ppm"]) == (6, -3, -500_000)
