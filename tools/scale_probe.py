@@ -1187,6 +1187,105 @@ def probe_containment(spark):
     return sec, "docs=200k planted=1000 directed pairs exact, no noise"
 
 
+def probe_ks_drift(spark):
+    """Two-sample KS at 20M rows with a planted +500 location shift:
+    the cumulative window runs on the (group, distinct value) grain
+    (1,500 distinct cents values here, NOT 20M rows), and the
+    decimal cross-products survive n_a = n_b = 10M (cum*n products
+    reach 1e20 — past bigint, inside decimal(38,0)). Closed form:
+    uniform 0..999 vs 500..1499 overlap half their mass -> D = 0.5
+    exactly, first attained at the last a-only value 499."""
+    from event_streaming_service_spark.operators.anomaly import (
+        ks_two_sample)
+    n = 20_000_000
+    df = spark.range(n).select(
+        F.lit("t").alias("grp"),
+        (F.col("id") % 2).cast("int").alias("p"),
+        (((F.col("id") / 2).cast("long") % 1000)
+         + F.when(F.col("id") % 2 == 1, 500).otherwise(0))
+        .cast("double").alias("value"))
+    t0 = time.perf_counter()
+    r = ks_two_sample(df, "grp", "value", F.col("p") == 1,
+                      value_scale=1).collect()[0]
+    sec = time.perf_counter() - t0
+    assert (r["n_a"], r["n_b"]) == (n // 2, n // 2), r
+    assert r["ks_d_ppm"] == 500_000, r
+    assert r["at_v_cents"] == 499, r
+    return sec, "n=20M planted shift D exactly 0.5 at v=499"
+
+
+def probe_lpa_star(spark):
+    """LPA hot-hub hazard: a 500k-spoke star. The center's neighbor
+    -label aggregate is one 500k-row hash-agg group and its argmax
+    window partition is degree-bounded — no quadratic surface. The
+    synchronous dynamics on a star are the known bipartite
+    oscillation: after round 3 the center holds the min spoke label
+    and every spoke holds the center's initial label; asserted
+    exactly, so a tie-break or sync regression fails loudly."""
+    from event_streaming_service_spark.operators.graph import (
+        label_propagation)
+    n = 500_000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).cast("bigint").alias("a"), F.col("id").alias("b"))
+    t0 = time.perf_counter()
+    out = label_propagation(edges, rounds=3)
+    center = out.filter(F.col("node") == 0).collect()[0]
+    sizes = {r["community"]: r["cnt"] for r in
+             out.groupBy("community").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    sec = time.perf_counter() - t0
+    assert center["community"] == 1, center
+    assert sizes == {1: 1, 0: n}, sizes
+    return sec, f"star deg={n} oscillation labels exact"
+
+
+def probe_hits_bipartite(spark):
+    """HITS at 2M directed edges (2M customers -> 1k suppliers,
+    uniform): per round the score frame is node-grain and the only
+    big operand is the cached edge join. Uniform closed form: every
+    supplier's authority and every customer's hub normalize to
+    floor(SCALE / k) of their side's mass regardless of round."""
+    from event_streaming_service_spark.operators.graph import hits
+    n, k = 2_000_000, 1_000
+    edges = spark.range(n).select(
+        F.concat(F.lit("c"), F.col("id")).alias("src"),
+        F.concat(F.lit("s"), (F.col("id") % k)).alias("dst"))
+    t0 = time.perf_counter()
+    out = hits(edges, iterations=3)
+    auths = (out.filter(F.col("auth_nano") > 0)
+             .select("auth_nano").distinct().collect())
+    hubs = (out.filter(F.col("hub_nano") > 0)
+            .select("hub_nano").distinct().collect())
+    sec = time.perf_counter() - t0
+    assert len(auths) == 1 and auths[0][0] == 1_000_000_000 // k, auths
+    assert len(hubs) == 1 and hubs[0][0] == 1_000_000_000 // n, hubs
+    return sec, f"edges={n} k={k} uniform fixpoint exact"
+
+
+def probe_spearman(spark):
+    """Spearman at 20M rows / 8 groups: the rank windows sort
+    2.5M rows per group partition (the operator's documented bound —
+    per-GROUP rows must fit an executor sort task; a single global
+    group should go through linkage.global_rank instead). Monotone
+    ramp with duplicates -> rho exactly 1.0 despite ties."""
+    from event_streaming_service_spark.operators.analytics import (
+        spearman_corr)
+    n = 20_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 8).cast("string").alias("grp"),
+        ((F.col("id") / 8).cast("long") % 100_000).cast("double")
+        .alias("x"),
+        (((F.col("id") / 8).cast("long") % 100_000) * 3 + 7)
+        .cast("double").alias("y"))
+    t0 = time.perf_counter()
+    rows = spearman_corr(df, "x", "y", group_cols=["grp"]).collect()
+    sec = time.perf_counter() - t0
+    assert len(rows) == 8
+    for r in rows:
+        assert r["spearman_rho"] == 1.0, r
+    return sec, "n=20M 8 groups monotone-with-ties rho exactly 1"
+
+
 PROBES = {
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
@@ -1222,6 +1321,10 @@ PROBES = {
     "bootstrap": probe_bootstrap,
     "theil_sen": probe_theil_sen,
     "containment": probe_containment,
+    "ks_drift": probe_ks_drift,
+    "lpa_star": probe_lpa_star,
+    "hits_bipartite": probe_hits_bipartite,
+    "spearman": probe_spearman,
 }
 
 
