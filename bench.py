@@ -217,6 +217,15 @@ BENCH_QUERIES = [
     "ivf_recall_report",             # IVF-vs-exact recall@k audit
     "ols2_value_by_time",            # 2-feature Cramer normal equations
     "gini_revenue_by_nation",        # rank-form concentration Gini
+    "fano_burstiness_by_type",       # dense-spine dispersion index
+    "xcorr_hourly_types",            # lead/lag cross-correlation
+    "ks_value_drift",                # integer-ECDF two-sample KS
+    "spearman_price_quantity",       # double-rank Spearman rho
+    "mixture_sampling_weights",      # token-mass mixture reweighting
+    "hits_trade_hubs",               # 3-round integer HITS
+    "lpa_communities_copurchase",    # deterministic sync LPA
+    "mutual_knn_pairs",              # reciprocal top-1 cosine
+    "mann_kendall_value_trend",      # pair-sign S + tau-a
 ]
 
 

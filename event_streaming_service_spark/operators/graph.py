@@ -469,7 +469,14 @@ def hits(edges: DataFrame, iterations: int = 3,
              .distinct().cache())
     hubs = nodes.withColumn("s", F.lit(HITS_SCALE).cast(dec))
     auths = None
-    for _ in range(iterations):
+    for i in range(iterations):
+        # each raw frame is consumed TWICE (total + normalize) and
+        # feeds the remaining rounds -> without a pin per round the
+        # plan tree doubles per half-round (OOMed the driver). A lazy
+        # persist covers the double consumption; ONE eager
+        # localCheckpoint per round (on the round's hub frame, plus
+        # the final auth frame) keeps the iterated lineage flat at a
+        # third of the eager-everywhere materialization cost.
         araw = (nodes.join(
                     e.join(hubs, e.src == hubs.node)
                     .groupBy(F.col("dst").alias("node"))
@@ -478,16 +485,15 @@ def hits(edges: DataFrame, iterations: int = 3,
                 .select("node", F.coalesce(F.col("raw"),
                                            F.lit(0).cast(dec))
                         .alias("raw"))
-                # node-grain; consumed TWICE (total + normalize) and
-                # feeding 5 more rounds of lineage -> pin it, or the
-                # plan tree doubles per half-round (OOMs the driver)
-                .localCheckpoint(eager=True))
+                .persist())
         atot = araw.agg(F.sum("raw").cast(dec).alias("__tot"))
         auths = (araw.crossJoin(F.broadcast(atot))
                  .select("node", F.expr(
                      f"CAST((raw * {HITS_SCALE} - pmod(raw *"
                      f" {HITS_SCALE}, __tot)) / __tot"
                      " AS DECIMAL(38,0))").alias("s")))
+        if i == iterations - 1:
+            auths = auths.localCheckpoint(eager=True)
         hraw = (nodes.join(
                     e.join(auths, e.dst == auths.node)
                     .groupBy(F.col("src").alias("node"))
@@ -496,13 +502,16 @@ def hits(edges: DataFrame, iterations: int = 3,
                 .select("node", F.coalesce(F.col("raw"),
                                            F.lit(0).cast(dec))
                         .alias("raw"))
-                .localCheckpoint(eager=True))
+                .persist())
         htot = hraw.agg(F.sum("raw").cast(dec).alias("__tot"))
         hubs = (hraw.crossJoin(F.broadcast(htot))
                 .select("node", F.expr(
                     f"CAST((raw * {HITS_SCALE} - pmod(raw *"
                     f" {HITS_SCALE}, __tot)) / __tot"
-                    " AS DECIMAL(38,0))").alias("s")))
+                    " AS DECIMAL(38,0))").alias("s"))
+                .localCheckpoint(eager=True))
+        araw.unpersist()
+        hraw.unpersist()
     return (hubs.withColumnRenamed("s", "__h")
             .join(auths.withColumnRenamed("s", "__a"), "node")
             .select("node",
