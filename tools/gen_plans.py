@@ -168,6 +168,31 @@ SHOWCASE = {
         "bounds the O(n^2) pairwise fan-out at C(128,2) per key "
         "before any pair materializes; slopes pin to integers in the "
         "join projection and the median is one hash aggregate."),
+    "ks_value_drift": (
+        "Two-sample KS: the cumulative ECDF window runs on the "
+        "(group, distinct value) grain a hash aggregate produces "
+        "first — never on raw rows — and the scaled gap "
+        "|cum_a*n_b - cum_b*n_a| stays in decimal(38,0) so 10M-row "
+        "sides cannot overflow; one window sort per group bounded by "
+        "distinct values, then a two-level argmax."),
+    "hits_trade_hubs": (
+        "Iterative HITS: the edge list is cached once with both join "
+        "keys; each round is one equi-join + hash agg per side, a "
+        "1-row total broadcast-cross-joined back (no global window), "
+        "and ONE eager pin per round so the iterated lineage stays "
+        "flat while intermediate raw frames are lazy persists."),
+    "lpa_communities_copurchase": (
+        "Synchronous LPA: the undirected edge list caches once; per "
+        "round one join against the node-grain label frame, a hash "
+        "agg to (node, label), and a per-node argmax window bounded "
+        "by degree. Deterministic (count desc, label asc) ranking "
+        "replaces the classic random tie-flip, which is what makes "
+        "the unrolled SQL twin possible."),
+    "spearman_price_quantity": (
+        "Rank statistic: two rank windows per group (the per-group "
+        "sort a rank correlation cannot avoid; group size bounds the "
+        "task) emit exact integer double-ranks, then the exact-moment "
+        "Pearson device — one hash aggregate, one pinned sqrt."),
 }
 
 
