@@ -444,7 +444,12 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
          .agg(F.sum(F.when(F.col("__p") == 0, 1).otherwise(0))
               .cast(dec).alias("ca"),
               F.sum(F.when(F.col("__p") == 1, 1).otherwise(0))
-              .cast(dec).alias("cb")))
+              .cast(dec).alias("cb"))
+         # the gap frame feeds BOTH the per-group max and the argmax
+         # join — pin the (group, distinct value) grain so the raw
+         # scan + first aggregate run once, not twice (this grain is
+         # the small one: distinct values, not rows)
+         .persist())
     wcum = (Window.partitionBy("grp").orderBy("v")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wg = Window.partitionBy("grp")
