@@ -590,7 +590,10 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top1 = (similarity.cosine_topk(
                 emb, emb, 1,
                 corpus_path=f"{sf_dir}/embeddings.parquet")
-            .select("query_id", "neighbor_id", "cosine"))
+            .select("query_id", "neighbor_id", "cosine")
+            # consumed twice by the reciprocity self-join: pin the
+            # node-grain top-1 frame or the BLAS top-k runs twice
+            .persist())
     x, y = top1.alias("x"), top1.alias("y")
     return (x.join(y, (F.col("x.neighbor_id") == F.col("y.query_id"))
                    & (F.col("y.neighbor_id") == F.col("x.query_id"))
