@@ -550,7 +550,10 @@ def theil_sen_trend(events: DataFrame, key_col: str, ts_col: str,
                     F.col(tiebreak_col).alias("__tb"),
                     cents.alias("__c"))
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_events_per_key))
+            .filter(F.col("__rn") <= max_events_per_key)
+            # both sides of the pair self-join read this capped frame:
+            # pin it or the scan + rank window run twice
+            .persist())
     a = base.select(F.col(key_col), F.col("__ms").alias("__ma"),
                     F.col("__c").alias("__ca"),
                     F.col("__rn").alias("__ra"))
@@ -1545,7 +1548,8 @@ def mann_kendall_trend(events: DataFrame, key_col: str, ts_col: str,
                     F.col(tiebreak_col).alias("__tb"),
                     cents.alias("__c"))
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_events_per_key))
+            .filter(F.col("__rn") <= max_events_per_key)
+            .persist())
     a = base.select(F.col(key_col), F.col("__c").alias("__ca"),
                     F.col("__rn").alias("__ra"))
     b = base.select(F.col(key_col), F.col("__c").alias("__cb"),

@@ -496,7 +496,10 @@ def _dense_hourly_counts(ev: DataFrame) -> DataFrame:
                     wall_clock_millis(F.col("ts")).alias("__ms"))
           .select("event_type", F.expr("__ms DIV 3600000").alias("h"))
           .groupBy("event_type", "h")
-          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+          # consumed THREE times (bounds, type set, the join): pin the
+          # hourly grain so the raw event scan runs once
+          .persist())
     bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (hc.select("event_type").distinct()
              .crossJoin(F.broadcast(bounds))
