@@ -520,7 +520,8 @@ def hits(edges: DataFrame, iterations: int = 3,
 
 
 def label_propagation(edges: DataFrame, rounds: int = 3,
-                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+                      a_col: str = "a", b_col: str = "b",
+                      broadcast_labels: bool = False) -> DataFrame:
     """Synchronous label-propagation community detection over an
     undirected edge list (RAGHAVAN et al.'s near-linear LPA, made
     fully deterministic): every node starts as its own label; each
@@ -549,7 +550,13 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
               .localCheckpoint(eager=True))
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lab"))
     for _ in range(rounds):
-        counts = (und.join(labels, und.m == labels.node)
+        # broadcast_labels=True pins the node-grain label frame to the
+        # broadcast side so the cached edge list never re-shuffles per
+        # round — right whenever the NODE set fits an executor (the
+        # pagerank broadcast_ranks caveat applies: leave False for
+        # cluster-scale node sets)
+        r = F.broadcast(labels) if broadcast_labels else labels
+        counts = (und.join(r, und.m == r.node)
                   .groupBy("n", "lab")
                   .agg(F.count(F.lit(1)).alias("c")))
         labels = (counts

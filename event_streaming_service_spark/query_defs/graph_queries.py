@@ -585,5 +585,8 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     community readout near_dup-style min-label CC cannot give: parts
     of one connected graph split into cohesive purchase clusters."""
     edges = copurchase_edges(spark, sf_dir)
-    return (graph.label_propagation(edges, rounds=LPA_ROUNDS)
+    # the node set is the part dimension — broadcast the label frame
+    # so the cached edge list never re-shuffles per round
+    return (graph.label_propagation(edges, rounds=LPA_ROUNDS,
+                                    broadcast_labels=True)
             .withColumnRenamed("node", "l_partkey"))
