@@ -198,14 +198,23 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
     df_ = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if hot_shingle_cap is not None:
         df_ = df_.filter(F.col("__df") <= hot_shingle_cap)
+    # the rarest-first total order is computed on the STRINGS (it
+    # must match the oracle's (df, shingle) order exactly), then the
+    # ordered array hashes to int64 once per doc: every downstream
+    # consumer — the prefix-explode join key and the verify intersect
+    # — runs long-keyed instead of string-keyed (the contamination
+    # xxhash64 device; distinct counts survive hashing barring a
+    # 64-bit collision, P ~ n^2/2^64, and the SQL oracle stays on the
+    # portable string path so the driver compare would surface one)
     arrs = (sets_.join(df_, "shingle")
             .groupBy(id_col)
             .agg(F.sort_array(
                      F.collect_list(F.struct("__df", "shingle")))
                  .alias("__ord"),
                  F.count(F.lit(1)).alias("__n"))
-            .withColumn("__set",
-                        F.transform("__ord", lambda x: x["shingle"]))
+            .withColumn("__hset",
+                        F.transform("__ord",
+                                    lambda x: F.xxhash64(x["shingle"])))
             .drop("__ord")
             .persist())
     t = threshold_ppm / 1_000_000.0
@@ -214,20 +223,21 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
                   + F.lit(1)).cast("int")
     prefix = arrs.select(
         F.col(id_col).alias("__src"),
-        F.explode(F.slice("__set", F.lit(1), prefix_len))
-        .alias("shingle"))
+        F.explode(F.slice("__hset", F.lit(1), prefix_len))
+        .alias("__sh"))
     index = (sets_.join(df_, "shingle")
-             .select(F.col(id_col).alias("__dst"), "shingle"))
-    cand = (prefix.join(index, "shingle")
+             .select(F.col(id_col).alias("__dst"),
+                     F.xxhash64("shingle").alias("__sh")))
+    cand = (prefix.join(index, "__sh")
             .filter(F.col("__src") != F.col("__dst"))
             .select("__src", "__dst")
             .distinct())
     pairs = (cand
              .join(arrs.select(F.col(id_col).alias("__src"),
-                               F.col("__set").alias("__sa"),
+                               F.col("__hset").alias("__sa"),
                                F.col("__n").alias("n_src")), "__src")
              .join(arrs.select(F.col(id_col).alias("__dst"),
-                               F.col("__set").alias("__sb")), "__dst"))
+                               F.col("__hset").alias("__sb")), "__dst"))
     return (pairs
             .withColumn("n_shared",
                         F.size(F.array_intersect("__sa", "__sb"))
