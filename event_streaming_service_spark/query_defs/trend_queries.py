@@ -589,9 +589,14 @@ XCORR_LAGS = (0, 1, 2, 3)
 
 
 def _xcorr_lag_union_sql() -> str:
+    # lag the X (click) series: row t pairs x(t-k) with y(t), so a
+    # high r at lag k>0 means click volume k hours AGO predicts
+    # purchase volume NOW — click leads purchase (ADVICE r9 #1: the
+    # previous LAG(y, k) computed the inverse, purchase leading click,
+    # while the docstring claimed this direction)
     return "\n        UNION ALL ".join(
-        f"""SELECT {k} AS lag, x,
-               LAG(y, {k}) OVER (ORDER BY h) AS y
+        f"""SELECT {k} AS lag,
+               LAG(x, {k}) OVER (ORDER BY h) AS x, y
         FROM paired""" for k in XCORR_LAGS)
 
 
@@ -618,7 +623,7 @@ def _xcorr_lag_union_sql() -> str:
                SUM(CAST(x AS HUGEINT) * y) AS sxy,
                SUM(CAST(x AS HUGEINT) * x) AS sxx,
                SUM(CAST(y AS HUGEINT) * y) AS syy
-        FROM lagged WHERE y IS NOT NULL GROUP BY 1)
+        FROM lagged WHERE x IS NOT NULL GROUP BY 1)
     SELECT lag, CAST(n AS BIGINT) AS n_points,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                 THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -634,13 +639,15 @@ def q_xcorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lagged cross-correlation between the click and purchase hourly
     count series at lags 0-3: does click volume LEAD purchase volume,
     and by how many hours — the "does X drive Y" diagnostic behind
-    attribution windows and campaign lift reads. Both series densify
-    onto the shared hour spine (zeros included: correlation against a
-    sparse series is meaningless), purchase shifts back by k via one
-    lag window over the GLOBAL hourly grain (thousands of rows — the
-    partition-less window is a post-aggregate detail, the acf/wow
-    convention), and each lag's r is the exact-moment Pearson device
-    with one pinned final sqrt/divide."""
+    attribution windows and campaign lift reads. Row t at lag k pairs
+    click(t-k) with purchase(t), so high r at k>0 means clicks k
+    hours ago predict purchases now (click leads). Both series
+    densify onto the shared hour spine (zeros included: correlation
+    against a sparse series is meaningless), click shifts back by k
+    via one lag window over the GLOBAL hourly grain (thousands of
+    rows — the partition-less window is a post-aggregate detail, the
+    acf/wow convention), and each lag's r is the exact-moment Pearson
+    device with one pinned final sqrt/divide."""
     ev = tables.load_table(spark, sf_dir, "events")
     dense = _dense_hourly_counts(
         ev.filter(F.col("event_type").isin(XCORR_X_TYPE, XCORR_Y_TYPE)))
@@ -654,10 +661,10 @@ def q_xcorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = None
     for k in XCORR_LAGS:
         part = (paired
-                .withColumn("__y", F.lag("y", k).over(w))
-                .filter(F.col("__y").isNotNull())
+                .withColumn("__x", F.lag("x", k).over(w))
+                .filter(F.col("__x").isNotNull())
                 .select(F.lit(k).cast("int").alias("lag"),
-                        "x", F.col("__y").alias("y")))
+                        F.col("__x").alias("x"), "y"))
         lagged = part if lagged is None else lagged.unionByName(part)
     return analytics.pearson_corr(lagged, "x", "y", group_cols=["lag"],
                                   x_scale=1, y_scale=1)

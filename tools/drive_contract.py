@@ -40,6 +40,11 @@ for name, fn in qs.items():
     if only and name not in only:
         continue
     s = fn(spark, SF).toPandas()
+    # operators pin multiply-consumed frames with persist() and rely on
+    # the harness to reclaim them once the result is materialized
+    # (bench.py clears per query the same way; ADVICE r9 #3) — without
+    # this a full-registry run accumulates every pinned frame
+    spark.catalog.clearCache()
     o = con.execute(os_[name]).df() if name in os_ else None
     if o is None:
         print(name, len(s), "ROWS-ONLY")
