@@ -43,126 +43,74 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 item #1): drain the ENTIRE 18-name
-    # round-8 PENDING_ROTATION queue (the only oracle-backed queries
-    # never driver-verified), re-verify the two queries whose plans
-    # change this round (the r8 perf-weak fixes), keep a minimal
-    # greedy tag-closure cover (21 anchors), and spend the remaining
-    # 9 slots on the LEAST-recently-green queries. Oldest-green per
-    # block (VERDICT r8 item #6): queue=never, fix-targets=r8,
-    # anchors=r3..r8 (greedy prefers stale providers), tail=r1.
-    # The 2 round-1 rows without operator tags (salted_hot_key_agg,
-    # scd2_customer_updates) wait for the round-10 rotation — the
-    # budget is exactly full.
+    # Round-10 rotation (VERDICT r9 item #1): drain the ENTIRE
+    # 25-name round-9 PENDING_ROTATION queue (the only oracle-backed
+    # queries never driver-verified), re-verify the FOUR queries whose
+    # plans change this round (the PQ/IVF Arrow-kernel switch —
+    # VERDICT r9 items #2/#7; spearman/xcorr/containment also changed
+    # but already sit in the queue), include the two untagged round-1
+    # rows (VERDICT r9 item #4), and close the tag set with a greedy
+    # 19-anchor cover preferring the least-recently-green provider at
+    # equal slot cost. The budget is exactly full; the r2/r3
+    # oldest-green block (doc_text_metrics, session_windows_30m,
+    # tpch_q19/q5, tumbling_daily_by_type, then the 47 r3 names)
+    # gets the round-11 rotation, where the drained queue frees ~25
+    # slots.
     #
-    # -- never driver-verified: the full round-8 rotation queue --
-    "multimodal_features_gif", "video_frames_gif",
-    "longest_repeated_ngram", "blocklist_scan",
-    "interval_coverage_supplier", "psi_value_drift",
-    "cusum_value_alerts", "embedding_gram_matrix",
-    "multimodal_resize_gif", "ivm_delta_join_orders",
-    "wl_roles_copurchase", "auc_purchase_score",
-    "quantile_normalize_values", "u_shaped_attribution",
-    "holt_trend_per_user", "avg_precision_purchase",
-    "calibration_ece_bins", "chi2_type_weekday",
-    # -- r8-green but their plans change THIS round (perf fixes:
-    #    shared copurchase-edge persist; winsorized ranked-frame
-    #    reuse) so they must be re-verified, not assumed green --
-    "degree_assortativity_copurchase", "winsorized_price_stats",
-    # -- tag-closure anchors (greedy set cover over the tags the 29
-    #    rows above leave uncovered; tie-breaks prefer the
-    #    least-recently-green provider) --
-    "ops_catalog_surface", "corpus_pipeline_surface",
-    "governance_surface", "streaming_core_surface",
-    "envelope_props_surface", "winnow_shared_pairs",
-    "window_functions_profile", "ann_cosine_surface",
-    "joins_surface", "corpus_fingerprint_surface",
-    "routing_pipeline_surface",
-    "tpch_q16_supplier_part_spec_counts",   # J3+tpch (r4)
-    "tpch_q13_order_count_distribution",    # 2.6 (r4)
-    "top_lagging",                          # O4 (r3, oldest provider)
-    "weighted_sample_by_length",            # 2.12-sampling (r4)
-    "hll_distinct_users",                   # 2.12-sketch (r7)
-    "ohlc_bars_daily",                      # 2.12-timeseries (r7)
-    "mmr_diverse_topk",                     # 2.12-mmr (sole source)
-    "skew_key_diagnostics",                 # 2.12-skew (sole source)
-    "proto_wire_roundtrip",                 # S10 (sole source)
-    "late_drop_counts",                     # W3 (sole source)
-    # -- least-recently-green re-verification (all last green in
-    #    round 1; seven rounds unchecked) --
-    "retry_routing", "routing_keys", "routing_partitions",
-    "set_ops_engaged_users", "topic_message_count",
-    "topic_statistics", "union_by_name_topics",
-    "validation_rejects", "validation_summary",
+    # -- never driver-verified: the full round-9 rotation queue --
+    "adamic_adar_capped", "bpe_learned_merges",
+    "langid_ngram_confusion", "neyman_stratified_sample",
+    "ann_recall_report", "ann_beam_graph_topk",
+    "cuped_ab_adjusted", "markov_stationary_types",
+    "kaplan_meier_conversion", "containment_doc_pairs",
+    "acf_hourly_by_type", "theil_sen_value_trend",
+    "bootstrap_mean_ci_by_type", "ivf_recall_report",
+    "ols2_value_by_time", "gini_revenue_by_nation",
+    "fano_burstiness_by_type", "xcorr_hourly_types",
+    "ks_value_drift", "spearman_price_quantity",
+    "mixture_sampling_weights", "hits_trade_hubs",
+    "lpa_communities_copurchase", "mutual_knn_pairs",
+    "mann_kendall_value_trend",
+    # -- green before, but their execution path changes THIS round
+    #    (Arrow kernels became the default: pq_topk use_arrow,
+    #    ivf_pq_topk_arrow, ivf_cosine_topk use_arrow) — re-verify,
+    #    never assume --
+    "pq_cosine_topk", "pq_trained_topk", "ivfpq_cosine_topk",
+    "ivf_cosine_topk",
+    # -- the two round-1 rows with no operator tags, deferred by the
+    #    round-9 budget comment; nine rounds unchecked --
+    "salted_hot_key_agg", "scd2_customer_updates",
+    # -- tag-closure anchors (greedy set cover over the tags the 31
+    #    rows above leave uncovered; at equal slot cost the oldest
+    #    green provider wins — verified vs alternatives) --
+    "routing_pipeline_surface",   # 17 tags: D/P/R/S3/W5/W6 families
+    "ops_catalog_surface",        # 16 tags: A/J1/O/P5/P6/S5-S9/2.10
+    "corpus_pipeline_surface",    # 2.11/packing/scrub/mmlsh/quality
+    "governance_surface",         # 2.9/A8/A9/A11/calendar/listagg
+    "streaming_core_surface",     # W1/W4/W8/W9/rollup/streaming
+    "envelope_props_surface",     # P1/P2/P7/map-ops
+    "corpus_fingerprint_surface",  # dedup-exact/-simhash/fingerprint
+    "joins_surface",              # 2.6-range/J4/J5
+    "window_functions_profile",   # 2.7/W2
+    "cdc_merge_upsert",           # 2.6+J3 (r8; oldest dual provider)
+    "tpch_q15_top_supplier",      # O4+tpch (r4; oldest dual provider)
+    "embedding_near_dup_pairs",   # dedup-embedding (r3, oldest)
+    "kmv_distinct_users_by_type",  # 2.12-sketch (r7, oldest)
+    "video_frames_mjpeg",         # 2.12-video (r7, oldest)
+    "winnow_fingerprint_stats",   # 2.12-fingerprint (r7, oldest)
+    "late_drop_counts",           # W3 (sole source)
+    "mmr_diverse_topk",           # 2.12-mmr (sole source)
+    "proto_wire_roundtrip",       # S10 (sole source)
+    "skew_key_diagnostics",       # 2.12-skew (sole source)
 )
 
 # Oracle-backed queries waiting for a driver slot (bounded <= 25,
 # drained by the NEXT round's rotation — tests/test_priority.py).
 PENDING_ROTATION: tuple[str, ...] = (
-    # Round 9 started with an EMPTY queue: the round-8 queue was
-    # drained into the budget above. New round-9 registrations append
+    # Round 10 starts with an EMPTY queue: the round-9 queue was
+    # drained into the budget above. New round-10 registrations append
     # here (each must be drive_contract-green locally — hash + schema
     # — before it is queued: the freeze rule).
-    #
-    # hub-capped Adamic-Adar (VERDICT r8 item #4: the production
-    # 100x-scale configuration as a second headliner; the oracle
-    # mirrors the deterministic per-center truncation so it is
-    # hash-checkable at every SF)
-    "adamic_adar_capped",
-    # tokenizer-complete BPE (6 unrolled merge rounds), trigram
-    # language-ID confusion matrix, Neyman-allocation stratified
-    # sampling — each drive_contract-green at sf0.01 before queueing
-    "bpe_learned_merges", "langid_ngram_confusion",
-    "neyman_stratified_sample",
-    # LSH-vs-exact recall@k report (composes the two registered ANN
-    # pipelines; the ml-eval x similarity bridge)
-    "ann_recall_report",
-    # graph-navigable beam-search ANN (deterministic HNSW core:
-    # exact top-m proximity graph + 3-hop synchronized beam, fully
-    # unrolled in the oracle)
-    "ann_beam_graph_topk",
-    # experimentation + survival + chain-occupancy analytics
-    "cuped_ab_adjusted", "markov_stationary_types",
-    "kaplan_meier_conversion",
-    # asymmetric doc-in-doc containment (the quote/wrapper case
-    # Jaccard's symmetric denominator dilutes away)
-    "containment_doc_pairs",
-    # hourly-count autocorrelation at lags 1-3 (dense spine +
-    # exact-moment Pearson)
-    "acf_hourly_by_type",
-    # Theil-Sen robust trend (median of capped pairwise slopes)
-    "theil_sen_value_trend",
-    # one-pass Poisson-bootstrap CI (32 content-hash resamples)
-    "bootstrap_mean_ci_by_type",
-    # IVF recall@k audit (the cell-probe sibling of ann_recall_report)
-    "ivf_recall_report",
-    # two-feature OLS via exact-moment Cramer normal equations
-    "ols2_value_by_time",
-    # revenue-concentration Gini (exact rank form, the ABC scalar)
-    "gini_revenue_by_nation",
-    # arrival burstiness (Fano factor over the dense hourly spine)
-    # and lead/lag cross-correlation between the click and purchase
-    # series — the acf family's two missing siblings
-    "fano_burstiness_by_type", "xcorr_hourly_types",
-    # bin-free two-sample KS drift (exact integer ECDF gap) — the
-    # distribution-shape sibling of psi_value_drift
-    "ks_value_drift",
-    # rank correlation via exact integer double-ranks (2*RANK+ties-1)
-    "spearman_price_quantity",
-    # per-language training-mixture reweighting (token-mass ppm)
-    "mixture_sampling_weights",
-    # HITS hubs/authorities: 3 L1-normalized integer rounds over the
-    # directed customer->supplier graph, oracle fully unrolled
-    "hits_trade_hubs",
-    # deterministic synchronous label-propagation communities (3
-    # rounds, min-label tiebreak) over the shared copurchase edges
-    "lpa_communities_copurchase",
-    # reciprocal-best-match pairing on the exact cosine top-1
-    "mutual_knn_pairs",
-    # Mann-Kendall S + tau-a: the significance companion of the
-    # Theil-Sen magnitude, same capped pair grain (queue now at the
-    # 25 bound — round-10's rotation drains it)
-    "mann_kendall_value_trend",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget
