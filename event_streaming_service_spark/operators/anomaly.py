@@ -480,3 +480,69 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
                F.expr("CAST(__mg * 1000000 DIV (__na * __nb)"
                       " AS BIGINT)")).alias("ks_d_ppm"),
         F.col("at_v_cents").cast("bigint").alias("at_v_cents"))
+
+
+# the asymptotic two-sample KS p-value and the BH threshold share one
+# exact spelling across engines; Column and SQL twins live together so
+# a change cannot drift one side
+_KS_LAM2_SQL = ("(CAST(ks_d_ppm AS DOUBLE) / 1000000.0)"
+                " * (CAST(ks_d_ppm AS DOUBLE) / 1000000.0)"
+                " * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))")
+KS_P_PPM_SQL = (
+    "LEAST(CAST(1000000 AS BIGINT),"
+    " CAST(FLOOR(2.0 * (EXP(-2.0 * ({lam2}))"
+    " - EXP(-8.0 * ({lam2})) + EXP(-18.0 * ({lam2})))"
+    " * 1000000.0 + 0.5) AS BIGINT))").format(lam2=_KS_LAM2_SQL)
+
+
+def ks_bh_fdr(df: DataFrame, group_col: str, value_col: str,
+              period_flag, alpha_ppm: int = 50_000,
+              value_scale: int = 100) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-group two-sample
+    KS drift tests — the multiple-testing step every fleet-wide drift
+    monitor needs: testing 50 event types at alpha=0.05 each expects
+    2-3 false alarms per sweep; BH (Benjamini & Hochberg 1995) orders
+    the p-values and rejects the largest prefix whose p_(r) <=
+    alpha * r / m, bounding the expected false-discovery RATE at
+    alpha instead of the per-test error.
+
+    p-values use the asymptotic Kolmogorov distribution truncated at
+    three terms, p = 2 * (e^{-2L} - e^{-8L} + e^{-18L}) with
+    L = D^2 * n_a n_b / (n_a + n_b) — one literal float sequence from
+    exact integers (the KS statistic is already an exact ppm), pinned
+    to integer ppm, clamped to [., 1e6]; three terms bound the
+    truncation error below 1 ppm for L >= 0.62 and the BH COMPARISON
+    is exact integer arithmetic either way:
+
+        reject rank r  iff  p_ppm * m <= alpha_ppm * r
+
+    (both sides bigint — no float threshold boundary anywhere).
+    Groups missing either period have no test and are absent.
+
+    Scale shape: rides ks_two_sample's (group, distinct value) grain;
+    the BH step is two global windows over m <= #groups rows — a
+    post-aggregate detail, the acf/wow convention. Output: one row
+    per tested group with (n_a, n_b, ks_d_ppm, p_ppm, p_rank,
+    m_tests, rejected), rejected as int (1/0)."""
+    base = (ks_two_sample(df, group_col, value_col, period_flag,
+                          value_scale=value_scale)
+            .where(F.col("ks_d_ppm").isNotNull())
+            .select(group_col, "n_a", "n_b", "ks_d_ppm"))
+    scored = base.withColumn("p_ppm", F.expr(KS_P_PPM_SQL))
+    wr = Window.orderBy("p_ppm", group_col)
+    wall = Window.partitionBy()
+    ranked = (scored
+              .withColumn("p_rank",
+                          F.row_number().over(wr).cast("long"))
+              .withColumn("m_tests",
+                          F.count(F.lit(1)).over(wall).cast("long")))
+    cutoff = F.max(
+        F.when(F.col("p_ppm") * F.col("m_tests")
+               <= F.lit(int(alpha_ppm)) * F.col("p_rank"),
+               F.col("p_rank")).otherwise(F.lit(0))).over(wall)
+    return (ranked
+            .withColumn("rejected",
+                        (F.col("p_rank") <= cutoff).cast("int"))
+            .select(group_col, "n_a", "n_b", "ks_d_ppm", "p_ppm",
+                    "p_rank", "m_tests", "rejected"))

@@ -340,3 +340,71 @@ def group_split_audit(df: DataFrame, group_col: str,
                  F.sum(w).alias("total_weight"))
             .crossJoin(F.broadcast(leaks))
             .orderBy("split"))
+
+
+def bpe_encode_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_merges: int = 6) -> DataFrame:
+    """BPE APPLY — encode every document with the merge table
+    bpe_learn_merges induces, closing the tokenizer loop the learner
+    opened: learn the n_merges ranked merges, replay them in rank
+    order over the distinct-word vocabulary (each replay is the same
+    double-separator leftmost-non-overlapping replace the trainer
+    used — encoding MUST apply merges in learned order, not
+    greedily), and report per-document subword statistics:
+
+        n_tokens          whitespace tokens ('|'-stripped, non-empty)
+        n_bpe_tokens      total subword symbols after encoding
+        bpe_per_token_ppm n_bpe_tokens * 1e6 DIV n_tokens
+
+    — the fertility / compression readout tokenizer pipelines gate
+    vocabularies on.
+
+    Scale shape: the merge table is n_merges rows (collected — the
+    codebook convention; the learner's rounds are bounded aggregates),
+    and ENCODING IS A PURE PROJECTION: the replace chain inlines the
+    collected merges as literals over the distinct-word grain, so the
+    corpus is never exploded to characters — the heavy object is the
+    vocabulary, exactly like the trainer. One tokenize pass builds the
+    (doc, word, count) grain; the encoded word grain joins back on the
+    word. Documents with zero valid tokens are absent (inner
+    semantics, same in the oracle)."""
+    merge_rows = sorted(
+        (int(r["merge_rank"]), r["lhs"], r["rhs"])
+        for r in bpe_learn_merges(docs, text_col=text_col,
+                                  n_merges=n_merges).collect())
+
+    tok = (fan_out(docs)
+           .select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("w")))
+    wgrain = (tok.select(F.col(id_col),
+                         F.replace(F.col("w"), F.lit("|"), F.lit(""))
+                         .alias("w"))
+              .where(F.length("w") >= 1)
+              .groupBy(id_col, "w")
+              .agg(F.count(F.lit(1)).alias("n")))
+
+    sep_string = F.concat(
+        F.lit("|"),
+        F.concat_ws("||", F.expr(
+            "transform(sequence(1, char_length(w)),"
+            " i -> substr(w, i, 1))")),
+        F.lit("|"))
+    enc = sep_string
+    for _, lhs, rhs in merge_rows:
+        enc = F.replace(enc,
+                        F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
+    n_sym = F.size(F.split(
+        F.expr("substring(__enc, 2, char_length(__enc) - 2)"),
+        r"\|\|"))
+    word_sym = (wgrain.select("w").distinct()
+                .withColumn("__enc", enc)
+                .select("w", n_sym.alias("n_sym")))
+
+    return (wgrain.join(word_sym, "w")
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("n") * F.col("n_sym")).cast("bigint")
+                 .alias("n_bpe_tokens"))
+            .withColumn("bpe_per_token_ppm",
+                        F.expr("n_bpe_tokens * 1000000 DIV n_tokens")))

@@ -860,3 +860,78 @@ def langid_ngram_confusion(docs: DataFrame, id_col: str = "doc_id",
                      F.coalesce(F.col("plang"), F.lit("unknown"))
                      .alias("pred_lang"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+def kn_bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model scoring (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated form) — the real LM
+    quality score unigram_lm_scores only proxies: documents rank by
+    their average bigram log-likelihood under
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1)
+                   + D * N1+(w1 .) / c(w1) * N1+(. w2) / N1+(. .)
+
+    with absolute discount D = 0.75 (exactly representable in binary,
+    so the float sequence is engine-portable). The continuation
+    probability N1+(. w2)/N1+(. .) is KN's signature: a word's
+    probability mass after unseen histories is how many DISTINCT
+    contexts it follows, not how often it occurs ("San Francisco"
+    makes "Francisco" frequent but not free-standing). Scoring the
+    training corpus itself, every bigram has c >= 1, so the discounted
+    term is positive and no zero-log guard is needed.
+
+    Exactness: all counts are exact integers; each distinct bigram's
+    log-prob is ONE literal float sequence (spelled identically in the
+    SQL oracle) pinned to integer micro-nats (floor toward -inf, both
+    engines), and per-doc totals are exact integer dot products of
+    pinned log-probs with integer multiplicities — the pin-before-sum
+    rule, so no cross-row float fold exists.
+
+    Scale shape: one tokenize pass to the (doc, w1, w2) grain,
+    persisted (it feeds the corpus LM aggregate AND the per-doc
+    multiplicity aggregate; the harness reclaims the pin per query).
+    The LM is bigram-TYPE grain: one hash agg to types, two
+    vocabulary-grain joins (history stats on w1, continuation counts
+    on w2) and a broadcast 1-row type total, then one equi-join back
+    to the per-doc grain on (w1, w2) — co-partitioned with the grain
+    it joins, no skew surface beyond a bigram type's doc fan-out.
+    Documents with < 2 tokens have no bigram and are absent (inner
+    semantics, same in the oracle)."""
+    toks = fan_out(docs).select(F.col(id_col),
+                                tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(F.element_at(t, i).alias("w1"),
+                           F.element_at(t, i + 1).alias("w2")))
+    db = (toks.where(F.size(t) >= 2)
+          .select(F.col(id_col), F.explode(bigrams).alias("b"))
+          .select(F.col(id_col), F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2"))
+          .persist())
+
+    cb = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ch = cb.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"),
+                              F.count(F.lit(1)).alias("n1p_fwd"))
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_back"))
+    tot = cb.agg(F.count(F.lit(1)).alias("nbt"))
+    lp = F.expr(
+        "CAST(FLOOR(LN((CAST(c12 AS DOUBLE) - 0.75)"
+        " / CAST(c1 AS DOUBLE)"
+        " + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE)"
+        " * (CAST(n1p_back AS DOUBLE) / CAST(nbt AS DOUBLE)))"
+        " * 1000000.0 + 0.5) AS BIGINT)")
+    lm = (cb.join(ch, "w1").join(cont, "w2")
+          .crossJoin(F.broadcast(tot))
+          .select("w1", "w2", lp.alias("lp")))
+
+    dbc = db.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (dbc.join(lm, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.col("n") * F.col("lp")).cast("bigint")
+                 .alias("total_logprob_micro"))
+            .withColumn("avg_logprob_micro",
+                        F.expr("total_logprob_micro DIV n_bigrams")))

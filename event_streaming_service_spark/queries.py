@@ -111,6 +111,22 @@ PENDING_ROTATION: tuple[str, ...] = (
     # drained into the budget above. New round-10 registrations append
     # here (each must be drive_contract-green locally — hash + schema
     # — before it is queued: the freeze rule).
+    #
+    # interpolated Kneser-Ney bigram LM perplexity per doc — the real
+    # LM quality score (continuation-count backoff) unigram_lm_scores
+    # proxies; pin-before-sum micro-nats
+    "kn_bigram_lm_scores",
+    # BPE APPLY: encode docs with the learned merge table replayed in
+    # rank order (literal replace chain over the distinct-word grain)
+    # — closes the tokenizer loop bpe_learned_merges opened
+    "bpe_encoded_doc_stats",
+    # first-principal-axis scores via exact integer power iteration
+    # on the Gram tree-aggregate kernel (8 fixed-point rounds, oracle
+    # unrolled over a HUGEINT grid)
+    "pca_pc1_scores",
+    # Benjamini-Hochberg FDR over the per-type KS drift tests
+    # (3-term asymptotic p-values in ppm; integer BH boundary)
+    "bh_fdr_value_drift",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -429,3 +429,70 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     return anomaly.ks_two_sample(ev, "event_type", "value",
                                  (F.col("event_id") % 2 == 1))
+
+
+@register(
+    "bh_fdr_value_drift",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+               event_id % 2 AS p
+        FROM events),
+    c AS (SELECT grp, v,
+                 SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS cb
+          FROM q GROUP BY 1, 2),
+    cum AS (
+        SELECT grp, v,
+               CAST(SUM(ca) OVER w AS HUGEINT) AS cum_a,
+               CAST(SUM(cb) OVER w AS HUGEINT) AS cum_b,
+               CAST(SUM(ca) OVER (PARTITION BY grp) AS HUGEINT) AS na,
+               CAST(SUM(cb) OVER (PARTITION BY grp) AS HUGEINT) AS nb
+        FROM c
+        WINDOW w AS (PARTITION BY grp ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    g AS (SELECT grp, ABS(cum_a * nb - cum_b * na) AS gap, na, nb
+          FROM cum),
+    m AS (SELECT grp, MAX(gap) AS mg, MAX(na) AS na, MAX(nb) AS nb
+          FROM g GROUP BY grp),
+    ks AS (
+        SELECT grp AS event_type,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(mg * 1000000 // (na * nb) AS BIGINT) AS ks_d_ppm
+        FROM m WHERE na > 0 AND nb > 0),
+    pv AS (
+        SELECT event_type, n_a, n_b, ks_d_ppm,
+               {anomaly.KS_P_PPM_SQL} AS p_ppm
+        FROM ks),
+    r AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, event_type)
+                    AS BIGINT) AS p_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+        FROM pv),
+    cut AS (
+        SELECT *,
+               MAX(CASE WHEN p_ppm * m_tests <= 50000 * p_rank
+                        THEN p_rank ELSE 0 END) OVER () AS co
+        FROM r)
+    SELECT event_type, n_a, n_b, ks_d_ppm, p_ppm, p_rank, m_tests,
+           CAST(p_rank <= co AS INTEGER) AS rejected
+    FROM cut
+    """,
+    tags=("anomaly", "drift", "stats-test", "ml-ops",
+          "experimentation"),
+)
+def q_bh_fdr_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-event-type KS
+    drift tests (operators/anomaly.py:ks_bh_fdr) — the
+    multiple-testing layer a fleet-wide drift monitor needs: without
+    it, testing every type at alpha=0.05 fires 2-3 false alarms per
+    sweep by construction. Asymptotic 3-term KS p-values pinned to
+    ppm; the BH rejection boundary is the exact integer comparison
+    p_ppm * m <= 50000 * rank."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.ks_bh_fdr(ev, "event_type", "value",
+                             (F.col("event_id") % 2 == 1),
+                             alpha_ppm=50_000)

@@ -350,3 +350,76 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (__total * 1000000"
             "    DIV (__k * CAST(lang_tokens AS DECIMAL(38,0))))"
             " DIV 1000000 AS BIGINT)")).alias("resampled_tokens"))
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """BPE APPLY twin: the learn chain re-run with the word key kept
+    (enc{k} carries w + wc so pair counts and merge replays share one
+    chain), then per-word symbol counts join the per-doc word grain."""
+    ctes = [f"""tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents)""",
+            """dt AS MATERIALIZED (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, replace(w, '|', '') AS w FROM tok)
+        WHERE length(w) >= 1 GROUP BY doc_id, w)""",
+            """vocab AS MATERIALIZED (
+        SELECT w, CAST(SUM(n) AS BIGINT) AS wc
+        FROM dt GROUP BY w)""",
+            """enc0 AS MATERIALIZED (
+        SELECT w, wc,
+               '|' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)), '||') || '|'
+                   AS s
+        FROM vocab)"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""pairs{k} AS (
+        SELECT t[i] AS lhs, t[i + 1] AS rhs,
+               CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||')
+                         AS t,
+                     wc
+              FROM enc{k - 1}),
+             LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2
+        GROUP BY 1, 2)""")
+        ctes.append(f"""best{k} AS MATERIALIZED (
+        SELECT lhs, rhs FROM pairs{k}
+        ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""enc{k} AS MATERIALIZED (
+        SELECT w, wc,
+               replace(s, '|' || lhs || '||' || rhs || '|',
+                       '|' || lhs || rhs || '|') AS s
+        FROM enc{k - 1}, best{k})""")
+    ctes.append(f"""wsym AS (
+        SELECT w,
+               CAST(len(string_split(substring(s, 2, length(s) - 2),
+                                     '||')) AS BIGINT) AS n_sym
+        FROM enc{n_merges})""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(SUM(n * n_sym) AS BIGINT) * 1000000
+                // CAST(SUM(n) AS BIGINT) AS BIGINT)
+               AS bpe_per_token_ppm
+    FROM dt JOIN wsym USING (w) GROUP BY doc_id
+    """
+
+
+@register(
+    "bpe_encoded_doc_stats",
+    oracle=_bpe_encode_oracle(_N_MERGES),
+    tags=("text", "token-count", "bpe", "iterative"),
+)
+def q_bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY (operators/curation.py:bpe_encode_stats): encode
+    every document with the six learned merges replayed in rank order
+    and report per-doc subword counts + fertility
+    (bpe_per_token_ppm) — the readout tokenizer pipelines gate a
+    vocabulary on, closing the loop bpe_learned_merges opened.
+    Encoding is a literal replace chain over the distinct-word grain
+    (the corpus never explodes to characters)."""
+    return curation.bpe_encode_stats(_docs(spark, sf_dir),
+                                     n_merges=_N_MERGES)

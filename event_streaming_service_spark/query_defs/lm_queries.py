@@ -210,3 +210,51 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").cast("bigint").alias("n_tokens_fit"),
         F.round(num / den, 9).alias("zipf_slope"))
+
+
+@register(
+    "kn_bigram_lm_scores",
+    oracle=rf"""
+    WITH b AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 t -> t <> '') AS t
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2),
+    ch AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                  COUNT(*) AS n1p_fwd
+           FROM cb GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1p_back FROM cb GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nbt FROM cb),
+    lm AS (SELECT cb.w1, cb.w2,
+                  CAST(FLOOR(LN((CAST(c12 AS DOUBLE) - 0.75)
+                      / CAST(c1 AS DOUBLE)
+                      + 0.75 * CAST(n1p_fwd AS DOUBLE)
+                        / CAST(c1 AS DOUBLE)
+                      * (CAST(n1p_back AS DOUBLE)
+                         / CAST(nbt AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lp
+           FROM cb JOIN ch USING (w1) JOIN cont USING (w2), tot),
+    dbc AS (SELECT doc_id, w1, w2, COUNT(*) AS n
+            FROM b GROUP BY doc_id, w1, w2)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n * lp) AS BIGINT) AS total_logprob_micro,
+           CAST(CAST(SUM(n * lp) AS BIGINT)
+                // CAST(SUM(n) AS BIGINT) AS BIGINT)
+               AS avg_logprob_micro
+    FROM dbc JOIN lm USING (w1, w2) GROUP BY doc_id
+    """,
+    tags=("text", "lm", "quality", "token-count"),
+)
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM log-likelihood per document
+    (operators/text.py:kn_bigram_lm_scores) — the real LM quality
+    score the unigram proxy approximates: absolute discount D=0.75,
+    continuation-count backoff (a word's unseen-history mass is how
+    many DISTINCT contexts it follows), every distinct bigram's
+    log-prob one pinned literal float sequence, per-doc totals exact
+    integer dot products."""
+    return text.kn_bigram_lm_scores(_docs(spark, sf_dir))

@@ -85,3 +85,26 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel exists to avoid."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return quantize.gram_matrix(emb)
+
+
+from event_streaming_service_spark.operators import pca  # noqa: E402
+
+
+@register(
+    "pca_pc1_scores",
+    oracle=pca.pc1_oracle_sql(dim=64, rounds=8),
+    tags=("similarity", "quantize", "embedding", "linalg",
+          "udf-kernel", "iterative"),
+)
+def q_pca_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-axis score per embedding
+    (operators/pca.py:pc1_power_scores): 8 rounds of exact
+    fixed-point power iteration on the integer Gram matrix (the
+    gram_matrix tree-aggregate kernel; the iteration itself runs
+    driver-side over the collected 64x64 grid — bounded,
+    data-independent), then one literal-eigenvector projection per
+    vector. Everything integer: milli-quantized components, exact
+    matvec, truncating 1e6-fixed-point rescale — the oracle unrolls
+    the identical 8 rounds over a HUGEINT grid."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return pca.pc1_power_scores(emb, rounds=8)
