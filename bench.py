@@ -226,6 +226,14 @@ BENCH_QUERIES = [
     "lpa_communities_copurchase",    # deterministic sync LPA
     "mutual_knn_pairs",              # reciprocal top-1 cosine
     "mann_kendall_value_trend",      # pair-sign S + tau-a
+    # round 10
+    "kn_bigram_lm_scores",           # Kneser-Ney bigram LM per doc
+    "bpe_encoded_doc_stats",         # BPE apply (fertility readout)
+    "pca_pc1_scores",                # integer power-iteration PCA
+    "bh_fdr_value_drift",            # BH FDR over per-type KS tests
+    "lm_quality_filter_en",          # CCNet perplexity-ratio filter
+    "dirichlet_ql_scores",           # Dirichlet QL retrieval
+    "minhash_jaccard_error_report",  # sketch-accuracy audit
 ]
 
 

@@ -935,3 +935,126 @@ def kn_bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                  .alias("total_logprob_micro"))
             .withColumn("avg_logprob_micro",
                         F.expr("total_logprob_micro DIV n_bigrams")))
+
+
+def lm_quality_filter(docs: DataFrame, domain_flag: Column,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity-ratio quality scoring (Wenzek et al.
+    2020): score every document by the gap between its likelihood
+    under an IN-DOMAIN unigram LM (trained on the rows where
+    `domain_flag` is true) and under the GENERAL corpus LM. Documents
+    that look more like the target domain than like the average of
+    the crawl rank high — the canonical cheap filter for assembling
+    a domain mixture from a heterogeneous corpus.
+
+    Both LMs are Laplace-smoothed over the SHARED corpus vocabulary,
+        P(t | M) = (c_M(t) + 1) / (N_M + V),
+    so out-of-domain tokens are defined under the domain model and
+    the two averages are on the same support — the delta is a real
+    log-likelihood-ratio statistic, not an artifact of differing
+    smoothing masses.
+
+    Exactness: per-token log-probs pin to integer micro-nats (one
+    literal float sequence per distinct token, spelled identically in
+    the oracle), per-doc totals are exact integer sums, averages are
+    truncating DIV — the unigram_lm_scores discipline, applied twice.
+
+    Scale shape: ONE tokenize pass persisted (it feeds the
+    vocabulary aggregate and the per-doc aggregate; the harness
+    reclaims the pin per query); the LM is vocabulary-grain with both
+    models' counts in the same row (one join back, not two); the
+    domain totals ride a broadcast 1-row frame. Output: one row per
+    document with >= 1 token (inner semantics, same in the oracle):
+    n_tokens, avg_domain_lp_micro, avg_general_lp_micro, delta_micro
+    (= domain - general; higher = more in-domain)."""
+    tok = (fan_out(docs)
+           .select(F.col(id_col),
+                   domain_flag.cast("int").alias("__dom"),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
+           .persist())
+    vocab = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("__dom").cast("bigint").alias("c_dom"))
+    tot = vocab.agg(F.sum("c_all").cast("bigint").alias("n_all"),
+                    F.sum("c_dom").cast("bigint").alias("n_dom"),
+                    F.count(F.lit(1)).cast("bigint").alias("v"))
+    lp_dom = F.expr(
+        "CAST(FLOOR((LN(CAST(c_dom AS DOUBLE) + 1.0)"
+        " - LN(CAST(n_dom AS DOUBLE) + CAST(v AS DOUBLE)))"
+        " * 1000000.0 + 0.5) AS BIGINT)")
+    lp_all = F.expr(
+        "CAST(FLOOR((LN(CAST(c_all AS DOUBLE) + 1.0)"
+        " - LN(CAST(n_all AS DOUBLE) + CAST(v AS DOUBLE)))"
+        " * 1000000.0 + 0.5) AS BIGINT)")
+    lm = (vocab.crossJoin(F.broadcast(tot))
+          .select("tok", lp_dom.alias("lp_dom"),
+                  lp_all.alias("lp_all")))
+    return (tok.join(lm, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("lp_dom").cast("bigint").alias("__td"),
+                 F.sum("lp_all").cast("bigint").alias("__tg"))
+            .withColumn("avg_domain_lp_micro",
+                        F.expr("__td DIV n_tokens"))
+            .withColumn("avg_general_lp_micro",
+                        F.expr("__tg DIV n_tokens"))
+            .withColumn("delta_micro",
+                        F.col("avg_domain_lp_micro")
+                        - F.col("avg_general_lp_micro"))
+            .select(id_col, "n_tokens", "avg_domain_lp_micro",
+                    "avg_general_lp_micro", "delta_micro"))
+
+
+def dirichlet_ql_scores(docs: DataFrame, terms: tuple[str, ...],
+                        mu: int = 2000, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the other classic lexical ranker next to BM25, and the one
+    with the cleaner probabilistic story: score(d, q) =
+        sum_t  ln( (tf_t + mu * cf_t / N) / (dl + mu) )
+    where cf_t/N is the background collection model and mu (=2000, the
+    published sweet spot) the Dirichlet prior mass. Unlike BM25's
+    inner join, EVERY document scores against EVERY query term —
+    absent terms contribute the background probability, which is what
+    makes scores comparable across documents — so the per-doc grain
+    is dl x |terms| with tf defaulting to 0. Query terms absent from
+    the whole corpus (cf = 0) have no defined background and are
+    dropped in both engines.
+
+    Exactness: tf/cf/dl/N exact integers; each (doc, term) score is
+    ONE literal float sequence pinned to integer micro-nats, per-doc
+    totals exact sums (the bm25_scores discipline).
+
+    Scale shape: one tokenize pass persisted (dl, the corpus total,
+    cf, and tf all read it; harness reclaims per query); cf is a
+    <= |terms|-row broadcast crossed against the doc-length frame; tf
+    arrives by left join on (doc, term). Documents with zero tokens
+    are absent (no dl row)."""
+    tok = (fan_out(docs)
+           .select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
+           .persist())
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    nt = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    in_terms = F.col("tok").isin(list(terms))
+    cf = (tok.where(in_terms).groupBy("tok")
+          .agg(F.count(F.lit(1)).alias("cf")))
+    tf = (tok.where(in_terms).groupBy(id_col, "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    base = (dl.crossJoin(F.broadcast(cf))
+            .crossJoin(F.broadcast(nt))
+            .join(tf, [id_col, "tok"], "left")
+            .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0))))
+    micro = F.expr(
+        f"CAST(FLOOR(LN((CAST(tf AS DOUBLE)"
+        f" + {float(mu)} * CAST(cf AS DOUBLE)"
+        f" / CAST(n_total AS DOUBLE))"
+        f" / (CAST(dl AS DOUBLE) + {float(mu)}))"
+        f" * 1000000.0 + 0.5) AS BIGINT)")
+    return (base.select(F.col(id_col), F.col("tf"),
+                        micro.alias("__m"))
+            .groupBy(id_col)
+            .agg(F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_terms_hit"),
+                 F.sum("__m").cast("bigint").alias("ql_micro")))

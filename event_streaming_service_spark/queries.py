@@ -127,6 +127,17 @@ PENDING_ROTATION: tuple[str, ...] = (
     # Benjamini-Hochberg FDR over the per-type KS drift tests
     # (3-term asymptotic p-values in ppm; integer BH boundary)
     "bh_fdr_value_drift",
+    # CCNet-style perplexity-ratio filter: English-domain vs general
+    # unigram LM, shared-vocabulary Laplace smoothing, micro-nat delta
+    "lm_quality_filter_en",
+    # Dirichlet-smoothed query likelihood (Zhai-Lafferty, mu=2000) —
+    # the probabilistic lexical ranker next to BM25; absent terms
+    # score the background model
+    "dirichlet_ql_scores",
+    # MinHash estimation-error audit: signature-estimated vs exact
+    # Jaccard per LSH candidate pair + corpus MAE (the dedup family's
+    # eval layer, mirroring ann_recall_report)
+    "minhash_jaccard_error_report",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

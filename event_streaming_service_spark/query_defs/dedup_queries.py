@@ -580,3 +580,67 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs(spark, sf_dir),
                                    CONTAINMENT_PPM,
                                    hot_shingle_cap=HOT_SHINGLE_CAP)
+
+
+def _minhash_error_oracle() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.NUM_HASHES))
+    return ("WITH " + _SHINGLES + _minhash_sql_body() + _bands_sql()
+            + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    mt AS (
+        SELECT c.doc_a, c.doc_b, CAST({terms} AS BIGINT) AS matches
+        FROM cand c
+        JOIN signatures s1 ON s1.doc_id = c.doc_a
+        JOIN signatures s2 ON s2.doc_id = c.doc_b),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM shingle_sets GROUP BY doc_id),
+    shared AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN shingle_sets x ON x.doc_id = c.doc_a
+        JOIN shingle_sets y ON y.doc_id = c.doc_b
+                           AND y.shingle = x.shingle
+        GROUP BY 1, 2),
+    p AS (
+        SELECT m.doc_a, m.doc_b,
+               CAST(m.matches * 1000000 // {dedup.NUM_HASHES}
+                    AS BIGINT) AS est_jaccard_ppm,
+               CAST(COALESCE(i.inter, 0) * 1000000
+                    // (za.sz + zb.sz - COALESCE(i.inter, 0))
+                    AS BIGINT) AS exact_jaccard_ppm
+        FROM mt m
+        LEFT JOIN shared i
+          ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+        JOIN sizes za ON za.doc_id = m.doc_a
+        JOIN sizes zb ON zb.doc_id = m.doc_b),
+    e AS (
+        SELECT doc_a, doc_b, est_jaccard_ppm, exact_jaccard_ppm,
+               ABS(est_jaccard_ppm - exact_jaccard_ppm) AS abs_err_ppm
+        FROM p)
+    SELECT doc_a, doc_b, est_jaccard_ppm, exact_jaccard_ppm,
+           abs_err_ppm,
+           CAST(SUM(abs_err_ppm) OVER () // COUNT(*) OVER ()
+                AS BIGINT) AS mae_ppm
+    FROM e
+    """)
+
+
+@register(
+    "minhash_jaccard_error_report",
+    oracle=_minhash_error_oracle(),
+    tags=("dedup-minhash", "dedup-minhash-lsh", "ml-eval"),
+)
+def q_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation-error audit
+    (operators/dedup.py:minhash_error_report): per LSH candidate
+    pair, the signature-estimated Jaccard next to the exact shingle
+    Jaccard with absolute error and corpus MAE — the dedup family's
+    recall/accuracy eval layer, mirroring ann_recall_report. Makes
+    the k=16 signature's accuracy a driver-checked fact."""
+    return dedup.minhash_error_report(_docs(spark, sf_dir))

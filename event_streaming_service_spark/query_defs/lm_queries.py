@@ -258,3 +258,93 @@ def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-prob one pinned literal float sequence, per-doc totals exact
     integer dot products."""
     return text.kn_bigram_lm_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "lm_quality_filter_en",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS dom,
+               tok
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split_regex(text, '\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''),
+    v AS (SELECT tok, COUNT(*) AS c_all,
+                 CAST(SUM(dom) AS BIGINT) AS c_dom
+          FROM tok GROUP BY tok),
+    t AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+                 CAST(SUM(c_dom) AS BIGINT) AS n_dom,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM v),
+    lm AS (SELECT tok,
+                  CAST(FLOOR((LN(CAST(c_dom AS DOUBLE) + 1.0)
+                      - LN(CAST(n_dom AS DOUBLE) + CAST(v AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lp_dom,
+                  CAST(FLOOR((LN(CAST(c_all AS DOUBLE) + 1.0)
+                      - LN(CAST(n_all AS DOUBLE) + CAST(v AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lp_all
+           FROM v, t),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lp_dom) AS BIGINT) AS td,
+                   CAST(SUM(lp_all) AS BIGINT) AS tg
+            FROM tok JOIN lm USING (tok) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(td // n_tokens AS BIGINT) AS avg_domain_lp_micro,
+           CAST(tg // n_tokens AS BIGINT) AS avg_general_lp_micro,
+           CAST(td // n_tokens - tg // n_tokens AS BIGINT)
+               AS delta_micro
+    FROM per
+    """,
+    tags=("text", "lm", "quality", "lang-id", "sampling"),
+)
+def q_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-ratio filter
+    (operators/text.py:lm_quality_filter): per-doc gap between the
+    English-domain unigram LM and the general corpus LM, both
+    Laplace-smoothed over the shared vocabulary — the canonical cheap
+    scorer for carving a domain mixture out of a heterogeneous crawl.
+    delta_micro > 0 reads 'more in-domain than average'."""
+    docs = _docs(spark, sf_dir)
+    return text.lm_quality_filter(docs, F.col("lang") == "en")
+
+
+@register(
+    "dirichlet_ql_scores",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+    cf AS (SELECT tok, COUNT(*) AS cf FROM tok
+           WHERE tok IN ({_TERMS_SQL}) GROUP BY tok),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+           WHERE tok IN ({_TERMS_SQL}) GROUP BY doc_id, tok),
+    base AS (
+        SELECT dl.doc_id, dl.dl, cf.tok, cf.cf, nt.n_total,
+               COALESCE(tf.tf, 0) AS tf
+        FROM dl CROSS JOIN cf CROSS JOIN nt
+        LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = cf.tok),
+    sc AS (
+        SELECT doc_id, tf,
+               CAST(FLOOR(LN((CAST(tf AS DOUBLE)
+                   + 2000.0 * CAST(cf AS DOUBLE)
+                   / CAST(n_total AS DOUBLE))
+                   / (CAST(dl AS DOUBLE) + 2000.0))
+                   * 1000000.0 + 0.5) AS BIGINT) AS m
+        FROM base)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_terms_hit,
+           CAST(SUM(m) AS BIGINT) AS ql_micro
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("text", "lm", "retrieval", "token-count"),
+)
+def q_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001, mu
+    = 2000) of every document against the BM25 query-term set
+    (operators/text.py:dirichlet_ql_scores) — the probabilistic
+    lexical ranker next to BM25: absent terms contribute the
+    background collection model, so every document with tokens
+    scores and scores are comparable corpus-wide."""
+    return text.dirichlet_ql_scores(_docs(spark, sf_dir), BM25_TERMS)

@@ -254,3 +254,130 @@ def test_ks_p_value_formula_matches_python(spark):
                    + math.exp(-18.0 * lam2))
         expect = min(1_000_000, math.floor(p * 1e6 + 0.5))
         assert r["p_ppm"] == expect
+
+
+# ---- CCNet perplexity-ratio filter --------------------------------
+
+
+def test_lm_quality_filter_ranks_domain_docs_higher(spark):
+    """Docs written in the 'domain' vocabulary must score a higher
+    delta than docs in the off-domain vocabulary."""
+    rows = [(1, "alpha beta alpha beta", "en"),
+            (2, "alpha beta gamma", "en"),
+            (3, "zeta eta zeta eta", "fr"),
+            (4, "zeta eta theta", "fr")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    from pyspark.sql import functions as SF
+    out = {r["doc_id"]: r for r in
+           text.lm_quality_filter(docs, SF.col("lang") == "en").collect()}
+    assert len(out) == 4
+    assert out[1]["delta_micro"] > 0 > out[3]["delta_micro"]
+    assert out[2]["delta_micro"] > out[4]["delta_micro"]
+
+
+def test_lm_quality_filter_matches_hand_laplace(spark):
+    """Pin the Laplace arithmetic: corpus 'a a b' (doc1 en) + 'b' (doc2
+    fr): V=2, N_all=4, N_dom=3, c_all(a)=2 c_dom(a)=2, c_all(b)=2
+    c_dom(b)=1."""
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "b", "fr")],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           text.lm_quality_filter(docs, F.col("lang") == "en").collect()}
+
+    def lp(c, n, v=2):
+        return math.floor((math.log(c + 1.0) - math.log(n + v))
+                          * 1e6 + 0.5)
+
+    d1 = 2 * lp(2, 3) + lp(1, 3)     # domain lps for a, a, b
+    g1 = 2 * lp(2, 4) + lp(2, 4)     # general lps
+    assert out[1]["n_tokens"] == 3
+    t = out[1]
+    assert t["avg_domain_lp_micro"] == -((-d1) // 3)
+    assert t["avg_general_lp_micro"] == -((-g1) // 3)
+    assert t["delta_micro"] == (t["avg_domain_lp_micro"]
+                                - t["avg_general_lp_micro"])
+
+
+# ---- Dirichlet query likelihood -----------------------------------
+
+
+def test_dirichlet_ql_background_only_doc_scores(spark):
+    """A doc with NO query term still gets a row (background model),
+    and a doc containing the term scores strictly higher when lengths
+    are equal."""
+    docs = spark.createDataFrame(
+        [(1, "join the tables"), (2, "other words here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.dirichlet_ql_scores(docs, ("join",)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_terms_hit"] == 1 and out[2]["n_terms_hit"] == 0
+    assert out[1]["ql_micro"] > out[2]["ql_micro"]
+
+
+def test_dirichlet_ql_hand_formula(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z")], "doc_id long, text string")
+    out = {r["doc_id"]: r["ql_micro"] for r in
+           text.dirichlet_ql_scores(docs, ("x", "z"), mu=2000).collect()}
+    n = 5  # corpus tokens
+
+    def term(tf, cf, dl):
+        return math.floor(
+            math.log((tf + 2000.0 * cf / n) / (dl + 2000.0)) * 1e6
+            + 0.5)
+
+    assert out[1] == term(2, 2, 3) + term(0, 1, 3)
+    assert out[2] == term(0, 2, 2) + term(1, 1, 2)
+
+
+def test_dirichlet_ql_drops_absent_terms(spark):
+    """Query terms with zero corpus frequency have no background model
+    and must not contribute (matching inner cf semantics)."""
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    out = text.dirichlet_ql_scores(docs, ("x", "missing")).collect()
+    assert len(out) == 1
+    assert out[0]["n_terms_hit"] == 1
+    assert out[0]["ql_micro"] == math.floor(
+        math.log((1 + 2000.0 * 1 / 2) / (2 + 2000.0)) * 1e6 + 0.5)
+
+
+# ---- MinHash error audit ------------------------------------------
+
+
+def test_minhash_error_report_exact_for_identical_docs(spark):
+    """Identical documents: every permutation minimum agrees and the
+    exact Jaccard is 1 — est == exact == 1e6, err == 0."""
+    from event_streaming_service_spark.operators import dedup
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t),
+         (3, "totally different text with many unique words here "
+             "that share nothing at all with the fox sentence")],
+        "doc_id long, text string")
+    rows = dedup.minhash_error_report(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["est_jaccard_ppm"] == 1_000_000
+    assert r["exact_jaccard_ppm"] == 1_000_000
+    assert r["abs_err_ppm"] == 0
+    # mae consistent across rows
+    errs = [x["abs_err_ppm"] for x in rows]
+    assert all(x["mae_ppm"] == sum(errs) // len(errs) for x in rows)
+
+
+def test_minhash_error_report_bounded_by_ppm_domain(spark):
+    from event_streaming_service_spark.operators import dedup
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu")
+    rows = [(i, base + (" shared tail of text" if i % 2 == 0 else
+                        " quite different ending")) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in dedup.minhash_error_report(docs).collect():
+        assert 0 <= r["est_jaccard_ppm"] <= 1_000_000
+        assert 0 <= r["exact_jaccard_ppm"] <= 1_000_000
+        assert r["abs_err_ppm"] == abs(r["est_jaccard_ppm"]
+                                       - r["exact_jaccard_ppm"])
