@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "lm_quality_filter_en",          # CCNet perplexity-ratio filter
     "dirichlet_ql_scores",           # Dirichlet QL retrieval
     "minhash_jaccard_error_report",  # sketch-accuracy audit
+    "logreg2_purchase_model",        # 3-round Newton logistic GLM
 ]
 
 

@@ -1574,3 +1574,137 @@ def mann_kendall_trend(events: DataFrame, key_col: str, ts_col: str,
            * F.expr("(abs(s_stat) * 1000000) DIV n_pairs"))
     return agg.select(key_col, "n_pairs", "s_stat",
                       tau.cast("bigint").alias("tau_ppm"))
+
+
+# ---- logistic regression (IRLS / Newton) --------------------------
+#
+# Shared float spellings: the sigmoid pin and the Cramer solve are the
+# ONLY float sequences in the logistic pipeline; Spark and the SQL
+# oracle both evaluate these exact strings, so cross-engine hashes
+# cannot drift. Everything between them is exact integer arithmetic.
+
+LOGIT_P_NANO_SQL = (
+    "CAST(FLOOR(1000000000.0 / (1.0 + EXP(-((CAST(b0 AS DOUBLE)"
+    " + CAST(b1 AS DOUBLE) * CAST(x1 AS DOUBLE)"
+    " + CAST(b2 AS DOUBLE) * CAST(x2 AS DOUBLE)) / 1000000.0)))"
+    " + 0.5) AS BIGINT)")
+
+
+def _logit_newton_sqls() -> tuple[str, str, str, str]:
+    """(det, d1, d2, d3) Cramer strings over the aggregate columns
+    g1..g3 / h11..h33, all cast to DOUBLE inline."""
+    g1, g2, g3 = ("CAST(g1 AS DOUBLE)", "CAST(g2 AS DOUBLE)",
+                  "CAST(g3 AS DOUBLE)")
+    h11, h12, h13 = ("CAST(h11 AS DOUBLE)", "CAST(h12 AS DOUBLE)",
+                     "CAST(h13 AS DOUBLE)")
+    h22, h23, h33 = ("CAST(h22 AS DOUBLE)", "CAST(h23 AS DOUBLE)",
+                     "CAST(h33 AS DOUBLE)")
+    det = (f"{h11} * ({h22} * {h33} - {h23} * {h23})"
+           f" - {h12} * ({h12} * {h33} - {h23} * {h13})"
+           f" + {h13} * ({h12} * {h23} - {h22} * {h13})")
+    d1 = (f"{g1} * ({h22} * {h33} - {h23} * {h23})"
+          f" - {h12} * ({g2} * {h33} - {h23} * {g3})"
+          f" + {h13} * ({g2} * {h23} - {h22} * {g3})")
+    d2 = (f"{h11} * ({g2} * {h33} - {h23} * {g3})"
+          f" - {g1} * ({h12} * {h33} - {h23} * {h13})"
+          f" + {h13} * ({h12} * {g3} - {g2} * {h13})")
+    d3 = (f"{h11} * ({h22} * {g3} - {g2} * {h23})"
+          f" - {h12} * ({h12} * {g3} - {g2} * {h13})"
+          f" + {g1} * ({h12} * {h23} - {h22} * {h13})")
+    return det, d1, d2, d3
+
+
+def logit_beta_next_sql(j: int) -> str:
+    """b{j} update: Newton step in micro units. The 1e15 factor is the
+    unit algebra — gradient sums carry 1e9 (nano-residuals), Hessian
+    sums 1e18 (nano^2 weights), so the double solve x = H^-1 g is
+    1e-9 x natural and beta_micro moves by x * 1e15."""
+    det, d1, d2, d3 = _logit_newton_sqls()
+    dj = (d1, d2, d3)[j]
+    # CASE guard: a singular Hessian (constant/collinear features)
+    # divides by zero — DOUBLE gives inf and CAST(inf AS BIGINT)
+    # ERRORS in DuckDB, so both engines return NULL instead (NULL
+    # then propagates through later rounds' sigmoid, as documented)
+    return (f"CASE WHEN ({det}) <> 0.0 THEN"
+            f" CAST(b{j} + CAST(FLOOR(({dj}) / ({det})"
+            f" * 1000000000000000.0 + 0.5) AS BIGINT) AS BIGINT) END")
+
+
+_LOGIT_AGGS = """
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(resid AS DECIMAL(38,0))) AS g1,
+    SUM(CAST(resid AS DECIMAL(38,0)) * x1) AS g2,
+    SUM(CAST(resid AS DECIMAL(38,0)) * x2) AS g3,
+    SUM(CAST(w2 AS DECIMAL(38,0))) AS h11,
+    SUM(CAST(w2 AS DECIMAL(38,0)) * x1) AS h12,
+    SUM(CAST(w2 AS DECIMAL(38,0)) * x2) AS h13,
+    SUM(CAST(w2 AS DECIMAL(38,0)) * x1 * x1) AS h22,
+    SUM(CAST(w2 AS DECIMAL(38,0)) * x1 * x2) AS h23,
+    SUM(CAST(w2 AS DECIMAL(38,0)) * x2 * x2) AS h33
+"""
+
+
+def logistic2_newton(df: DataFrame, y_flag, x1_col: str, x2_col: str,
+                     rounds: int = 3) -> DataFrame:
+    """Two-feature logistic regression y ~ sigmoid(b0 + b1 x1 + b2 x2)
+    fit by `rounds` unrolled Newton/IRLS iterations — regression-as-
+    aggregation extended from the linear (ols2_regression) to the
+    GLM family, the workhorse behind propensity scores, CTR models,
+    and treatment-assignment checks.
+
+    Per round, with the current coefficients as micro-unit integers:
+      * every row's sigmoid pins to nano units (ONE shared float
+        spelling, LOGIT_P_NANO_SQL) — after which residual
+        (y*1e9 - p_nano) and IRLS weight (p_nano*(1e9 - p_nano)) are
+        exact integers;
+      * gradient and Hessian moments accumulate as exact
+        decimal(38,0) sums (HUGEINT in the oracle) — one map-side-
+        combined aggregate over the persisted feature frame, nothing
+        row-grain shuffles;
+      * the 3x3 Newton solve runs by Cramer's rule in DOUBLE on those
+        exact sums (the second shared spelling), and the step pins
+        back to micro-unit integer coefficients.
+    So each round is integer -> one pinned float per row -> integer
+    sums -> one pinned solve: a pure integer function of the data,
+    bit-equal in the oracle's unrolled CTE chain. Newton on a
+    2-feature logistic converges in ~4 iterations from beta=0;
+    rounds=3 is the fixed-iteration convention (HITS/LPA/Lloyd) —
+    any round count is deterministic and hash-checkable.
+
+    Features must be small exact integers (hour, weekday, bucket ids
+    — the ols2_regression contract): Hessian cells then stay under
+    decimal(38) for 1e9-row inputs. Output: ONE row — n_rows,
+    b0_micro, b1_micro, b2_micro. Singular Hessians (constant
+    features) yield NULL coefficients from that round on.
+
+    Scale shape: the feature frame persists once and is scanned once
+    per round; coefficients ride 1-row broadcast frames pinned
+    eagerly per round (the one-pin-per-round iterative convention)."""
+    spark = df.sparkSession
+    rows = (df.select(y_flag.cast("int").alias("y"),
+                      F.col(x1_col).cast("bigint").alias("x1"),
+                      F.col(x2_col).cast("bigint").alias("x2"))
+            .persist())
+    beta = spark.createDataFrame(
+        [(0, 0, 0)], "b0 bigint, b1 bigint, b2 bigint")
+    aggs = [a.strip() for a in _LOGIT_AGGS.strip().split(",\n")]
+    n_out = None
+    for _ in range(rounds):
+        j = (rows.crossJoin(F.broadcast(beta))
+             .withColumn("p", F.expr(LOGIT_P_NANO_SQL))
+             .withColumn("resid", F.expr(
+                 "CAST(y AS BIGINT) * 1000000000 - p"))
+             .withColumn("w2", F.expr("p * (1000000000 - p)")))
+        agg = j.agg(*[F.expr(a) for a in aggs])
+        step = agg.crossJoin(F.broadcast(beta)).select(
+            F.col("n"),
+            F.expr(logit_beta_next_sql(0)).alias("b0"),
+            F.expr(logit_beta_next_sql(1)).alias("b1"),
+            F.expr(logit_beta_next_sql(2)).alias("b2")).localCheckpoint()
+        n_out = step
+        beta = step.select("b0", "b1", "b2")
+    return n_out.select(
+        F.col("n").alias("n_rows"),
+        F.col("b0").alias("b0_micro"),
+        F.col("b1").alias("b1_micro"),
+        F.col("b2").alias("b2_micro"))

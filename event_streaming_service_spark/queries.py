@@ -138,6 +138,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     # Jaccard per LSH candidate pair + corpus MAE (the dedup family's
     # eval layer, mirroring ann_recall_report)
     "minhash_jaccard_error_report",
+    # two-feature logistic regression by 3 unrolled Newton/IRLS
+    # rounds: pinned sigmoid per row, exact integer moments, shared
+    # Cramer solve — the GLM sibling of ols2_value_by_time
+    "logreg2_purchase_model",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -698,3 +698,73 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("rev_cents") / 100.0).alias("rev")))
     return analytics.gini_concentration(rev, "nationkey", "rev",
                                         "o_custkey")
+
+
+def _logit_oracle(rounds: int = 3) -> str:
+    """Unrolled Newton/IRLS rounds (the kcore/pagerank device): per
+    round one sigmoid-pin projection (shared spelling
+    analytics.LOGIT_P_NANO_SQL), exact HUGEINT moment sums, and the
+    shared-Cramer coefficient update."""
+    aggs = """
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(resid AS HUGEINT)) AS g1,
+        SUM(CAST(resid AS HUGEINT) * x1) AS g2,
+        SUM(CAST(resid AS HUGEINT) * x2) AS g3,
+        SUM(CAST(w2 AS HUGEINT)) AS h11,
+        SUM(CAST(w2 AS HUGEINT) * x1) AS h12,
+        SUM(CAST(w2 AS HUGEINT) * x2) AS h13,
+        SUM(CAST(w2 AS HUGEINT) * x1 * x1) AS h22,
+        SUM(CAST(w2 AS HUGEINT) * x1 * x2) AS h23,
+        SUM(CAST(w2 AS HUGEINT) * x2 * x2) AS h33"""
+    ctes = ["""rows_f AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS y,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+               CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS x2
+        FROM events)""",
+            """beta0 AS (SELECT CAST(0 AS BIGINT) AS b0,
+                    CAST(0 AS BIGINT) AS b1,
+                    CAST(0 AS BIGINT) AS b2)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+        SELECT {aggs}
+        FROM (SELECT CAST(y AS BIGINT) * 1000000000 - p AS resid,
+                     p * (1000000000 - p) AS w2, x1, x2
+              FROM (SELECT y, x1, x2,
+                           {analytics.LOGIT_P_NANO_SQL} AS p
+                    FROM rows_f, beta{k - 1})))""")
+        ctes.append(f"""beta{k} AS MATERIALIZED (
+        SELECT a{k}.n AS n, {analytics.logit_beta_next_sql(0)} AS b0,
+               {analytics.logit_beta_next_sql(1)} AS b1,
+               {analytics.logit_beta_next_sql(2)} AS b2
+        FROM a{k}, beta{k - 1})""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT n AS n_rows, b0 AS b0_micro, b1 AS b1_micro,
+           b2 AS b2_micro
+    FROM beta{rounds}
+    """
+
+
+@register(
+    "logreg2_purchase_model",
+    oracle=_logit_oracle(3),
+    tags=("analytics", "ml-eval", "regression", "iterative",
+          "experimentation"),
+)
+def q_logreg2_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature logistic regression P(purchase | hour, weekday)
+    fit by three unrolled Newton/IRLS rounds
+    (operators/analytics.py:logistic2_newton) — the GLM sibling of
+    ols2_value_by_time and the engine's propensity-model primitive.
+    Each round: one pinned sigmoid per row, exact integer
+    gradient/Hessian moments (one map-side-combined aggregate), one
+    shared-spelling Cramer solve back to micro-unit coefficients.
+    Deterministic and hash-exact at every round count."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.logistic2_newton(
+        ev.select(F.col("event_type"),
+                  F.hour("ts").alias("h"),
+                  F.dayofweek("ts").alias("w")),
+        F.col("event_type") == "purchase", "h", "w", rounds=3)

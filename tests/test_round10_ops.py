@@ -381,3 +381,92 @@ def test_minhash_error_report_bounded_by_ppm_domain(spark):
         assert 0 <= r["exact_jaccard_ppm"] <= 1_000_000
         assert r["abs_err_ppm"] == abs(r["est_jaccard_ppm"]
                                        - r["exact_jaccard_ppm"])
+
+
+# ---- logistic regression (Newton/IRLS) ----------------------------
+
+
+def _py_logit_newton(rows, rounds=3):
+    """Pure-python twin of the exact pinned device: the spec the
+    Spark plan and the SQL oracle must both equal bit-for-bit."""
+    b = [0, 0, 0]
+    n = len(rows)
+    for _ in range(rounds):
+        g = [0, 0, 0]
+        h = {}
+        for (y, x1, x2) in rows:
+            z = (b[0] + b[1] * x1 + b[2] * x2) / 1e6
+            p = math.floor(1e9 / (1.0 + math.exp(-z)) + 0.5)
+            resid = y * 10**9 - p
+            w2 = p * (10**9 - p)
+            for j, xj in enumerate((1, x1, x2)):
+                g[j] += resid * xj
+            for (a, c), key in (((1, 1), "h11"), ((x1, 1), "h12"),
+                                ((x2, 1), "h13"), ((x1, x1), "h22"),
+                                ((x1, x2), "h23"), ((x2, x2), "h33")):
+                h[key] = h.get(key, 0) + w2 * a * c
+        h11, h12, h13 = float(h["h11"]), float(h["h12"]), float(h["h13"])
+        h22, h23, h33 = float(h["h22"]), float(h["h23"]), float(h["h33"])
+        g1, g2, g3 = float(g[0]), float(g[1]), float(g[2])
+        det = (h11 * (h22 * h33 - h23 * h23)
+               - h12 * (h12 * h33 - h23 * h13)
+               + h13 * (h12 * h23 - h22 * h13))
+        d1 = (g1 * (h22 * h33 - h23 * h23)
+              - h12 * (g2 * h33 - h23 * g3)
+              + h13 * (g2 * h23 - h22 * g3))
+        d2 = (h11 * (g2 * h33 - h23 * g3)
+              - g1 * (h12 * h33 - h23 * h13)
+              + h13 * (h12 * g3 - g2 * h13))
+        d3 = (h11 * (h22 * g3 - g2 * h23)
+              - h12 * (h12 * g3 - g2 * h13)
+              + g1 * (h12 * h23 - h22 * h13))
+        b = [b[j] + math.floor(d / det * 1e15 + 0.5)
+             for j, d in enumerate((d1, d2, d3))]
+    return n, b
+
+
+def test_logistic_newton_matches_python_twin(spark):
+    rows = [(1 if (x1 + 2 * x2) > 10 else 0, x1, x2)
+            for x1 in range(8) for x2 in range(6)]
+    df = spark.createDataFrame(rows, "y int, x1 bigint, x2 bigint")
+    from event_streaming_service_spark.operators.analytics import (
+        logistic2_newton)
+    out = logistic2_newton(df, F.col("y") == 1, "x1", "x2",
+                           rounds=3).collect()
+    assert len(out) == 1
+    n, b = _py_logit_newton(rows, rounds=3)
+    r = out[0]
+    assert r["n_rows"] == n
+    assert [r["b0_micro"], r["b1_micro"], r["b2_micro"]] == b
+    # the learned direction matches the generating rule: both slopes
+    # positive, x2's roughly double x1's
+    assert b[1] > 0 and b[2] > 0
+    assert 1.3 * b[1] < b[2] < 3.5 * b[1]
+
+
+def test_logistic_newton_singular_features_null(spark):
+    rows = [(i % 2, 5, 3) for i in range(20)]  # constant features
+    df = spark.createDataFrame(rows, "y int, x1 bigint, x2 bigint")
+    from event_streaming_service_spark.operators.analytics import (
+        logistic2_newton)
+    r = logistic2_newton(df, F.col("y") == 1, "x1", "x2",
+                         rounds=2).collect()[0]
+    assert r["b0_micro"] is None
+    assert r["b1_micro"] is None
+
+
+def test_logistic_newton_balanced_intercept_only(spark):
+    """50/50 labels independent of features: after convergence the
+    intercept stays near 0 (p=0.5) and slopes near 0."""
+    rows = []
+    for x1 in range(4):
+        for x2 in range(4):
+            rows.append((1, x1, x2))
+            rows.append((0, x1, x2))
+    df = spark.createDataFrame(rows, "y int, x1 bigint, x2 bigint")
+    from event_streaming_service_spark.operators.analytics import (
+        logistic2_newton)
+    r = logistic2_newton(df, F.col("y") == 1, "x1", "x2",
+                         rounds=3).collect()[0]
+    assert abs(r["b0_micro"]) < 1000
+    assert abs(r["b1_micro"]) < 1000 and abs(r["b2_micro"]) < 1000
