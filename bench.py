@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "dirichlet_ql_scores",           # Dirichlet QL retrieval
     "minhash_jaccard_error_report",  # sketch-accuracy audit
     "logreg2_purchase_model",        # 3-round Newton logistic GLM
+    "vocab_growth_by_lang",          # Chao1 + Good-Turing unseen mass
 ]
 
 

@@ -1058,3 +1058,49 @@ def dirichlet_ql_scores(docs: DataFrame, terms: tuple[str, ...],
             .agg(F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
                  .cast("bigint").alias("n_terms_hit"),
                  F.sum("__m").cast("bigint").alias("ql_micro")))
+
+
+def vocab_growth_estimates(docs: DataFrame, group_col: str = "lang",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Vocabulary-growth / coverage estimators per corpus slice — the
+    two classic unseen-species statistics a tokenizer or crawl
+    pipeline reads before deciding whether more data will still grow
+    the vocabulary:
+
+      * Chao1 richness (Chao 1984, bias-corrected):
+            V_est = V + f1*(f1-1) / (2*(f2+1))
+        — a lower bound on the TRUE vocabulary size from the counts
+        of once-seen (f1) and twice-seen (f2) types;
+      * Good-Turing unseen mass: p0 = f1 / N — the probability the
+        next token is a NEW type (the discount mass every smoothing
+        scheme redistributes).
+
+    Both are exact integer arithmetic here: chao1_x1000 keeps three
+    decimals via truncating DIV (the +1 in the denominator is the
+    standard bias correction and doubles as the division guard);
+    unseen_mass_ppm is integer ppm.
+
+    Scale shape: one tokenize pass to the (group, token) count grain
+    (hash agg, map-side combined), one aggregate to group grain.
+    Nothing else moves; no joins. Groups with zero tokens are
+    absent."""
+    tok = fan_out(docs).select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("tok"))
+    tc = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (tc.groupBy("grp")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("f1"),
+                 F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                 .cast("bigint").alias("f2"))
+            .withColumn("chao1_x1000", F.expr(
+                "vocab_size * 1000"
+                " + f1 * (f1 - 1) * 1000 DIV (2 * (f2 + 1))"))
+            .withColumn("unseen_mass_ppm",
+                        F.expr("f1 * 1000000 DIV n_tokens"))
+            .select(F.col("grp").alias(group_col), "n_tokens",
+                    "vocab_size", "f1", "f2", "chao1_x1000",
+                    "unseen_mass_ppm"))

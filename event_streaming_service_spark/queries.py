@@ -142,6 +142,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # rounds: pinned sigmoid per row, exact integer moments, shared
     # Cramer solve — the GLM sibling of ols2_value_by_time
     "logreg2_purchase_model",
+    # Chao1 richness + Good-Turing unseen mass per language — the
+    # vocabulary-growth readout; exact integer arithmetic
+    "vocab_growth_by_lang",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -348,3 +348,39 @@ def q_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
     background collection model, so every document with tokens
     scores and scores are comparable corpus-wide."""
     return text.dirichlet_ql_scores(_docs(spark, sf_dir), BM25_TERMS)
+
+
+@register(
+    "vocab_growth_by_lang",
+    oracle=r"""
+    WITH tok AS (
+        SELECT lang AS grp, tok
+        FROM (SELECT lang,
+                     unnest(string_split_regex(text, '\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''),
+    tc AS (SELECT grp, tok, COUNT(*) AS c FROM tok GROUP BY grp, tok),
+    g AS (SELECT grp,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f2
+          FROM tc GROUP BY grp)
+    SELECT grp AS lang, n_tokens, vocab_size, f1, f2,
+           CAST(vocab_size * 1000
+                + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+                AS BIGINT) AS chao1_x1000,
+           CAST(f1 * 1000000 // n_tokens AS BIGINT)
+               AS unseen_mass_ppm
+    FROM g
+    """,
+    tags=("text", "token-count", "quality", "lang-id"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness lower bound + Good-Turing unseen
+    mass per language (operators/text.py:vocab_growth_estimates) —
+    the 'is more data still growing the vocab' readout tokenizer and
+    crawl pipelines gate on. Exact integer arithmetic end to end."""
+    return text.vocab_growth_estimates(_docs(spark, sf_dir))

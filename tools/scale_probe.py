@@ -1286,7 +1286,72 @@ def probe_spearman(spark):
     return sec, "n=20M 8 groups monotone-with-ties rho exactly 1"
 
 
+def probe_logistic_newton(spark):
+    """5M-row logistic Newton/IRLS: per round ONE map-side-combined
+    aggregate over the persisted feature frame — nothing row-grain
+    shuffles, and the 1-row coefficient frame broadcasts. Truth: the
+    label is perfectly balanced within every (x1, x2) cell, so at
+    beta=0 every row pins p_nano = 5e8 exactly, residuals cancel
+    pairwise, the gradient is exactly zero, and ALL THREE rounds must
+    return exactly (0, 0, 0) — any pinning or unit-algebra drift
+    breaks the zero."""
+    from event_streaming_service_spark.operators.analytics import (
+        logistic2_newton)
+
+    n = 5_000_000
+    base = (spark.range(n)
+            .select((F.col("id") % 2 == 0).cast("int").alias("y"),
+                    ((F.col("id") / 2).cast("bigint") % 24)
+                    .alias("x1"),
+                    ((F.col("id") / 48).cast("bigint") % 7 + 1)
+                    .alias("x2")))
+    # consecutive ids 2k/2k+1 share (x1, x2) = ((k %% 24), ...) and
+    # differ only in y — every feature cell is exactly balanced (an
+    # id%24 feature would confound x1 parity with the label)
+    t0 = time.perf_counter()
+    row = logistic2_newton(base, F.col("y") == 1, "x1", "x2",
+                           rounds=3).collect()[0]
+    sec = time.perf_counter() - t0
+    assert row["n_rows"] == n, row
+    assert (row["b0_micro"], row["b1_micro"], row["b2_micro"]) \
+        == (0, 0, 0), row
+    return sec, (f"rows={n}; 3 Newton rounds; balanced cells give "
+                 f"exact zero coefficients (closed form)")
+
+
+def probe_pca_power(spark):
+    """5M x 32-dim PCA power iteration: the Gram tree-aggregate is
+    the only corpus pass besides the final projection; the iteration
+    runs driver-side on the collected 32x32 grid. Truth: all variance
+    planted in dimension 1 (others zero), so the iterate is exactly
+    e1 from round 1 and every score is qv[1] * 1e6 — asserted per
+    spot id from the closed form."""
+    from event_streaming_service_spark.operators.pca import (
+        pc1_power_scores)
+
+    n, d = 5_000_000, 32
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda j: F.when(j == 1, ((F.col("id") % 5) - 2)
+                         / F.lit(1000.0)).otherwise(F.lit(0.0)))
+    emb = spark.range(n).select(F.col("id").alias("vec_id"),
+                                vec.alias("embedding"))
+    t0 = time.perf_counter()
+    got = {r["vec_id"]: r["pc1_score"]
+           for r in pc1_power_scores(emb, rounds=8)
+           .where(F.col("vec_id") < 20).collect()}
+    sec = time.perf_counter() - t0
+    for i in range(20):
+        want = ((i % 5) - 2) * 1_000_000
+        assert got[i] == want, (i, got[i], want)
+    return sec, (f"vecs={n} d={d}; planted axis recovered exactly, "
+                 f"spot scores equal (id%5-2)*1e6")
+
+
+
 PROBES = {
+    "logistic_newton": probe_logistic_newton,
+    "pca_power": probe_pca_power,
     "components": probe_components,
     "heavy_hitters": probe_heavy_hitters,
     "packing": probe_packing,
