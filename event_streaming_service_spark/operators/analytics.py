@@ -1708,3 +1708,73 @@ def logistic2_newton(df: DataFrame, y_flag, x1_col: str, x2_col: str,
         F.col("b0").alias("b0_micro"),
         F.col("b1").alias("b1_micro"),
         F.col("b2").alias("b2_micro"))
+
+
+# shared float spelling: the conformal residual (pinned to cents) —
+# the only float sequence between the pinned OLS betas and the exact
+# rank statistic
+CONFORMAL_RESID_SQL = (
+    "CAST(FLOOR(ABS(CAST(yc AS DOUBLE)"
+    " - (beta0 + beta_x1 * CAST(x1 AS DOUBLE)"
+    " + beta_x2 * CAST(x2 AS DOUBLE))) + 0.5) AS BIGINT)")
+
+
+def conformal_ols2_interval(df: DataFrame, group_col: str,
+                            x1_col: str, x2_col: str, y_col: str,
+                            key_col: str, level_pct: int = 95,
+                            y_scale: int = 100) -> DataFrame:
+    """Split-conformal prediction interval for the ols2 model
+    (Vovk et al.; Lei et al. 2018's split-conformal recipe) — the
+    distribution-free uncertainty layer on top of
+    ols2_regression: fit y ~ b0 + b1 x1 + b2 x2 on the TRAIN split
+    (the engine's content-hash 90/5/5 assignment, so the split is a
+    pure function of the key), score the VAL split's absolute
+    residuals, and take the ceil(level * n_cal)-th order statistic —
+    at test time, pred +- q is a (level)-coverage interval under
+    exchangeability, with NO distributional assumption.
+
+    Exactness: betas are the ols2 9dp-pinned Cramer solution;
+    each calibration residual is ONE shared float spelling
+    (CONFORMAL_RESID_SQL) pinned to integer cents; the quantile is
+    the exact k-th order statistic with k = max(1,
+    ceil(level_pct * n_cal / 100)) computed in integer arithmetic
+    ((n*level + 99) DIV 100) and a deterministic (residual, key)
+    rank order.
+
+    Scale shape: one pass builds the split-tagged feature frame
+    (persisted: the train aggregate and the calibration scan read
+    it); the group-grain beta frame broadcasts back; the order
+    statistic is one per-group window sort over the ~5% calibration
+    slice. Groups with a singular train fit or an empty calibration
+    slice are absent."""
+    from event_streaming_service_spark.operators.curation import (
+        split_assign)
+
+    base = (df.select(F.col(group_col).alias("grp"),
+                      F.col(x1_col).cast("bigint").alias("x1"),
+                      F.col(x2_col).cast("bigint").alias("x2"),
+                      F.col(y_col).alias("y"),
+                      F.col(key_col).alias("__k"))
+            .withColumn("__split", split_assign(F.col("__k")))
+            .persist())
+    betas = ols2_regression(
+        base.filter(F.col("__split") == "train"),
+        "grp", "x1", "x2", "y", y_scale=y_scale)
+    cal = (base.filter(F.col("__split") == "val")
+           .withColumn("yc", F.floor(F.col("y") * F.lit(float(y_scale))
+                                     + F.lit(0.5)).cast("bigint"))
+           .join(F.broadcast(betas.where(F.col("beta0").isNotNull())),
+                 "grp")
+           .withColumn("r", F.expr(CONFORMAL_RESID_SQL)))
+    wr = Window.partitionBy("grp").orderBy("r", "__k")
+    wg = Window.partitionBy("grp")
+    ranked = (cal.withColumn("rk", F.row_number().over(wr))
+              .withColumn("n_cal",
+                          F.count(F.lit(1)).over(wg).cast("bigint")))
+    k = F.expr(f"GREATEST(CAST(1 AS BIGINT),"
+               f" (n_cal * {int(level_pct)} + 99) DIV 100)")
+    return (ranked.where(F.col("rk") == k)
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_points").alias("n_train"),
+                    "n_cal", k.alias("q_rank"),
+                    F.col("r").alias("q_abs_resid_cents")))

@@ -1104,3 +1104,52 @@ def vocab_growth_estimates(docs: DataFrame, group_col: str = "lang",
             .select(F.col("grp").alias(group_col), "n_tokens",
                     "vocab_size", "f1", "f2", "chao1_x1000",
                     "unseen_mass_ppm"))
+
+
+def readability_scores(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the classic curation signal
+    for audience-level filtering (crawled legalese vs conversational
+    text), computed from three exact integer counts:
+
+        sentences  = segments split on [.!?]+ containing a letter
+        words      = whitespace tokens
+        syllables  = vowel RUNS per word ([aeiouyAEIOUY]+ matches),
+                     min 1 per word with any letter — the standard
+                     cheap approximation
+
+    flesch_milli = floor((206.835 - 1.015 * words/sentences
+                          - 84.6 * syllables/words) * 1000 + 0.5)
+    with the division operands exact integers and the whole float
+    sequence ONE shared spelling; docs with zero words or zero
+    sentences are absent (both ratios undefined).
+
+    Scale shape: pure per-row projection + regexp counts — no
+    shuffle at all before the (optional) consumer's aggregate."""
+    t = F.col(text_col)
+    n_words = F.size(tokens(t))
+    n_sent = F.size(F.filter(
+        F.split(t, r"[.!?]+"),
+        lambda s: s.rlike("[A-Za-z]")))
+    # syllable runs per word, floor 1 per letter-bearing word
+    syl = F.aggregate(
+        tokens(t),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouyAEIOUY]+"),
+                                        F.lit(0))),
+            F.when(w.rlike("[A-Za-z]"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint"))
+    out = (fan_out(docs)
+           .select(F.col(id_col),
+                   n_words.cast("bigint").alias("n_words"),
+                   n_sent.cast("bigint").alias("n_sentences"),
+                   syl.alias("n_syllables"))
+           .where((F.col("n_words") > 0) & (F.col("n_sentences") > 0)))
+    flesch = F.expr(
+        "CAST(FLOOR((206.835"
+        " - 1.015 * (CAST(n_words AS DOUBLE)"
+        " / CAST(n_sentences AS DOUBLE))"
+        " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+        " / CAST(n_words AS DOUBLE))) * 1000.0 + 0.5) AS BIGINT)")
+    return out.withColumn("flesch_milli", flesch)

@@ -145,6 +145,17 @@ PENDING_ROTATION: tuple[str, ...] = (
     # Chao1 richness + Good-Turing unseen mass per language — the
     # vocabulary-growth readout; exact integer arithmetic
     "vocab_growth_by_lang",
+    # split-conformal 95% prediction interval for the ols2 model:
+    # hash-split train/calibrate, pinned residuals, exact
+    # ceil(0.95 n)-th order statistic — distribution-free uncertainty
+    "conformal_ols2_value_interval",
+    # Flesch reading ease: exact word/sentence/vowel-run counts, one
+    # pinned float spelling — the audience-level curation signal
+    "readability_scores",
+    # IDF-weighted Jaccard over the LSH candidates: ln(N/df)
+    # micro-nat shingle weights zero out boilerplate overlap — the
+    # production second-stage dedup verifier
+    "idf_weighted_jaccard_pairs",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -495,15 +495,21 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival is an exact bigint. The churn/conversion readout LTV and
     retention queries only approximate."""
     ev = tables.load_table(spark, sf_dir, "events")
-    t0 = (ev.filter(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts").alias("t0")))
-    conv = (ev.join(t0, "user_id")
-            .filter((F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t0")))
+    # ONE user-grain aggregate carries both t0 (first view) and the
+    # censoring time (last event) — the former three separate scans
+    # (t0, last, and a conv probe against the full table) paid two
+    # extra parquet passes and one extra user-grain shuffle; the conv
+    # probe now scans purchases only (round-10 bench: 1.9 s -> ~1.2 s)
+    t0last = (ev.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view",
+                                F.col("ts"))).alias("t0"),
+                   F.max("ts").alias("last_ts"))
+              .where(F.col("t0").isNotNull()))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .join(t0last.select("user_id", "t0"), "user_id")
+            .filter(F.col("ts") > F.col("t0"))
             .groupBy("user_id").agg(F.min("ts").alias("conv_ts")))
-    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
-    unit = (t0.join(conv, "user_id", "left")
-            .join(last, "user_id")
+    unit = (t0last.join(conv, "user_id", "left")
             .select(F.datediff(
                 F.to_date(F.coalesce(F.col("conv_ts"),
                                      F.col("last_ts"))),
@@ -768,3 +774,82 @@ def q_logreg2_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.hour("ts").alias("h"),
                   F.dayofweek("ts").alias("w")),
         F.col("event_type") == "purchase", "h", "w", rounds=3)
+
+
+from event_streaming_service_spark.operators import curation as _cur  # noqa: E402
+
+_SPLIT_SQL = _cur.split_assign_sql("event_id")
+
+
+@register(
+    "conformal_ols2_value_interval",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS HUGEINT) AS x1,
+               CAST(EXTRACT(dow FROM ts) + 1 AS HUGEINT) AS x2,
+               CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS y,
+               event_id, {_SPLIT_SQL} AS split
+        FROM events),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x1) AS s1, SUM(x2) AS s2,
+               SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+               SUM(x2 * x2) AS s22,
+               SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        FROM base WHERE split = 'train' GROUP BY event_type),
+    b AS (
+        SELECT event_type, CAST(n AS BIGINT) AS n_train,
+               CASE WHEN {_OLS2_D} <> 0 THEN
+                   ROUND(CAST({_OLS2_D0} AS DOUBLE)
+                         / CAST({_OLS2_D} AS DOUBLE), 9) END AS beta0,
+               CASE WHEN {_OLS2_D} <> 0 THEN
+                   ROUND(CAST({_OLS2_D1} AS DOUBLE)
+                         / CAST({_OLS2_D} AS DOUBLE), 9) END
+                   AS beta_x1,
+               CASE WHEN {_OLS2_D} <> 0 THEN
+                   ROUND(CAST({_OLS2_D2} AS DOUBLE)
+                         / CAST({_OLS2_D} AS DOUBLE), 9) END
+                   AS beta_x2
+        FROM m),
+    cal AS (
+        SELECT c.event_type, c.event_id, b.n_train,
+               CAST(c.x1 AS BIGINT) AS x1, CAST(c.x2 AS BIGINT) AS x2,
+               CAST(c.y AS BIGINT) AS yc,
+               b.beta0, b.beta_x1, b.beta_x2
+        FROM base c JOIN b USING (event_type)
+        WHERE c.split = 'val' AND b.beta0 IS NOT NULL),
+    r AS (
+        SELECT event_type, event_id, n_train,
+               {analytics.CONFORMAL_RESID_SQL} AS r
+        FROM cal),
+    rk AS (
+        SELECT event_type, n_train, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY r, event_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n_cal
+        FROM r)
+    SELECT event_type, n_train, n_cal,
+           GREATEST(CAST(1 AS BIGINT),
+                    (n_cal * 95 + 99) // 100) AS q_rank,
+           r AS q_abs_resid_cents
+    FROM rk
+    WHERE rk = GREATEST(CAST(1 AS BIGINT), (n_cal * 95 + 99) // 100)
+    """,
+    tags=("analytics", "ml-eval", "regression", "experimentation",
+          "sampling"),
+)
+def q_conformal_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 95% prediction-interval half-width for the
+    per-type ols2 value model
+    (operators/analytics.py:conformal_ols2_interval): train on the
+    content-hash 'train' split, calibrate on 'val', report the exact
+    ceil(0.95 n)-th order statistic of the pinned absolute residuals
+    — distribution-free uncertainty for the regression family."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.conformal_ols2_interval(
+        ev.select("event_type", F.hour("ts").alias("h"),
+                  F.dayofweek("ts").alias("w"), "value", "event_id"),
+        "event_type", "h", "w", "value", "event_id", level_pct=95)

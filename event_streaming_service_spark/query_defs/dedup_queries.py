@@ -644,3 +644,59 @@ def q_minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/accuracy eval layer, mirroring ann_recall_report. Makes
     the k=16 signature's accuracy a driver-checked fact."""
     return dedup.minhash_error_report(_docs(spark, sf_dir))
+
+
+def _wjaccard_oracle() -> str:
+    return ("WITH " + _SHINGLES + _minhash_sql_body() + _bands_sql()
+            + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM shingle_sets),
+    dfq AS (SELECT shingle, COUNT(*) AS df
+            FROM shingle_sets GROUP BY shingle),
+    w AS (SELECT shingle,
+                 CAST(FLOOR(LN(CAST(n_docs AS DOUBLE)
+                               / CAST(df AS DOUBLE)) * 1000000.0
+                            + 0.5) AS BIGINT) AS w
+          FROM dfq, nd),
+    tot AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw
+            FROM shingle_sets JOIN w USING (shingle)
+            GROUP BY doc_id),
+    sh AS (
+        SELECT c.doc_a, c.doc_b, CAST(SUM(w.w) AS BIGINT) AS shared_w
+        FROM cand c
+        JOIN shingle_sets x ON x.doc_id = c.doc_a
+        JOIN shingle_sets y ON y.doc_id = c.doc_b
+                           AND y.shingle = x.shingle
+        JOIN w ON w.shingle = x.shingle
+        GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(s.shared_w, 0) AS shared_w,
+           ta.tw AS total_w_a, tb.tw AS total_w_b,
+           CAST(COALESCE(s.shared_w, 0) * 1000000
+                // GREATEST(ta.tw + tb.tw - COALESCE(s.shared_w, 0),
+                            1) AS BIGINT) AS wjaccard_ppm
+    FROM cand c
+    LEFT JOIN sh s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+    JOIN tot ta ON ta.doc_id = c.doc_a
+    JOIN tot tb ON tb.doc_id = c.doc_b
+    """)
+
+
+@register(
+    "idf_weighted_jaccard_pairs",
+    oracle=_wjaccard_oracle(),
+    tags=("dedup-jaccard", "dedup-minhash-lsh", "tfidf"),
+)
+def q_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard over the LSH candidate pairs
+    (operators/dedup.py:idf_weighted_jaccard_pairs): shingles weigh
+    ln(N/df) micro-nats, so boilerplate overlap (df near N) scores
+    near zero while rare shared content scores high — the
+    second-stage verifier production dedup stacks run behind the
+    unweighted candidate generator."""
+    return dedup.idf_weighted_jaccard_pairs(_docs(spark, sf_dir))

@@ -384,3 +384,45 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'is more data still growing the vocab' readout tokenizer and
     crawl pipelines gate on. Exact integer arithmetic end to end."""
     return text.vocab_growth_estimates(_docs(spark, sf_dir))
+
+
+@register(
+    "readability_scores",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')) AS BIGINT)
+                   AS n_words,
+               CAST(len(list_filter(string_split_regex(text,
+                                                       '[.!?]+'),
+                        s -> regexp_matches(s, '[A-Za-z]')))
+                    AS BIGINT) AS n_sentences,
+               CAST(list_sum(list_transform(
+                   list_filter(string_split_regex(text, '\s+'),
+                               t -> t <> ''),
+                   w -> GREATEST(
+                       len(regexp_extract_all(w, '[aeiouyAEIOUY]+')),
+                       CASE WHEN regexp_matches(w, '[A-Za-z]')
+                            THEN 1 ELSE 0 END)))
+                    AS BIGINT) AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(FLOOR((206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE))) * 1000.0 + 0.5)
+               AS BIGINT) AS flesch_milli
+    FROM c
+    WHERE n_words > 0 AND n_sentences > 0
+    """,
+    tags=("text", "quality", "token-count"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document
+    (operators/text.py:readability_scores): exact integer
+    word/sentence/vowel-run counts, one shared float spelling pinned
+    to milli-points — the audience-level curation signal next to the
+    length/stopword quality heuristics."""
+    return text.readability_scores(_docs(spark, sf_dir))

@@ -470,3 +470,125 @@ def test_logistic_newton_balanced_intercept_only(spark):
                          rounds=3).collect()[0]
     assert abs(r["b0_micro"]) < 1000
     assert abs(r["b1_micro"]) < 1000 and abs(r["b2_micro"]) < 1000
+
+
+# ---- split-conformal interval -------------------------------------
+
+
+def test_conformal_exact_linear_gives_zero_width(spark):
+    """y exactly linear in (x1, x2): every calibration residual is 0
+    (betas recover the truth to 9dp on integer-exact data), so the
+    95% half-width must be exactly 0 and the rank formula must hold."""
+    from event_streaming_service_spark.operators.analytics import (
+        conformal_ols2_interval)
+    rows = [("g", i % 12, (i // 12) % 5 + 1,
+             (2.0 * (i % 12) + 3.0 * ((i // 12) % 5 + 1) + 10.0)
+             / 100.0, i)
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "grp string, x1 long, x2 long, y double, k long")
+    out = conformal_ols2_interval(df, "grp", "x1", "x2", "y", "k",
+                                  level_pct=95).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["q_abs_resid_cents"] == 0
+    assert r["q_rank"] == max(1, -(-95 * r["n_cal"] // 100))
+    assert r["n_train"] + r["n_cal"] <= 3000
+    assert r["n_cal"] > 0 and r["n_train"] > 0
+
+
+def test_conformal_noise_widens_interval(spark):
+    """Deterministic +-50-cent 'noise' on the same linear signal: the
+    95% half-width must be ~50 cents (every residual is 50; the +-
+    alternates within each (x1, x2) cell so the fit recovers the cell
+    means and residuals stay symmetric)."""
+    from event_streaming_service_spark.operators.analytics import (
+        conformal_ols2_interval)
+    rows = [("g", i % 12, (i // 12) % 5 + 1,
+             (2.0 * (i % 12) + 3.0 * ((i // 12) % 5 + 1) + 10.0
+              + (50.0 if i % 2 == 0 else -50.0)) / 100.0, i)
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "grp string, x1 long, x2 long, y double, k long")
+    r = conformal_ols2_interval(df, "grp", "x1", "x2", "y", "k",
+                                level_pct=95).collect()[0]
+    # residuals are ~50 cents; the hash split unbalances the +- within
+    # cells slightly, so the fitted means drift a few cents and the
+    # 95th percentile sits in the upper part of the band
+    assert 35 <= r["q_abs_resid_cents"] <= 70
+
+
+# ---- readability --------------------------------------------------
+
+
+def test_readability_hand_pin(spark):
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!")], "doc_id long, text string")
+    r = text.readability_scores(docs).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 6
+    want = math.floor((206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6))
+                      * 1000 + 0.5)
+    assert r["flesch_milli"] == want
+
+
+def test_readability_sentence_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [(1, "no terminator here"), (2, "1234. 5678!"), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in text.readability_scores(docs).collect()}
+    # doc 1: no .!? at all — the trailing segment counts as ONE
+    # sentence (the Flesch convention; both engines split alike)
+    # doc 2: sentence splits carry no letters -> absent
+    # doc 3: empty -> absent
+    assert set(rows) == {1}
+    assert rows[1]["n_sentences"] == 1 and rows[1]["n_words"] == 3
+
+
+def test_readability_long_words_score_lower(spark):
+    docs = spark.createDataFrame(
+        [(1, "a big cat ran. a dog sat."),
+         (2, "extraordinarily complicated vocabulary predominates "
+             "notwithstanding. bureaucratic obfuscation perseveres "
+             "unrelentingly.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["flesch_milli"]
+           for r in text.readability_scores(docs).collect()}
+    assert out[1] > out[2]
+
+
+# ---- IDF-weighted Jaccard -----------------------------------------
+
+
+def test_idf_weighted_jaccard_identical_docs_full_score(spark):
+    from event_streaming_service_spark.operators import dedup
+    t = ("rare alpha beta gamma delta epsilon zeta eta theta "
+         "iota kappa lambda")
+    docs = spark.createDataFrame(
+        [(1, t), (2, t),
+         (3, "other words entirely unrelated to the twin documents "
+             "sharing no trigram with them at all honestly")],
+        "doc_id long, text string")
+    rows = dedup.idf_weighted_jaccard_pairs(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["shared_w"] == r["total_w_a"] == r["total_w_b"] > 0
+    assert r["wjaccard_ppm"] == 1_000_000
+
+
+def test_idf_weighted_jaccard_weights_and_bounds(spark):
+    from event_streaming_service_spark.operators import dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i} more{i} words{i}") for i in range(4)],
+        "doc_id long, text string")
+    for r in dedup.idf_weighted_jaccard_pairs(docs).collect():
+        assert 0 <= r["wjaccard_ppm"] <= 1_000_000
+        assert r["shared_w"] <= min(r["total_w_a"], r["total_w_b"])
+        # weighted score <= unweighted-ish bound: shared over max side
+        assert r["shared_w"] * 1_000_000 // max(
+            r["total_w_a"] + r["total_w_b"] - r["shared_w"], 1) \
+            == r["wjaccard_ppm"]
