@@ -1778,3 +1778,108 @@ def conformal_ols2_interval(df: DataFrame, group_col: str,
                     F.col("n_points").alias("n_train"),
                     "n_cal", k.alias("q_rank"),
                     F.col("r").alias("q_abs_resid_cents")))
+
+
+# Segmented-regression shared spellings: per-side SSE from the exact
+# centered moment polynomials A = n*syy - sy^2, B = n*sty - st*sy,
+# C = n*stt - st^2 (suffix l/r), scaled to 1e-6 cents^2 units; the
+# side slope is B/C in micro cents/day. A degenerate side (all rows
+# on one day, or < 2 rows) falls back to the mean-only SSE A/n.
+def _sse_e6_sql(suf: str) -> str:
+    a, b, c, n = (f"CAST(a{suf} AS DOUBLE)", f"CAST(b{suf} AS DOUBLE)",
+                  f"CAST(c{suf} AS DOUBLE)", f"CAST(n{suf} AS DOUBLE)")
+    fit = f"({a} - {b} * {b} / {c}) / {n}"
+    mean_only = f"{a} / {n}"
+    return (f"CASE WHEN n{suf} >= 2 AND c{suf} > 0 THEN"
+            f" CAST(FLOOR(({fit}) / 1000000.0 + 0.5) AS BIGINT)"
+            f" WHEN n{suf} >= 1 THEN"
+            f" CAST(FLOOR(({mean_only}) / 1000000.0 + 0.5) AS BIGINT)"
+            f" END")
+
+
+def _slope_micro_sql(suf: str) -> str:
+    b, c = f"CAST(b{suf} AS DOUBLE)", f"CAST(c{suf} AS DOUBLE)"
+    return (f"CASE WHEN n{suf} >= 2 AND c{suf} > 0 THEN"
+            f" CAST(FLOOR({b} / {c} * 1000000.0 + 0.5) AS BIGINT)"
+            f" END")
+
+
+def changepoint_ols(df: DataFrame, t_col: str, y_col: str,
+                    breaks: tuple[int, ...],
+                    y_scale: int = 100) -> DataFrame:
+    """Single-changepoint segmented regression over a literal
+    breakpoint grid — the 'did the trend break, and when' readout
+    behind launch/incident attribution: for each candidate break b,
+    fit y ~ line on t < b and y ~ line on t >= b independently and
+    score the split by total SSE; the argmin candidate is the
+    estimated changepoint (the classic two-segment special case of
+    dynamic-programming changepoint detection, grid-restricted the
+    way info_gain_price_splits restricts its thresholds so the whole
+    search is ONE aggregate).
+
+    Exactness: t is an exact integer (days), y quantizes by y_scale;
+    the 12 per-side moments accumulate as exact decimal(38,0)
+    conditional sums in one map-side-combined pass over the row x
+    candidate grid; each side's SSE and slope is ONE shared float
+    spelling over those integers (SSE in 1e6-cents^2 units — raw
+    cents^2 SSE overflows bigint at corpus scale). is_best marks the
+    (sse_total_e6, brk) argmin — deterministic tiebreak.
+
+    Output per candidate: brk, n_left, n_right, sse_total_e6,
+    slope_left_micro, slope_right_micro, is_best (int)."""
+    dec = "decimal(38,0)"
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(int(b),) for b in breaks],
+                                 "brk int")
+    yq = F.floor(F.col(y_col) * F.lit(float(y_scale)) + F.lit(0.5)) \
+          .cast("long")
+    base = (df.select(F.col(t_col).cast("long").alias("t"),
+                      yq.alias("y"))
+            .crossJoin(F.broadcast(grid)))
+
+    def side(cond, suf):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast(dec)
+            .alias(f"n{suf}"),
+            F.sum(F.when(cond, F.col("t")).otherwise(0)).cast(dec)
+            .alias(f"st{suf}"),
+            F.sum(F.when(cond, F.col("t") * F.col("t")).otherwise(0))
+            .cast(dec).alias(f"stt{suf}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).cast(dec)
+            .alias(f"sy{suf}"),
+            F.sum(F.when(cond, F.col("t") * F.col("y")).otherwise(0))
+            .cast(dec).alias(f"sty{suf}"),
+            F.sum(F.when(cond, F.col("y").cast(dec) * F.col("y"))
+                  .otherwise(0)).cast(dec).alias(f"syy{suf}"),
+        ]
+
+    left, right = F.col("t") < F.col("brk"), F.col("t") >= F.col("brk")
+    agg = base.groupBy("brk").agg(*(side(left, "l") + side(right, "r")))
+    polys = agg
+    for suf in ("l", "r"):
+        polys = (polys
+                 .withColumn(f"a{suf}", F.expr(
+                     f"n{suf} * syy{suf} - sy{suf} * sy{suf}"))
+                 .withColumn(f"b{suf}", F.expr(
+                     f"n{suf} * sty{suf} - st{suf} * sy{suf}"))
+                 .withColumn(f"c{suf}", F.expr(
+                     f"n{suf} * stt{suf} - st{suf} * st{suf}")))
+    scored = (polys
+              .withColumn("__sl", F.expr(_sse_e6_sql("l")))
+              .withColumn("__sr", F.expr(_sse_e6_sql("r")))
+              .withColumn("sse_total_e6",
+                          (F.col("__sl") + F.col("__sr"))
+                          .cast("bigint")))
+    w = Window.orderBy("sse_total_e6", "brk")
+    return (scored
+            .withColumn("is_best",
+                        (F.row_number().over(w) == 1).cast("int"))
+            .select(F.col("brk").cast("int"),
+                    F.col("nl").cast("bigint").alias("n_left"),
+                    F.col("nr").cast("bigint").alias("n_right"),
+                    "sse_total_e6",
+                    F.expr(_slope_micro_sql("l"))
+                    .alias("slope_left_micro"),
+                    F.expr(_slope_micro_sql("r"))
+                    .alias("slope_right_micro"),
+                    "is_best"))

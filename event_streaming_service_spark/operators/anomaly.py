@@ -546,3 +546,82 @@ def ks_bh_fdr(df: DataFrame, group_col: str, value_col: str,
                         (F.col("p_rank") <= cutoff).cast("int"))
             .select(group_col, "n_a", "n_b", "ks_d_ppm", "p_ppm",
                     "p_rank", "m_tests", "rejected"))
+
+
+# Welch statistic shared spellings: variance/na terms, t, and the
+# Welch-Satterthwaite df are each ONE float sequence over the exact
+# integer moments (na, nb, sxa, sxb, sxxa, sxxb all cast inline)
+_W_U = ("(CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)"
+        " - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))"
+        " / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)"
+        " * (CAST(na AS DOUBLE) - 1.0))")
+_W_V = ("(CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)"
+        " - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))"
+        " / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * (CAST(nb AS DOUBLE) - 1.0))")
+WELCH_T_MILLI_SQL = (
+    "CAST(FLOOR((CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    f" / SQRT(({_W_U}) + ({_W_V})) * 1000.0 + 0.5) AS BIGINT)")
+WELCH_DF_MILLI_SQL = (
+    f"CAST(FLOOR((({_W_U}) + ({_W_V})) * (({_W_U}) + ({_W_V}))"
+    f" / (({_W_U}) * ({_W_U}) / (CAST(na AS DOUBLE) - 1.0)"
+    f" + ({_W_V}) * ({_W_V}) / (CAST(nb AS DOUBLE) - 1.0))"
+    " * 1000.0 + 0.5) AS BIGINT)")
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                period_flag, value_scale: int = 100) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per group — the
+    parametric mean-shift companion of the KS (shape) and PSI (bin)
+    drift tests: t = (mean_a - mean_b) / sqrt(s2a/na + s2b/nb) with
+    the Welch-Satterthwaite effective degrees of freedom, the
+    default 'did the average move' check for metric monitoring (it
+    does NOT assume equal variances, which drifted populations never
+    have).
+
+    Exactness: values quantize to cents; per-half counts and
+    first/second moments accumulate as exact decimal(38,0) sums in
+    ONE map-side-combined aggregate; t and df are each ONE shared
+    float spelling over those integers, pinned to milli units.
+    Groups needing variance (n >= 2 in BOTH halves) report; others
+    emit NULL t/df but keep their counts (the ks_two_sample NULL
+    convention). Output: group, n_a, n_b, mean_a_cents_milli,
+    mean_b_cents_milli, t_milli, df_milli.
+
+    Scale shape: one hash aggregate, nothing else — the cheapest
+    member of the drift suite by construction."""
+    dec = "decimal(38,0)"
+    q = F.floor(F.col(value_col) * F.lit(float(value_scale))
+                + F.lit(0.5)).cast("long")
+    p = period_flag.cast("int")
+    agg = (df.select(F.col(group_col).alias("grp"), q.alias("v"),
+                     p.alias("__p"))
+           .groupBy("grp")
+           .agg(F.sum(F.when(F.col("__p") == 0, 1).otherwise(0))
+                .cast(dec).alias("na"),
+                F.sum(F.when(F.col("__p") == 1, 1).otherwise(0))
+                .cast(dec).alias("nb"),
+                F.sum(F.when(F.col("__p") == 0, F.col("v"))
+                      .otherwise(0)).cast(dec).alias("sxa"),
+                F.sum(F.when(F.col("__p") == 1, F.col("v"))
+                      .otherwise(0)).cast(dec).alias("sxb"),
+                F.sum(F.when(F.col("__p") == 0,
+                             F.col("v") * F.col("v"))
+                      .otherwise(0)).cast(dec).alias("sxxa"),
+                F.sum(F.when(F.col("__p") == 1,
+                             F.col("v") * F.col("v"))
+                      .otherwise(0)).cast(dec).alias("sxxb")))
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("CAST(FLOOR(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+               " * 1000.0 + 0.5) AS BIGINT)")
+        .alias("mean_a_cents_milli"),
+        F.expr("CAST(FLOOR(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)"
+               " * 1000.0 + 0.5) AS BIGINT)")
+        .alias("mean_b_cents_milli"),
+        F.when(ok, F.expr(WELCH_T_MILLI_SQL)).alias("t_milli"),
+        F.when(ok, F.expr(WELCH_DF_MILLI_SQL)).alias("df_milli"))

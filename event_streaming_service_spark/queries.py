@@ -156,6 +156,14 @@ PENDING_ROTATION: tuple[str, ...] = (
     # micro-nat shingle weights zero out boilerplate overlap — the
     # production second-stage dedup verifier
     "idf_weighted_jaccard_pairs",
+    # Welch unequal-variance t-test per type between the halves: the
+    # parametric mean-shift member of the drift suite; t + df pinned
+    # to milli from exact decimal moments, one hash aggregate
+    "welch_ttest_value_drift",
+    # single-changepoint segmented regression over a literal Jan-1
+    # breakpoint grid: two OLS fits per candidate scored by exact
+    # decimal-moment SSE in ONE aggregate; argmin flagged
+    "changepoint_value_trend",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

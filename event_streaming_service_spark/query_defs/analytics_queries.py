@@ -853,3 +853,87 @@ def q_conformal_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", F.hour("ts").alias("h"),
                   F.dayofweek("ts").alias("w"), "value", "event_id"),
         "event_type", "h", "w", "value", "event_id", level_pct=95)
+
+
+_CP_BREAKS = (365, 731, 1096, 1461, 1826)  # Jan 1 of 1996..2000
+
+
+@register(
+    "changepoint_value_trend",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01'
+                    AS BIGINT) AS t,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders),
+    grid AS ({" UNION ALL ".join(f"SELECT CAST({b} AS INTEGER) AS brk"
+                                 for b in _CP_BREAKS)}),
+    m AS (
+        SELECT brk,
+               CAST(SUM(CASE WHEN t < brk THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nl,
+               CAST(SUM(CASE WHEN t < brk THEN t ELSE 0 END)
+                    AS HUGEINT) AS stl,
+               SUM(CASE WHEN t < brk THEN CAST(t AS HUGEINT) * t
+                        ELSE 0 END) AS sttl,
+               CAST(SUM(CASE WHEN t < brk THEN y ELSE 0 END)
+                    AS HUGEINT) AS syl,
+               SUM(CASE WHEN t < brk THEN CAST(t AS HUGEINT) * y
+                        ELSE 0 END) AS styl,
+               SUM(CASE WHEN t < brk THEN CAST(y AS HUGEINT) * y
+                        ELSE 0 END) AS syyl,
+               CAST(SUM(CASE WHEN t >= brk THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nr,
+               CAST(SUM(CASE WHEN t >= brk THEN t ELSE 0 END)
+                    AS HUGEINT) AS str_,
+               SUM(CASE WHEN t >= brk THEN CAST(t AS HUGEINT) * t
+                        ELSE 0 END) AS sttr,
+               CAST(SUM(CASE WHEN t >= brk THEN y ELSE 0 END)
+                    AS HUGEINT) AS syr,
+               SUM(CASE WHEN t >= brk THEN CAST(t AS HUGEINT) * y
+                        ELSE 0 END) AS styr,
+               SUM(CASE WHEN t >= brk THEN CAST(y AS HUGEINT) * y
+                        ELSE 0 END) AS syyr
+        FROM v CROSS JOIN grid GROUP BY brk),
+    p AS (
+        SELECT brk, nl, nr,
+               nl * syyl - syl * syl AS al,
+               nl * styl - stl * syl AS bl,
+               nl * sttl - stl * stl AS cl,
+               nr * syyr - syr * syr AS ar,
+               nr * styr - str_ * syr AS br,
+               nr * sttr - str_ * str_ AS cr
+        FROM m),
+    s AS (
+        SELECT brk, nl, nr,
+               {analytics._sse_e6_sql("l")} AS sl,
+               {analytics._sse_e6_sql("r")} AS sr,
+               {analytics._slope_micro_sql("l")} AS slope_left_micro,
+               {analytics._slope_micro_sql("r")} AS slope_right_micro
+        FROM p)
+    SELECT CAST(brk AS INTEGER) AS brk,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(sl + sr AS BIGINT) AS sse_total_e6,
+           slope_left_micro, slope_right_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY sl + sr, brk) = 1
+                AS INTEGER) AS is_best
+    FROM s
+    """,
+    tags=("analytics", "regression", "changepoint", "anomaly",
+          "ml-eval"),
+)
+def q_changepoint_value_trend(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Single-changepoint segmented regression of order value over
+    time (operators/analytics.py:changepoint_ols): for each literal
+    Jan-1 breakpoint 1996-2000, two independent OLS fits (t < b,
+    t >= b) scored by total SSE from exact decimal moments — the
+    'when did the trend break' attribution readout; argmin flagged
+    deterministic. One aggregate over the row x candidate grid."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.datediff(F.to_date("o_orderdate"),
+                   F.to_date(F.lit("1995-01-01"))).alias("t"),
+        F.col("o_totalprice").alias("y"))
+    return analytics.changepoint_ols(base, "t", "y", _CP_BREAKS)

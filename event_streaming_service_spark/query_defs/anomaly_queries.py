@@ -496,3 +496,53 @@ def q_bh_fdr_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly.ks_bh_fdr(ev, "event_type", "value",
                              (F.col("event_id") % 2 == 1),
                              alpha_ppm=50_000)
+
+
+@register(
+    "welch_ttest_value_drift",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+               event_id % 2 AS p
+        FROM events),
+    m AS (
+        SELECT grp,
+               CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS na,
+               CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS nb,
+               CAST(SUM(CASE WHEN p = 0 THEN v ELSE 0 END)
+                    AS HUGEINT) AS sxa,
+               CAST(SUM(CASE WHEN p = 1 THEN v ELSE 0 END)
+                    AS HUGEINT) AS sxb,
+               SUM(CASE WHEN p = 0 THEN CAST(v AS HUGEINT) * v
+                        ELSE 0 END) AS sxxa,
+               SUM(CASE WHEN p = 1 THEN CAST(v AS HUGEINT) * v
+                        ELSE 0 END) AS sxxb
+        FROM q GROUP BY grp)
+    SELECT grp AS event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(FLOOR(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                * 1000.0 + 0.5) AS BIGINT) AS mean_a_cents_milli,
+           CAST(FLOOR(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+                * 1000.0 + 0.5) AS BIGINT) AS mean_b_cents_milli,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+               {anomaly.WELCH_T_MILLI_SQL} END AS t_milli,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+               {anomaly.WELCH_DF_MILLI_SQL} END AS df_milli
+    FROM m
+    """,
+    tags=("anomaly", "drift", "stats-test", "experimentation"),
+)
+def q_welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of the value mean per
+    event_type between the two half-populations (the psi/ks split)
+    (operators/anomaly.py:welch_ttest) — the parametric mean-shift
+    member of the drift suite (PSI bins, KS shape, BH-FDR multiple
+    testing, and now the t statistic with Welch-Satterthwaite df).
+    One hash aggregate; t and df pinned to milli units from exact
+    decimal moments."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return anomaly.welch_ttest(ev, "event_type", "value",
+                               (F.col("event_id") % 2 == 1))

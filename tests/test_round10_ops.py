@@ -592,3 +592,91 @@ def test_idf_weighted_jaccard_weights_and_bounds(spark):
         assert r["shared_w"] * 1_000_000 // max(
             r["total_w_a"] + r["total_w_b"] - r["shared_w"], 1) \
             == r["wjaccard_ppm"]
+
+
+# ---- Welch t-test -------------------------------------------------
+
+
+def test_welch_matches_hand_computation(spark):
+    rows = []
+    # group g: half A values {10, 12, 14, 16}, half B {20, 24, 28, 32}
+    va, vb = [10.0, 12.0, 14.0, 16.0], [20.0, 24.0, 28.0, 32.0]
+    eid = 0
+    for v in va:
+        rows.append((eid, "g", v)); eid += 2      # even ids -> A
+    eid = 1
+    for v in vb:
+        rows.append((eid, "g", v)); eid += 2      # odd ids -> B
+    df = spark.createDataFrame(rows,
+                               "event_id long, event_type string,"
+                               " value double")
+    r = anomaly.welch_ttest(df, "event_type", "value",
+                            (F.col("event_id") % 2 == 1)).collect()[0]
+    import statistics
+    ca = [round(v * 100) for v in va]
+    cb = [round(v * 100) for v in vb]
+    ma, mb = statistics.mean(ca), statistics.mean(cb)
+    sa2, sb2 = statistics.variance(ca), statistics.variance(cb)
+    u, w = sa2 / len(ca), sb2 / len(cb)
+    t = (ma - mb) / math.sqrt(u + w)
+    dof = (u + w) ** 2 / (u * u / (len(ca) - 1) + w * w / (len(cb) - 1))
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["mean_a_cents_milli"] == math.floor(ma * 1000 + 0.5)
+    assert abs(r["t_milli"] - math.floor(t * 1000 + 0.5)) <= 1
+    assert abs(r["df_milli"] - math.floor(dof * 1000 + 0.5)) <= 1
+    assert r["t_milli"] < 0  # B mean higher
+
+
+def test_welch_small_halves_null(spark):
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 2.0), (2, "g", 3.0)],
+        "event_id long, event_type string, value double")
+    r = anomaly.welch_ttest(df, "event_type", "value",
+                            (F.col("event_id") % 2 == 1)).collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 1
+    assert r["t_milli"] is None and r["df_milli"] is None
+
+
+# ---- changepoint segmented regression -----------------------------
+
+
+def test_changepoint_recovers_planted_break(spark):
+    """Two exact lines meeting at t=731: SSE is exactly 0 only at the
+    matching grid candidate, and both side slopes come out exact."""
+    from event_streaming_service_spark.operators.analytics import (
+        changepoint_ols)
+    rows = []
+    for t in range(0, 1500, 3):
+        yc = 100 * t if t < 731 else 100 * 731 + 300 * (t - 731)
+        rows.append((t, yc / 100.0))
+    df = spark.createDataFrame(rows, "t long, y double")
+    out = {r["brk"]: r for r in
+           changepoint_ols(df, "t", "y",
+                           (365, 731, 1096, 1461)).collect()}
+    assert out[731]["is_best"] == 1
+    assert out[731]["sse_total_e6"] == 0
+    assert out[731]["slope_left_micro"] == 100 * 1_000_000
+    assert out[731]["slope_right_micro"] == 300 * 1_000_000
+    assert sum(r["is_best"] for r in out.values()) == 1
+    for b in (365, 1096, 1461):
+        assert out[b]["sse_total_e6"] > 0
+    # side counts partition the input at every candidate
+    for r in out.values():
+        assert r["n_left"] + r["n_right"] == len(rows)
+
+
+def test_changepoint_degenerate_side_mean_only(spark):
+    """A candidate with a single-t side uses the mean-only SSE and a
+    NULL slope instead of dividing by a zero moment."""
+    from event_streaming_service_spark.operators.analytics import (
+        changepoint_ols)
+    rows = [(0, 1.0), (0, 3.0), (10, 5.0), (20, 7.0), (30, 9.0)]
+    df = spark.createDataFrame(rows, "t long, y double")
+    out = {r["brk"]: r for r in
+           changepoint_ols(df, "t", "y", (5, 15)).collect()}
+    r5 = out[5]          # left side: two rows both at t=0
+    assert r5["n_left"] == 2
+    assert r5["slope_left_micro"] is None
+    # mean-only SSE of {100, 300} cents = 2*100^2 = 20000 cents^2
+    # -> floor(20000/1e6 + 0.5) = 0 in e6 units
+    assert r5["sse_total_e6"] is not None
