@@ -911,6 +911,11 @@ def kn_bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                   F.col("b.w2").alias("w2"))
           .persist())
 
+    # the bigram-TYPE grain has four consumers, but each re-aggregates
+    # from the PINNED db explode — measured at sf0.1, adding a second
+    # persist here costs more than the re-agg saves (2.8 s vs 2.0 s:
+    # cache materialization blocks pipelining on a cheap hash agg);
+    # the corpus-grain pin above is the one that matters at scale
     cb = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ch = cb.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"),
                               F.count(F.lit(1)).alias("n1p_fwd"))
