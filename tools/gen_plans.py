@@ -189,10 +189,45 @@ SHOWCASE = {
         "replaces the classic random tie-flip, which is what makes "
         "the unrolled SQL twin possible."),
     "spearman_price_quantity": (
-        "Rank statistic: two rank windows per group (the per-group "
-        "sort a rank correlation cannot avoid; group size bounds the "
-        "task) emit exact integer double-ranks, then the exact-moment "
-        "Pearson device — one hash aggregate, one pinned sqrt."),
+        "Rank statistic in ONE exchange (round 10): the tie counts "
+        "ride the rank window's partitioning AND sort via RANGE "
+        "BETWEEN CURRENT ROW AND CURRENT ROW peer frames, so the "
+        "plan is one hash exchange + two in-partition sorts (was 4 "
+        "exchanges), then the exact-moment Pearson device — one hash "
+        "aggregate, one pinned sqrt."),
+    "pq_cosine_topk": (
+        "PQ-ADC on the Arrow path (round 10): tensor code assignment "
+        "and LUT-gather scoring run as mapInPandas kernels (bit-"
+        "parity with the JVM expression twin asserted by the scale "
+        "probe); the only shuffle is the per-query top-k window. The "
+        "codebook is a bounded collect; queries broadcast."),
+    "logreg2_purchase_model": (
+        "3-round Newton logistic with ZERO exchanges: each round is "
+        "one map-side-combined moment aggregate over the persisted "
+        "feature frame crossed with a 1-row broadcast coefficient "
+        "frame; the 3x3 Cramer solve is a scalar projection. Nothing "
+        "row-grain ever shuffles."),
+    "changepoint_value_trend": (
+        "Grid-search segmented regression as ONE aggregate: the row "
+        "x 5-candidate cross join (broadcast literal grid) feeds 60 "
+        "conditional decimal sums with partial combine; SSE and "
+        "slopes are scalar projections over the 5-row result."),
+    "welch_ttest_value_drift": (
+        "The cheapest drift test by construction: one hash aggregate "
+        "computes both halves' exact moments via conditional sums; t "
+        "and Welch-Satterthwaite df are scalar pinned projections."),
+    "pca_pc1_scores": (
+        "PCA power iteration (round 10): the corpus is touched "
+        "exactly twice — the Gram tree-aggregate (per-partition BLAS "
+        "fold, d*(d+1)/2 partial rows shuffle) and the final literal-"
+        "eigenvector projection; the 8 fixed-point rounds run "
+        "driver-side on the collected 64x64 grid."),
+    "kn_bigram_lm_scores": (
+        "Kneser-Ney bigram LM: one tokenize pass pinned at the "
+        "(doc, w1, w2) grain feeds the corpus LM aggregate and the "
+        "per-doc multiplicity aggregate; the LM is bigram-TYPE grain "
+        "with history and continuation stats joined at vocabulary "
+        "grain, then ONE equi-join back to the doc grain."),
 }
 
 
