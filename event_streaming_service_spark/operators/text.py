@@ -1158,3 +1158,86 @@ def readability_scores(docs: DataFrame, id_col: str = "doc_id",
         " - 84.6 * (CAST(n_syllables AS DOUBLE)"
         " / CAST(n_words AS DOUBLE))) * 1000.0 + 0.5) AS BIGINT)")
     return out.withColumn("flesch_milli", flesch)
+
+
+def skipgram_pairs(docs: DataFrame, window: int = 2, top_n: int = 50,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Skip-gram training-pair extraction (word2vec's data-prep step,
+    Mikolov et al. 2013): corpus-wide (center, context) counts for
+    every position pair within `window` tokens, both directions —
+    the co-occurrence grain embedding trainers, PMI collocation
+    scoring, and distributional-similarity pipelines all start from.
+    Top-n by (count desc, center, context) with the deterministic
+    tiebreak, as TakeOrdered.
+
+    Scale shape: pair generation is a pure per-row array expression
+    (positions x 2*window offsets, bounds-checked, nulls compacted)
+    — no join, no per-row Python; one hash aggregate to pair grain
+    (map-side combined) and a distributed top-n. The window is the
+    fan-out bound: tokens x 2W rows pre-combine."""
+    t = F.col("__toks")
+    offs = [d for d in range(-window, window + 1) if d != 0]
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: F.array_compact(F.array(*[
+            F.when((i + F.lit(d) >= 1) & (i + F.lit(d) <= F.size(t)),
+                   F.struct(F.element_at(t, i).alias("center"),
+                            F.element_at(t, i + F.lit(d))
+                            .alias("context")))
+            for d in offs]))))
+    base = (fan_out(docs)
+            .select(tokens(F.col(text_col)).alias("__toks"))
+            .where(F.size(t) >= 2)
+            .select(F.explode(pair_arr).alias("p")))
+    return (base.groupBy(F.col("p.center").alias("center"),
+                         F.col("p.context").alias("context"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "center", "context")
+            .limit(top_n))
+
+
+def negative_sampling_table(docs: DataFrame, top_n: int = 100,
+                            subsample_t: float = 1e-5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The word2vec sampling tables (Mikolov et al. 2013) per token:
+
+      * negative-sampling weight: P_ns(w) proportional to c(w)^0.75 —
+        the smoothed-unigram that keeps rare words drawable;
+      * frequency-subsampling keep probability:
+        p_keep = min(1, sqrt(t/f) + t/f) with f = c(w)/N and
+        t = 1e-5 — the discard rule that deletes most 'the'/'of'
+        instances while keeping every rare token.
+
+    Exactness: c(w)^0.75 pins to integer micro-units PER TYPE
+    (pin-before-sum), the normalizer is the exact bigint sum of
+    those, ns_ppm is a truncating DIV, and p_keep is ONE shared
+    float spelling pinned to ppm and clamped at 1e6. Top-n tokens by
+    (count desc, token).
+
+    Scale shape: one tokenize pass, one vocabulary hash aggregate,
+    a 1-row broadcast normalizer, TakeOrdered — no joins beyond the
+    broadcast."""
+    tok = fan_out(docs).select(
+        F.explode(tokens(F.col(text_col))).alias("tok"))
+    v = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pow75 = F.expr(
+        "CAST(FLOOR(POW(CAST(c AS DOUBLE), 0.75) * 1000000.0 + 0.5)"
+        " AS BIGINT)")
+    vv = v.withColumn("__p75", pow75)
+    tot = vv.agg(F.sum("__p75").cast("bigint").alias("z"),
+                 F.sum("c").cast("bigint").alias("n_total"))
+    keep = F.expr(
+        f"LEAST(CAST(1000000 AS BIGINT), CAST(FLOOR("
+        f"(SQRT({float(subsample_t)} * CAST(n_total AS DOUBLE)"
+        f" / CAST(c AS DOUBLE))"
+        f" + {float(subsample_t)} * CAST(n_total AS DOUBLE)"
+        f" / CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))")
+    return (vv.crossJoin(F.broadcast(tot))
+            .select(F.col("tok"), F.col("c").cast("bigint").alias("c"),
+                    F.expr("__p75 * 1000000 DIV z").cast("bigint")
+                    .alias("ns_ppm"),
+                    keep.alias("keep_ppm"))
+            .orderBy(F.col("c").desc(), "tok")
+            .limit(top_n))

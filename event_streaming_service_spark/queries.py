@@ -164,6 +164,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     # breakpoint grid: two OLS fits per candidate scored by exact
     # decimal-moment SSE in ONE aggregate; argmin flagged
     "changepoint_value_trend",
+    # word2vec data prep: skip-gram (center, context) pair counts
+    # within a +-2 window as a pure array expression (no join), and
+    # the c^0.75 negative-sampling + t=1e-5 subsampling tables
+    "skipgram_pairs_top", "negative_sampling_table",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -426,3 +426,75 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     to milli-points — the audience-level curation signal next to the
     length/stopword quality heuristics."""
     return text.readability_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "skipgram_pairs_top",
+    oracle=r"""
+    WITH d AS (
+        SELECT list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS t
+        FROM documents),
+    p AS (
+        SELECT t[i] AS center, t[i + o] AS context
+        FROM (SELECT t FROM d WHERE len(t) >= 2),
+             LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i),
+             LATERAL (SELECT unnest([-2, -1, 1, 2]) AS o)
+        WHERE i + o >= 1 AND i + o <= len(t))
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2
+    ORDER BY pair_count DESC, center, context
+    LIMIT 50
+    """,
+    tags=("text", "token-count", "collocation", "embedding"),
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts within a +-2 window,
+    corpus top-50 (operators/text.py:skipgram_pairs) — word2vec's
+    data-prep grain: pair generation is a pure bounds-checked array
+    expression (no join, no Python), one hash aggregate, distributed
+    top-n."""
+    return text.skipgram_pairs(_docs(spark, sf_dir), window=2,
+                               top_n=50)
+
+
+@register(
+    "negative_sampling_table",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT tok FROM (SELECT unnest(string_split_regex(text,
+                                                          '\s+'))
+                             AS tok
+                         FROM documents)
+        WHERE tok <> ''),
+    v AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vv AS (SELECT tok, c,
+                  CAST(FLOOR(POW(CAST(c AS DOUBLE), 0.75)
+                             * 1000000.0 + 0.5) AS BIGINT) AS p75
+           FROM v),
+    tot AS (SELECT CAST(SUM(p75) AS BIGINT) AS z,
+                   CAST(SUM(c) AS BIGINT) AS n_total
+            FROM vv)
+    SELECT tok, CAST(c AS BIGINT) AS c,
+           CAST(p75 * 1000000 // z AS BIGINT) AS ns_ppm,
+           LEAST(CAST(1000000 AS BIGINT), CAST(FLOOR(
+               (SQRT({float(1e-5)} * CAST(n_total AS DOUBLE)
+                     / CAST(c AS DOUBLE))
+                + {float(1e-5)} * CAST(n_total AS DOUBLE)
+                / CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+               AS keep_ppm
+    FROM vv, tot
+    ORDER BY c DESC, tok
+    LIMIT 100
+    """,
+    tags=("text", "token-count", "sampling", "lm", "embedding"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec sampling tables for the corpus top-100 tokens
+    (operators/text.py:negative_sampling_table): smoothed-unigram
+    negative-sampling weights (c^0.75, per-type pinned then exactly
+    normalized to ppm) and the t=1e-5 frequency-subsampling keep
+    probability — the two distributions every embedding-training
+    pipeline precomputes."""
+    return text.negative_sampling_table(_docs(spark, sf_dir),
+                                        top_n=100)

@@ -680,3 +680,65 @@ def test_changepoint_degenerate_side_mean_only(spark):
     # mean-only SSE of {100, 300} cents = 2*100^2 = 20000 cents^2
     # -> floor(20000/1e6 + 0.5) = 0 in e6 units
     assert r5["sse_total_e6"] is not None
+
+
+# ---- skip-gram pairs + sampling tables ----------------------------
+
+
+def test_skipgram_window_semantics(spark):
+    docs = spark.createDataFrame([(1, "a b c d")],
+                                 "doc_id long, text string")
+    out = {(r["center"], r["context"]): r["pair_count"]
+           for r in text.skipgram_pairs(docs, window=2,
+                                        top_n=50).collect()}
+    # within-window pairs exist both directions
+    assert out[("a", "b")] == 1 and out[("b", "a")] == 1
+    assert out[("a", "c")] == 1 and out[("c", "a")] == 1
+    # distance 3 excluded at window 2
+    assert ("a", "d") not in out and ("d", "a") not in out
+    # total pairs: sum over positions of in-bounds offsets
+    assert sum(out.values()) == 10
+
+
+def test_skipgram_counts_aggregate_across_docs(spark):
+    docs = spark.createDataFrame([(1, "x y"), (2, "x y"), (3, "y x")],
+                                 "doc_id long, text string")
+    out = {(r["center"], r["context"]): r["pair_count"]
+           for r in text.skipgram_pairs(docs, window=2,
+                                        top_n=50).collect()}
+    assert out[("x", "y")] == 3 and out[("y", "x")] == 3
+
+
+def test_negative_sampling_hand_computation(spark):
+    # counts: 'w' x16, 'r' x1 -> p75 = 8e6 and 1e6, z = 9e6
+    docs = spark.createDataFrame([(1, " ".join(["w"] * 16 + ["r"]))],
+                                 "doc_id long, text string")
+    out = {r["tok"]: r for r in
+           text.negative_sampling_table(docs, top_n=10).collect()}
+    assert out["w"]["c"] == 16 and out["r"]["c"] == 1
+    assert out["w"]["ns_ppm"] == 8_000_000 * 1_000_000 // 9_000_000
+    assert out["r"]["ns_ppm"] == 1_000_000 * 1_000_000 // 9_000_000
+    # keep probability follows the exact formula (at a 17-token
+    # corpus every word is 'frequent' relative to t=1e-5, so nothing
+    # clamps — the clamp only engages when f < ~4t); rarer tokens
+    # keep strictly more
+    for tok, c in (("w", 16), ("r", 1)):
+        x = 1e-5 * 17 / c
+        want = min(1_000_000,
+                   math.floor((math.sqrt(x) + x) * 1e6 + 0.5))
+        assert out[tok]["keep_ppm"] == want
+    assert out["w"]["keep_ppm"] < out["r"]["keep_ppm"]
+
+
+def test_negative_sampling_keep_formula(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 90 + ["b"] * 10))],
+        "doc_id long, text string")
+    out = {r["tok"]: r for r in
+           text.negative_sampling_table(docs, top_n=10).collect()}
+    n = 100
+    for tok, c in (("a", 90), ("b", 10)):
+        x = 1e-5 * n / c
+        want = min(1_000_000,
+                   math.floor((math.sqrt(x) + x) * 1e6 + 0.5))
+        assert out[tok]["keep_ppm"] == want
