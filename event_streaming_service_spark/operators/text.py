@@ -1241,3 +1241,93 @@ def negative_sampling_table(docs: DataFrame, top_n: int = 100,
                     keep.alias("keep_ppm"))
             .orderBy(F.col("c").desc(), "tok")
             .limit(top_n))
+
+
+def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A) — the published
+    heuristic bundle production crawls actually gate on, computed as
+    exact integer measures with one pass/fail flag per rule:
+
+      word_count in [50, 100_000]        (rule: doc length)
+      mean_word_len_milli in [3000, 10000]  (rule: word length)
+      ellipsis_line_ppm <= 300_000       (lines ending '...')
+      bullet_line_ppm <= 900_000         (lines starting a bullet)
+      alpha_word_ppm >= 800_000          (words containing a letter)
+      stopword_hits >= 2                 (distinct required stopwords)
+
+    Every measure is exact integer arithmetic over token/line counts
+    (ratios in truncating ppm; mean word length in milli-chars via
+    DIV), so flags are bit-equal cross-engine; `passes_gopher` is
+    the conjunction. Documents with zero words report zero measures
+    and fail (both engines agree on the empty grain).
+
+    Scale shape: a pure per-row projection — token/line splits and
+    regexp counts, no shuffle at all. The thresholds are the
+    published constants; swap per corpus as needed."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("bigint")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.length(w).cast("bigint"))
+    lines = F.filter(F.split(t, r"\n"),
+                     lambda s: F.trim(s) != "")
+    n_lines = F.size(lines).cast("bigint")
+    ell = F.size(F.filter(
+        lines, lambda s: F.trim(s).rlike(r"\.\.\.$"))).cast("bigint")
+    bul = F.size(F.filter(
+        lines,
+        lambda s: F.trim(s).rlike(r"^[-*]"))).cast("bigint")
+    alpha = F.size(F.filter(
+        toks, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    # distinct stopword TYPES present (explicit distinct-of-filter:
+    # engines disagree on whether intersect dedups)
+    stop_hits = F.size(F.array_distinct(F.filter(
+        F.transform(toks, lambda w: F.lower(w)),
+        lambda w: w.isin(*STOPWORDS)))).cast("bigint")
+
+    out = (fan_out(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        total_chars.alias("__chars"),
+        n_lines.alias("n_lines"),
+        ell.alias("__ell"), bul.alias("__bul"),
+        alpha.alias("__alpha"), stop_hits.alias("stopword_hits"))
+        .withColumn("mean_word_len_milli",
+                    F.expr("CASE WHEN n_words > 0 THEN"
+                           " __chars * 1000 DIV n_words"
+                           " ELSE 0 END").cast("bigint"))
+        .withColumn("ellipsis_line_ppm",
+                    F.expr("CASE WHEN n_lines > 0 THEN"
+                           " __ell * 1000000 DIV n_lines"
+                           " ELSE 0 END").cast("bigint"))
+        .withColumn("bullet_line_ppm",
+                    F.expr("CASE WHEN n_lines > 0 THEN"
+                           " __bul * 1000000 DIV n_lines"
+                           " ELSE 0 END").cast("bigint"))
+        .withColumn("alpha_word_ppm",
+                    F.expr("CASE WHEN n_words > 0 THEN"
+                           " __alpha * 1000000 DIV n_words"
+                           " ELSE 0 END").cast("bigint")))
+    checks = [
+        ("ok_word_count",
+         (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)),
+        ("ok_word_len",
+         (F.col("mean_word_len_milli") >= 3000)
+         & (F.col("mean_word_len_milli") <= 10_000)),
+        ("ok_ellipsis", F.col("ellipsis_line_ppm") <= 300_000),
+        ("ok_bullets", F.col("bullet_line_ppm") <= 900_000),
+        ("ok_alpha", F.col("alpha_word_ppm") >= 800_000),
+        ("ok_stopwords", F.col("stopword_hits") >= 2),
+    ]
+    passes = None
+    for name, cond in checks:
+        out = out.withColumn(name, cond.cast("int"))
+        passes = cond if passes is None else (passes & cond)
+    return (out.withColumn("passes_gopher", passes.cast("int"))
+            .select(id_col, "n_words", "mean_word_len_milli",
+                    "n_lines", "ellipsis_line_ppm", "bullet_line_ppm",
+                    "alpha_word_ppm", "stopword_hits",
+                    *[n for n, _ in checks], "passes_gopher"))

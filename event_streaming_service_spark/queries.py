@@ -168,6 +168,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # within a +-2 window as a pure array expression (no join), and
     # the c^0.75 negative-sampling + t=1e-5 subsampling tables
     "skipgram_pairs_top", "negative_sampling_table",
+    # the published Gopher quality-filter rule bundle per doc: exact
+    # integer measures + 0/1 flags + the conjunction, pure projection
+    "gopher_quality_flags",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

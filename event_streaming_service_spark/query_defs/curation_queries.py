@@ -423,3 +423,85 @@ def q_bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the corpus never explodes to characters)."""
     return curation.bpe_encode_stats(_docs(spark, sf_dir),
                                      n_merges=_N_MERGES)
+
+
+_GOPHER_STOPS = "'the','a','of','and','is','to','in','it','on','for'"
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH c AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '') AS toks,
+               list_filter(string_split(text, chr(10)),
+                           s -> trim(s) <> '') AS lns
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, w -> length(w)))
+                    AS BIGINT) AS chars_,
+               CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lns,
+                        s -> regexp_matches(trim(s), '\.\.\.$')))
+                    AS BIGINT) AS ell,
+               CAST(len(list_filter(lns,
+                        s -> regexp_matches(trim(s), '^[-*]')))
+                    AS BIGINT) AS bul,
+               CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '[A-Za-z]')))
+                    AS BIGINT) AS alpha,
+               CAST(len(list_distinct(list_filter(
+                        list_transform(toks, w -> lower(w)),
+                        w -> w IN ({_GOPHER_STOPS}))))
+                    AS BIGINT) AS stopword_hits
+        FROM c),
+    r AS (
+        SELECT doc_id, n_words,
+               CAST(CASE WHEN n_words > 0
+                         THEN chars_ * 1000 // n_words
+                         ELSE 0 END AS BIGINT) AS mean_word_len_milli,
+               n_lines,
+               CAST(CASE WHEN n_lines > 0
+                         THEN ell * 1000000 // n_lines
+                         ELSE 0 END AS BIGINT) AS ellipsis_line_ppm,
+               CAST(CASE WHEN n_lines > 0
+                         THEN bul * 1000000 // n_lines
+                         ELSE 0 END AS BIGINT) AS bullet_line_ppm,
+               CAST(CASE WHEN n_words > 0
+                         THEN alpha * 1000000 // n_words
+                         ELSE 0 END AS BIGINT) AS alpha_word_ppm,
+               stopword_hits
+        FROM m)
+    SELECT *,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER)
+               AS ok_word_count,
+           CAST(mean_word_len_milli >= 3000
+                AND mean_word_len_milli <= 10000 AS INTEGER)
+               AS ok_word_len,
+           CAST(ellipsis_line_ppm <= 300000 AS INTEGER) AS ok_ellipsis,
+           CAST(bullet_line_ppm <= 900000 AS INTEGER) AS ok_bullets,
+           CAST(alpha_word_ppm >= 800000 AS INTEGER) AS ok_alpha,
+           CAST(stopword_hits >= 2 AS INTEGER) AS ok_stopwords,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len_milli >= 3000
+                AND mean_word_len_milli <= 10000
+                AND ellipsis_line_ppm <= 300000
+                AND bullet_line_ppm <= 900000
+                AND alpha_word_ppm >= 800000
+                AND stopword_hits >= 2 AS INTEGER) AS passes_gopher
+    FROM r
+    """,
+    tags=("quality", "text", "token-count"),
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter rules per document
+    (operators/text.py:gopher_quality_flags, Rae et al. 2021 App. A):
+    word-count band, mean word length, ellipsis/bullet line ratios,
+    alpha-word fraction, required-stopword hits — each measure exact
+    integer arithmetic, each rule a 0/1 flag, plus the conjunction —
+    the production crawl gate, as a pure projection."""
+    from event_streaming_service_spark.operators import text as _t
+    return _t.gopher_quality_flags(_docs(spark, sf_dir))

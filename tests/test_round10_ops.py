@@ -742,3 +742,50 @@ def test_negative_sampling_keep_formula(spark):
         want = min(1_000_000,
                    math.floor((math.sqrt(x) + x) * 1e6 + 0.5))
         assert out[tok]["keep_ppm"] == want
+
+
+# ---- Gopher quality rules -----------------------------------------
+
+
+def test_gopher_rules_hand_cases(spark):
+    good = " ".join(
+        ["the quick brown foxes and wolves sprint through it on"] * 6)
+    short = "too short"
+    symbols = " ".join(["@@@@ ####"] * 40)
+    bullets = "\n".join(["- item one two three"] * 10)
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, bullets)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.gopher_quality_flags(docs).collect()}
+    g = out[1]
+    assert g["n_words"] == 60 and g["passes_gopher"] == 1
+    assert out[2]["ok_word_count"] == 0 and out[2]["passes_gopher"] == 0
+    s = out[3]
+    assert s["ok_alpha"] == 0 and s["ok_stopwords"] == 0
+    assert s["alpha_word_ppm"] == 0
+    b = out[4]
+    assert b["bullet_line_ppm"] == 1_000_000
+    assert b["ok_bullets"] == 0
+
+
+def test_gopher_measures_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "one line...\n- bullet line\nplain line here")],
+        "doc_id long, text string")
+    r = text.gopher_quality_flags(docs).collect()[0]
+    assert r["n_lines"] == 3
+    assert r["ellipsis_line_ppm"] == 1_000_000 // 3
+    assert r["bullet_line_ppm"] == 1_000_000 // 3
+    assert r["n_words"] == 8
+    # chars: oneline...(11)+-(1)+bullet(6)+line(4)+plain(5)+line(4)
+    #        +here(4) + 'line'(4 from first line? no: 'one','line...')
+    chars = sum(len(w) for w in
+                "one line... - bullet line plain line here".split())
+    assert r["mean_word_len_milli"] == chars * 1000 // 8
+
+
+def test_gopher_empty_doc_fails(spark):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = text.gopher_quality_flags(docs).collect()[0]
+    assert r["n_words"] == 0 and r["passes_gopher"] == 0
