@@ -158,3 +158,31 @@ def test_train_codebook_floor_division_matches_oracle_on_negatives(spark):
         for (k, i), (s, n) in sums.items():
             expect[k][m * d_sub + i] = s // n
     assert trained == expect
+
+
+def test_pq_arrow_and_jvm_paths_bit_identical(spark):
+    """Round 10 made the Arrow kernels the DEFAULT execution path of
+    the registered PQ queries; this pins that both paths stay
+    bit-identical at unit scale (the scale probe asserts it at 2M)."""
+    emb = _emb(spark, n=50, dim=16, seed=23)
+    kw = dict(k=7, m_sub=4, n_codes=8, query_mod=17)
+    a = sorted(tuple(r) for r in
+               pq.pq_topk(emb, use_arrow=True, **kw).collect())
+    b = sorted(tuple(r) for r in
+               pq.pq_topk(emb, use_arrow=False, **kw).collect())
+    assert a and a == b
+
+
+def test_ivf_arrow_and_jvm_paths_bit_identical(spark):
+    from event_streaming_service_spark.operators import similarity
+
+    emb = _emb(spark, n=60, dim=16, seed=29)
+    qs = emb.filter("vec_id < 6")
+    kw = dict(n_cells=8, n_probe=3)
+    a = sorted(tuple(r) for r in
+               similarity.ivf_cosine_topk(qs, emb, 5, use_arrow=True,
+                                          **kw).collect())
+    b = sorted(tuple(r) for r in
+               similarity.ivf_cosine_topk(qs, emb, 5, use_arrow=False,
+                                          **kw).collect())
+    assert a and a == b
