@@ -8,7 +8,7 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect).
 
-Protocol (VERDICT r2 items #1c/#2):
+Protocol (VERDICT r2 items #1c/#2, r10 item #1):
   * fixtures are first rewritten into multi-file splittable parquet
     (sources/fixtures.py) so scans parallelize like any real table —
     the driver fixtures are single-row-group files whose scans are
@@ -21,22 +21,34 @@ Protocol (VERDICT r2 items #1c/#2):
     per-query regressions; warmed best-of-N makes BENCH_r*.json
     round-to-round comparable.
   * the whole sweep runs in S separate Spark sessions
-    (S = $SPARK_GRAFT_BENCH_SESSIONS, default 2) with the session torn
+    (S = $SPARK_GRAFT_BENCH_SESSIONS, default 3) with the session torn
     down and rebuilt in between, and each query reports its MINIMUM
-    across sessions (VERDICT r3 item #2): the shared host shows
-    occasional multi-second load spikes, and a spike during one
-    session's best-of-N previously landed in the recorded JSON as a
-    fake per-query regression (round 3: sliding_hourly_counts 0.94 s
-    recorded vs 0.21 s warmed minimum on identical code). Minima over
-    time-separated sessions are the noise-resistant estimate the
-    BENCH_NOTES protocol already used; now the driver-visible JSON is
-    computed the same way.
+    across sessions (VERDICT r3 item #2): minima over time-separated
+    sessions are the noise-resistant estimate on a shared host.
+  * BUDGET-AWARE (VERDICT r10 item #1): the round-10 driver bench was
+    killed at its ~3600 s wall-clock limit (rc=124) and recorded
+    nothing. The sweep now runs under an internal budget
+    ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 3000 s) and degrades
+    instead of dying: later sessions are skipped when the measured
+    cost of the previous session does not fit the remaining budget,
+    the per-query loop stops at the deadline, and the final JSON line
+    is ALWAYS emitted with whatever was measured ("truncated": true
+    when cut short). SIGTERM/SIGALRM emit the same line immediately,
+    so even an external kill leaves a parseable record.
+  * the headline list itself is rotated (VERDICT r10 item #1b): the
+    driver-facing run times BENCH_QUERIES, a ~100-name representative
+    set (every operator family, the current perf-fix targets, the
+    newest wave). The full inventory lives in BENCH_QUERIES_FULL and
+    is measured locally with SPARK_GRAFT_BENCH_FULL=1, which refreshes
+    BENCH_FULL.json; the rotated driver run writes BENCH_LAST.json and
+    never clobbers the full record with a subset.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -48,9 +60,10 @@ from event_streaming_service_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Headliners: one per operator family, weighted toward the plans that
-# stress shuffle/join/agg shape at scale.
-BENCH_QUERIES = [
+# Full headliner inventory: one per operator family, weighted toward
+# the plans that stress shuffle/join/agg shape at scale. Measured
+# locally (SPARK_GRAFT_BENCH_FULL=1) into BENCH_FULL.json.
+BENCH_QUERIES_FULL = [
     "tpch_q1_pricing_summary",      # scan-heavy 8-agg groupBy
     "tpch_q3_shipping_priority",    # selective 3-way join + top-k
     "tpch_q5_local_supplier_volume",  # 6-way join
@@ -236,44 +249,194 @@ BENCH_QUERIES = [
     "minhash_jaccard_error_report",  # sketch-accuracy audit
     "logreg2_purchase_model",        # 3-round Newton logistic GLM
     "vocab_growth_by_lang",          # Chao1 + Good-Turing unseen mass
+    "conformal_ols2_value_interval",  # split-conformal 95% interval
+    "readability_scores",            # Flesch reading ease
+    "idf_weighted_jaccard_pairs",    # IDF-weighted dedup verifier
+    "welch_ttest_value_drift",       # unequal-variance t drift test
+    "changepoint_value_trend",       # segmented-regression breakpoint
+    "skipgram_pairs_top",            # word2vec skip-gram pair counts
+    "negative_sampling_table",       # c^0.75 + subsampling tables
+    "gopher_quality_flags",          # Gopher rule-bundle projection
 ]
 
+# Driver-facing rotation (VERDICT r10 item #1b): a ~100-name
+# representative subset — every operator family keeps at least one
+# row, the current perf-fix targets and the newest wave are all in,
+# and the projected wall cost fits the driver's ~3600 s kill with
+# margin (r9's 163-name sweep barely passed; r10's 172-name sweep
+# died). Dropped rows are the cheap family-redundant ones plus the
+# two 24 s adamic-adar heavies (graph family keeps pagerank/HITS/LPA;
+# the adamics stay in BENCH_QUERIES_FULL / BENCH_NOTES).
+_ROTATION_DROPS = {
+    # TPC-H: 8 representative shapes stay (q1 q2 q3 q5 q9 q18 q19 q21)
+    "tpch_q7_nation_volume", "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue", "tpch_q8_market_share",
+    "tpch_q16_supplier_part_spec_counts",
+    # graph heavies: family represented by pagerank/hits/lpa
+    "adamic_adar_copurchase", "adamic_adar_capped",
+    "wl_roles_copurchase", "kcore_copurchase",
+    "triangle_count_copurchase", "ppr_trade_neighborhood",
+    "degree_assortativity_copurchase",
+    # near-dup: jaccard/lsh/clusters/containment stay
+    "near_dup_survivors_by_quality",
+    # segmented twins of operators already represented
+    "transition_matrix_segmented", "ewma_segmented_per_user",
+    # multimodal: png/jpeg/jpeg_color/gif/mjpeg/audio stay
+    "multimodal_features_jpeg_progressive",
+    "multimodal_features_jpeg_progressive_color",
+    "video_frames_gif", "multimodal_resize_gif",
+    "audio_fingerprint_dupes", "image_dhash_groups",
+    # text: core scoring/filter/tokenizer rows stay
+    "bpe_merge_pairs", "vocab_coverage", "rake_keyphrases_top20",
+    "ngram_novelty_ratio", "zipf_slope_tokens", "doc_chunks_rag",
+    "heavy_hitter_tokens", "longest_repeated_ngram",
+    # analytics: drift/GLM/robust/survival anchors stay
+    "auc_purchase_score", "avg_precision_purchase",
+    "calibration_ece_bins", "chi2_type_weekday",
+    "info_gain_price_splits", "psi_value_drift", "cusum_value_alerts",
+    "holt_trend_per_user", "twa_value_per_user",
+    "value_trend_per_user", "winsorized_price_stats",
+    "quantile_normalize_values", "u_shaped_attribution",
+    "ltv_by_cohort_month", "weekly_revenue_wow", "ohlc_bars_daily",
+    "rolling_7d_revenue", "activity_streaks_per_user",
+    "abc_classification_parts", "order_value_deciles",
+    "rfm_customer_segments", "interval_coverage_supplier",
+    "dyadic_quantile_sketch_prices", "theil_sen_value_trend",
+    "bootstrap_mean_ci_by_type",
+    # retrieval/fusion: bm25 + dirichlet + knn stay
+    "rrf_fused_topk", "association_rules_lift", "knn_label_vote",
+    # ops surfaces: the cheap redundant ones
+    "table_profile_surface", "data_quality_report",
+    "group_split_leakproof", "curriculum_quality_buckets",
+    "supplier_balance_rank_profile", "pareto_frontier_parts",
+    "inverted_index_terms", "incremental_rollup_events",
+}
+BENCH_ROTATION = [n for n in BENCH_QUERIES_FULL if n not in _ROTATION_DROPS]
 
-def main() -> None:
-    _load_all()
+FULL_MODE = os.environ.get("SPARK_GRAFT_BENCH_FULL", "0") == "1"
+BENCH_QUERIES = BENCH_QUERIES_FULL if FULL_MODE else BENCH_ROTATION
+
+# Internal wall-clock budget (seconds). The driver kills bench runs at
+# ~3600 s; finishing under 3000 s leaves margin for fixture prep and
+# JVM teardown even on a loaded host.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000"))
+
+_START = time.monotonic()
+
+# Mutable sweep state shared with the signal handler so an external
+# SIGTERM (the driver's timeout grace signal) still emits the record.
+_STATE: dict = {"timings": {}, "sessions_completed": 0, "truncated": False,
+                "prep_sec": 0.0, "emitted": False}
+
+
+def _emit(truncated: bool | None = None) -> None:
+    if _STATE["emitted"]:
+        return
+    _STATE["emitted"] = True
     repo_root = os.path.dirname(os.path.abspath(__file__))
-
-    prep_sec = 0.0
-    bench_dir = SF_DIR
-    if os.environ.get("SPARK_GRAFT_NO_SPLIT", "0") != "1":
-        from event_streaming_service_spark.sources.fixtures import (
-            prepare_splittable)
-        t0 = time.perf_counter()
-        bench_dir = prepare_splittable(
-            SF_DIR, os.path.join(repo_root, ".bench_cache"))
-        prep_sec = round(time.perf_counter() - t0, 3)
-
-    # cache-heavy queries share each session; on the default 8g heap
-    # late queries time GC pressure, not their plans (observed 3-5x
-    # per-query noise). The host has 128 GiB — use a real slice of it.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    timings = {n: round(s, 3) for n, s in _STATE["timings"].items()}
+    total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
     except ValueError:
         sf_num = -1.0
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "fixture_prep_sec": _STATE["prep_sec"],
+        "runs_per_query": _STATE.get("runs", 0),
+        "sessions": _STATE["sessions_completed"],
+        "planned_queries": len(BENCH_QUERIES),
+        "measured_queries": len(timings),
+        "wall_sec": round(time.monotonic() - _START, 1),
+        "list": "full" if FULL_MODE else "rotation",
+    }
+    if truncated if truncated is not None else _STATE["truncated"]:
+        full["truncated"] = True
+    full_line = json.dumps(full)
+    # The rotated driver run must never clobber the full-list record.
+    out_name = "BENCH_FULL.json" if FULL_MODE else "BENCH_LAST.json"
+    try:
+        with open(os.path.join(repo_root, out_name), "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass
+    print(full_line)
+    # Output protocol (VERDICT r4 item #2): the driver tail-captures
+    # only the last ~2000 bytes of stdout and parses the LAST line.
+    # Keep the LAST line compact enough to always fit that window.
+    if len(full_line) > 1500:
+        compact = dict(full)
+        compact["queries_file"] = out_name
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+        compact["queries"] = dict(slowest)
+        print(json.dumps(compact))
+    sys.stdout.flush()
+
+
+def _signal_emit(signum, frame):  # pragma: no cover - exercised by kill
+    _STATE["truncated"] = True
+    _emit(truncated=True)
+    os._exit(0)
+
+
+def main() -> None:
+    signal.signal(signal.SIGTERM, _signal_emit)
+    signal.signal(signal.SIGALRM, _signal_emit)
+    # Hard backstop just under the external kill: if the budget logic
+    # ever misjudges, the alarm emits the record before the driver's
+    # SIGKILL can zero it.
+    signal.alarm(int(max(BUDGET_SEC * 1.15, BUDGET_SEC + 120)))
+
+    _load_all()
+
+    if os.environ.get("SPARK_GRAFT_NO_SPLIT", "0") != "1":
+        from event_streaming_service_spark.sources.fixtures import (
+            prepare_splittable)
+        t0 = time.perf_counter()
+        bench_dir = prepare_splittable(
+            SF_DIR, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".bench_cache"))
+        _STATE["prep_sec"] = round(time.perf_counter() - t0, 3)
+    else:
+        bench_dir = SF_DIR
+
+    # cache-heavy queries share each session; on the default 8g heap
+    # late queries time GC pressure, not their plans (observed 3-5x
+    # per-query noise). The host has 128 GiB — use a real slice of it.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 
     # three time-separated sessions (VERDICT r4 item #6): the 2-session
-    # minimum still let host-load spikes through for asof/per_key
-    # walls; a third session costs ~50% more bench time and makes the
-    # recorded minimum robust to a spike landing inside one session.
+    # minimum still let host-load spikes through; a third session makes
+    # the recorded minimum robust to a spike landing inside one session.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3")))
-    timings: dict[str, float] = {}
-    for _session in range(sessions):
+    _STATE["runs"] = runs
+    deadline = _START + BUDGET_SEC
+
+    timings = _STATE["timings"]
+    session_cost = 0.0
+    for session_i in range(sessions):
+        remaining = deadline - time.monotonic()
+        if session_i > 0 and session_cost * 1.1 > remaining:
+            # Degrade sample quality, never the record: first try a
+            # cheaper best-of-(runs-1) pass, else stop with the minima
+            # measured so far.
+            if session_cost * (runs / (runs + 1.0)) * 1.1 <= remaining and runs > 1:
+                runs -= 1
+            else:
+                break
+        t_session = time.monotonic()
         spark = get_spark("bench", cpus=CPUS,
                           shuffle_partitions=max(CPUS, 32))
         for name in BENCH_QUERIES:
+            if time.monotonic() > deadline:
+                _STATE["truncated"] = True
+                break
             # untimed warmup: JIT/codegen, Arrow workers, shuffle dirs
             REGISTRY[name].builder(spark, bench_dir) \
                 .write.format("noop").mode("overwrite").save()
@@ -292,36 +455,13 @@ def main() -> None:
             # session numbers don't absorb GC pressure from earlier ones
             spark.catalog.clearCache()
         spark.stop()
+        session_cost = time.monotonic() - t_session
+        _STATE["sessions_completed"] = session_i + 1
+        if _STATE["truncated"]:
+            break
 
-    timings = {name: round(sec, 3) for name, sec in timings.items()}
-    total = round(sum(timings.values()), 3)
-    full = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_num,
-        "fixture_prep_sec": prep_sec,
-        "runs_per_query": runs,
-        "sessions": sessions,
-    }
-    # Output protocol (VERDICT r4 item #2): the driver tail-captures
-    # only the last ~2000 bytes of stdout and parses the LAST line.
-    # The full per-query map outgrew that window in round 4
-    # (BENCH_r04 "parsed": null), so: persist the full record to
-    # BENCH_FULL.json, print it on an early line for humans, and make
-    # the LAST line a compact headline JSON guaranteed to fit the
-    # capture window (per-query map recoverable from the file).
-    full_line = json.dumps(full)
-    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
-        f.write(full_line + "\n")
-    print(full_line)
-    if len(full_line) > 1500:
-        compact = dict(full)
-        compact["queries_file"] = "BENCH_FULL.json"
-        slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
-        compact["queries"] = dict(slowest)
-        print(json.dumps(compact))
+    signal.alarm(0)
+    _emit()
 
 
 if __name__ == "__main__":

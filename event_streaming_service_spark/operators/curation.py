@@ -226,6 +226,18 @@ def bpe_learn_merges(docs: DataFrame, text_col: str = "text",
                         .alias("w"))
              .where(F.length("w") >= 1)
              .groupBy("w").agg(F.count(F.lit(1)).alias("wc")))
+    return _learn_merges_from_vocab(vocab, n_merges)
+
+
+def _learn_merges_from_vocab(vocab: DataFrame,
+                             n_merges: int) -> DataFrame:
+    """The merge-round loop of bpe_learn_merges over a prebuilt
+    (w, wc) vocabulary frame — split out so bpe_encode_stats can feed
+    the SAME persisted word grain to the learner and the encoder
+    (VERDICT r10 item #6: learn+apply used to tokenize the corpus
+    twice). Plan per round is unchanged: one split+explode over the
+    vocab, one hash agg, a 1-row argmax localCheckpoint broadcast
+    back, one replace projection, vocab localCheckpoint."""
     sep_string = F.concat(
         F.lit("|"),
         F.concat_ws("||", F.expr(
@@ -365,15 +377,12 @@ def bpe_encode_stats(docs: DataFrame, id_col: str = "doc_id",
     and ENCODING IS A PURE PROJECTION: the replace chain inlines the
     collected merges as literals over the distinct-word grain, so the
     corpus is never exploded to characters — the heavy object is the
-    vocabulary, exactly like the trainer. One tokenize pass builds the
-    (doc, word, count) grain; the encoded word grain joins back on the
-    word. Documents with zero valid tokens are absent (inner
-    semantics, same in the oracle)."""
-    merge_rows = sorted(
-        (int(r["merge_rank"]), r["lhs"], r["rhs"])
-        for r in bpe_learn_merges(docs, text_col=text_col,
-                                  n_merges=n_merges).collect())
-
+    vocabulary, exactly like the trainer. ONE tokenize pass builds the
+    persisted (doc, word, count) grain that feeds BOTH the learner's
+    vocabulary (one further hash agg to word grain) and the encoder's
+    join-back (VERDICT r10 item #6: learn+apply previously tokenized
+    the corpus twice). Documents with zero valid tokens are absent
+    (inner semantics, same in the oracle)."""
     tok = (fan_out(docs)
            .select(F.col(id_col),
                    F.explode(tokens(F.col(text_col))).alias("w")))
@@ -382,7 +391,13 @@ def bpe_encode_stats(docs: DataFrame, id_col: str = "doc_id",
                          .alias("w"))
               .where(F.length("w") >= 1)
               .groupBy(id_col, "w")
-              .agg(F.count(F.lit(1)).alias("n")))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .persist())
+    vocab = wgrain.groupBy("w").agg(F.sum("n").cast("bigint")
+                                    .alias("wc"))
+    merge_rows = sorted(
+        (int(r["merge_rank"]), r["lhs"], r["rhs"])
+        for r in _learn_merges_from_vocab(vocab, n_merges).collect())
 
     sep_string = F.concat(
         F.lit("|"),

@@ -43,61 +43,65 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 item #1): drain the ENTIRE
-    # 25-name round-9 PENDING_ROTATION queue (the only oracle-backed
-    # queries never driver-verified), re-verify the FOUR queries whose
-    # plans change this round (the PQ/IVF Arrow-kernel switch —
-    # VERDICT r9 items #2/#7; spearman/xcorr/containment also changed
-    # but already sit in the queue), include the two untagged round-1
-    # rows (VERDICT r9 item #4), and close the tag set with a greedy
-    # 19-anchor cover preferring the least-recently-green provider at
-    # equal slot cost. The budget is exactly full; the r2/r3
-    # oldest-green block (doc_text_metrics, session_windows_30m,
-    # tpch_q19/q5, tumbling_daily_by_type, then the 47 r3 names)
-    # gets the round-11 rotation, where the drained queue frees ~25
-    # slots.
+    # Round-11 rotation (VERDICT r10 items #2/#3): drain the ENTIRE
+    # 17-name round-10 PENDING_ROTATION queue (the only oracle-backed
+    # queries never driver-verified), re-verify the two queries whose
+    # plans change this round (containment's shared shingle grain and
+    # the BPE learn/apply shared vocab frame — VERDICT r10 items
+    # #5/#6), then start the r2/r3 oldest-green backlog: all five
+    # round-2 rows plus every round-3 multi-tag anchor the tag-closure
+    # budget can carry. The closure itself is a feasibility-guarded
+    # greedy cover (tools-computed this round): old providers win a
+    # slot whenever the remaining tags stay coverable, the
+    # sole-source tags take their forced newer providers. ~65 r3/r4
+    # names remain after this round; the r12 rotation (queue expected
+    # small) clears ~40 and r13 the rest.
     #
-    # -- never driver-verified: the full round-9 rotation queue --
-    "adamic_adar_capped", "bpe_learned_merges",
-    "langid_ngram_confusion", "neyman_stratified_sample",
-    "ann_recall_report", "ann_beam_graph_topk",
-    "cuped_ab_adjusted", "markov_stationary_types",
-    "kaplan_meier_conversion", "containment_doc_pairs",
-    "acf_hourly_by_type", "theil_sen_value_trend",
-    "bootstrap_mean_ci_by_type", "ivf_recall_report",
-    "ols2_value_by_time", "gini_revenue_by_nation",
-    "fano_burstiness_by_type", "xcorr_hourly_types",
-    "ks_value_drift", "spearman_price_quantity",
-    "mixture_sampling_weights", "hits_trade_hubs",
-    "lpa_communities_copurchase", "mutual_knn_pairs",
-    "mann_kendall_value_trend",
-    # -- green before, but their execution path changes THIS round
-    #    (Arrow kernels became the default: pq_topk use_arrow,
-    #    ivf_pq_topk_arrow, ivf_cosine_topk use_arrow) — re-verify,
-    #    never assume --
-    "pq_cosine_topk", "pq_trained_topk", "ivfpq_cosine_topk",
-    "ivf_cosine_topk",
-    # -- the two round-1 rows with no operator tags, deferred by the
-    #    round-9 budget comment; nine rounds unchecked --
-    "salted_hot_key_agg", "scd2_customer_updates",
-    # -- tag-closure anchors (greedy set cover over the tags the 31
-    #    rows above leave uncovered; at equal slot cost the oldest
-    #    green provider wins — verified vs alternatives) --
-    "routing_pipeline_surface",   # 17 tags: D/P/R/S3/W5/W6 families
-    "ops_catalog_surface",        # 16 tags: A/J1/O/P5/P6/S5-S9/2.10
-    "corpus_pipeline_surface",    # 2.11/packing/scrub/mmlsh/quality
+    # -- never driver-verified: the full round-10 rotation queue --
+    "kn_bigram_lm_scores", "bpe_encoded_doc_stats",
+    "pca_pc1_scores", "bh_fdr_value_drift",
+    "lm_quality_filter_en", "dirichlet_ql_scores",
+    "minhash_jaccard_error_report", "logreg2_purchase_model",
+    "vocab_growth_by_lang", "conformal_ols2_value_interval",
+    "readability_scores", "idf_weighted_jaccard_pairs",
+    "welch_ttest_value_drift", "changepoint_value_trend",
+    "skipgram_pairs_top", "negative_sampling_table",
+    "gopher_quality_flags",
+    # -- green before, but their plans change THIS round (shared
+    #    persisted shingle grain in containment; shared vocab frame in
+    #    the BPE learn/apply pair) — re-verify, never assume --
+    "containment_doc_pairs", "bpe_learned_merges",
+    # -- the round-2 block: the five oldest-green rows in the repo --
+    "doc_text_metrics", "session_windows_30m",
+    "tpch_q19_disjunctive_join", "tpch_q5_local_supplier_volume",
+    "tumbling_daily_by_type",
+    # -- round-3 multi-tag anchors (oldest-green cover providers) --
+    "routing_surface",            # 10 tags: R1-R11 key strategies
+    "catalog_surface",            # topics/groups/subscriptions O/P6/S8
+    "lag_surface",                # A1/A2/A3 ROLLUP lag grains
+    "pipeline_dispositions",      # P3/S3/W5/W6 disposition split
+    "tpch_q18_large_volume_customers",  # A-family agg-in-join
+    # -- fresh surfaces the closure arithmetic forces (84 tags over
+    #    31 free slots needs >2.5 tags/slot; these are the compressors) --
     "governance_surface",         # 2.9/A8/A9/A11/calendar/listagg
+    "ops_catalog_surface",        # A4/J1/O/P5/S5-S9/2.10
     "streaming_core_surface",     # W1/W4/W8/W9/rollup/streaming
+    "corpus_pipeline_surface",    # 2.11/packing/scrub/mmlsh/quality
     "envelope_props_surface",     # P1/P2/P7/map-ops
-    "corpus_fingerprint_surface",  # dedup-exact/-simhash/fingerprint
     "joins_surface",              # 2.6-range/J4/J5
+    "ann_cosine_surface",         # ann-baseline/ann-lsh/similarity
+    "corpus_fingerprint_surface",  # dedup-exact/-simhash/fingerprint
     "window_functions_profile",   # 2.7/W2
-    "cdc_merge_upsert",           # 2.6+J3 (r8; oldest dual provider)
-    "tpch_q15_top_supplier",      # O4+tpch (r4; oldest dual provider)
-    "embedding_near_dup_pairs",   # dedup-embedding (r3, oldest)
-    "kmv_distinct_users_by_type",  # 2.12-sketch (r7, oldest)
-    "video_frames_mjpeg",         # 2.12-video (r7, oldest)
-    "winnow_fingerprint_stats",   # 2.12-fingerprint (r7, oldest)
+    "cdc_merge_upsert",           # 2.6+J3
+    "routing_pipeline_surface",   # D1/P8 + retry families
+    # -- sole-source / no-old-provider tags (forced picks, oldest
+    #    provider preferred at equal slot cost) --
+    "dataset_split_assignment",   # 2.12-sampling (r6, oldest)
+    "adamic_adar_copurchase",     # 2.12-graph (r7, oldest)
+    "kmv_intersection_click_purchase",  # 2.12-sketch (r7, oldest)
+    "seasonal_hourly_anomalies",  # 2.12-timeseries (r8, oldest)
+    "video_frames_apng",          # 2.12-video (r8, oldest)
+    "winnow_shared_pairs",        # 2.12-fingerprint (r9, oldest)
     "late_drop_counts",           # W3 (sole source)
     "mmr_diverse_topk",           # 2.12-mmr (sole source)
     "proto_wire_roundtrip",       # S10 (sole source)
@@ -107,70 +111,10 @@ PRIORITY: tuple[str, ...] = (
 # Oracle-backed queries waiting for a driver slot (bounded <= 25,
 # drained by the NEXT round's rotation — tests/test_priority.py).
 PENDING_ROTATION: tuple[str, ...] = (
-    # Round 10 starts with an EMPTY queue: the round-9 queue was
-    # drained into the budget above. New round-10 registrations append
+    # Round 11 starts with an EMPTY queue: the round-10 queue was
+    # drained into the budget above. New round-11 registrations append
     # here (each must be drive_contract-green locally — hash + schema
     # — before it is queued: the freeze rule).
-    #
-    # interpolated Kneser-Ney bigram LM perplexity per doc — the real
-    # LM quality score (continuation-count backoff) unigram_lm_scores
-    # proxies; pin-before-sum micro-nats
-    "kn_bigram_lm_scores",
-    # BPE APPLY: encode docs with the learned merge table replayed in
-    # rank order (literal replace chain over the distinct-word grain)
-    # — closes the tokenizer loop bpe_learned_merges opened
-    "bpe_encoded_doc_stats",
-    # first-principal-axis scores via exact integer power iteration
-    # on the Gram tree-aggregate kernel (8 fixed-point rounds, oracle
-    # unrolled over a HUGEINT grid)
-    "pca_pc1_scores",
-    # Benjamini-Hochberg FDR over the per-type KS drift tests
-    # (3-term asymptotic p-values in ppm; integer BH boundary)
-    "bh_fdr_value_drift",
-    # CCNet-style perplexity-ratio filter: English-domain vs general
-    # unigram LM, shared-vocabulary Laplace smoothing, micro-nat delta
-    "lm_quality_filter_en",
-    # Dirichlet-smoothed query likelihood (Zhai-Lafferty, mu=2000) —
-    # the probabilistic lexical ranker next to BM25; absent terms
-    # score the background model
-    "dirichlet_ql_scores",
-    # MinHash estimation-error audit: signature-estimated vs exact
-    # Jaccard per LSH candidate pair + corpus MAE (the dedup family's
-    # eval layer, mirroring ann_recall_report)
-    "minhash_jaccard_error_report",
-    # two-feature logistic regression by 3 unrolled Newton/IRLS
-    # rounds: pinned sigmoid per row, exact integer moments, shared
-    # Cramer solve — the GLM sibling of ols2_value_by_time
-    "logreg2_purchase_model",
-    # Chao1 richness + Good-Turing unseen mass per language — the
-    # vocabulary-growth readout; exact integer arithmetic
-    "vocab_growth_by_lang",
-    # split-conformal 95% prediction interval for the ols2 model:
-    # hash-split train/calibrate, pinned residuals, exact
-    # ceil(0.95 n)-th order statistic — distribution-free uncertainty
-    "conformal_ols2_value_interval",
-    # Flesch reading ease: exact word/sentence/vowel-run counts, one
-    # pinned float spelling — the audience-level curation signal
-    "readability_scores",
-    # IDF-weighted Jaccard over the LSH candidates: ln(N/df)
-    # micro-nat shingle weights zero out boilerplate overlap — the
-    # production second-stage dedup verifier
-    "idf_weighted_jaccard_pairs",
-    # Welch unequal-variance t-test per type between the halves: the
-    # parametric mean-shift member of the drift suite; t + df pinned
-    # to milli from exact decimal moments, one hash aggregate
-    "welch_ttest_value_drift",
-    # single-changepoint segmented regression over a literal Jan-1
-    # breakpoint grid: two OLS fits per candidate scored by exact
-    # decimal-moment SSE in ONE aggregate; argmin flagged
-    "changepoint_value_trend",
-    # word2vec data prep: skip-gram (center, context) pair counts
-    # within a +-2 window as a pure array expression (no join), and
-    # the c^0.75 negative-sampling + t=1e-5 subsampling tables
-    "skipgram_pairs_top", "negative_sampling_table",
-    # the published Gopher quality-filter rule bundle per doc: exact
-    # integer measures + 0/1 flags + the conjunction, pure projection
-    "gopher_quality_flags",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

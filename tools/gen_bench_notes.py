@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from bench import BENCH_QUERIES, CPUS, SF_DIR
+from bench import BENCH_QUERIES_FULL as BENCH_QUERIES, CPUS, SF_DIR
 from event_streaming_service_spark.queries import REGISTRY, _load_all
 from event_streaming_service_spark.session import get_spark
 from event_streaming_service_spark.sources.tables import TABLE_NAMES

@@ -45,8 +45,12 @@ def main() -> None:
         spec = REGISTRY[name]
         best_s = float("inf")
         for i in range(3):
-            df = spec.builder(spark, bench_dir)
+            # builder INSIDE the timer (the bench.py / gen_bench_notes
+            # convention): iterative operators do real eager work at
+            # build time — timing only the noop write under-reported
+            # them and made pair rows incomparable with BENCH_NOTES
             t0 = time.perf_counter()
+            df = spec.builder(spark, bench_dir)
             df.write.format("noop").mode("overwrite").save()
             if i > 0:
                 best_s = min(best_s, time.perf_counter() - t0)
