@@ -257,6 +257,10 @@ BENCH_QUERIES_FULL = [
     "skipgram_pairs_top",            # word2vec skip-gram pair counts
     "negative_sampling_table",       # c^0.75 + subsampling tables
     "gopher_quality_flags",          # Gopher rule-bundle projection
+    # round 11
+    "kmeans_embedding_clusters",     # full-vector integer-Lloyd k-means
+    "logreg2_cell_scores",           # logistic train->apply calibration
+    "paragraph_dedup_stats",         # CCNet paragraph-grain exact dedup
 ]
 
 # Driver-facing rotation (VERDICT r10 item #1b): a ~100-name

@@ -928,3 +928,58 @@ def idf_weighted_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.expr("CAST(shared_w * 1000000"
                " DIV GREATEST(total_w_a + total_w_b - shared_w, 1)"
                " AS BIGINT)").alias("wjaccard_ppm"))
+
+
+def paragraph_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          para_len: int = 16) -> DataFrame:
+    """Paragraph-grain exact dedup statistics — the CCNet-style
+    sub-document pass real pipelines run BEFORE doc-level LSH
+    (Wenzek et al. 2020 hash each paragraph and drop repeats; the
+    boilerplate a doc-grain Jaccard never sees lives at this grain).
+    Documents are segmented into fixed `para_len`-token paragraphs
+    (the fixture corpus carries no newline structure, so the segment
+    boundary is the token count — the same windowing device as
+    doc_chunks_rag), each paragraph keyed by its EXACT token string,
+    and every paragraph is counted corpus-wide. Per document:
+
+        n_paragraphs            segments emitted
+        n_distinct_paragraphs   distinct segment strings (intra-doc
+                                repetition shows as n - distinct)
+        n_dup_paragraphs        segments whose corpus-wide occurrence
+                                count exceeds 1 (the mass a CCNet
+                                paragraph filter would drop/share)
+        dup_ppm                 n_dup * 1e6 DIV n_paragraphs (exact)
+
+    Scale shape: one tokenize pass, one explode to paragraph grain
+    (persisted — the frequency aggregate and the join-back both read
+    it), one hash aggregate to paragraph grain, one equi-join back.
+    At 100 TB the paragraph key would be the 128-bit fingerprint
+    (exact_canonical's convention) instead of the raw string; the
+    string key here keeps the oracle exact with zero collision
+    caveats."""
+    toks = (fan_out(docs)
+            .select(id_col, tokens(F.col(text_col)).alias("__t"))
+            .filter(F.size("__t") > 0))
+    n_chunks = F.expr(f"(size(__t) + {para_len - 1}) DIV {para_len}")
+    paras = (toks.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("__t"),
+                             i * para_len + 1, para_len))))
+        .alias("para"))
+        .persist())
+    freq = (paras.groupBy("para")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt")))
+    return (paras.join(freq, "para")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+                 F.countDistinct("para").cast("bigint")
+                 .alias("n_distinct_paragraphs"),
+                 F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_paragraphs"))
+            .withColumn("dup_ppm",
+                        F.expr("n_dup_paragraphs * 1000000"
+                               " DIV n_paragraphs").cast("bigint")))

@@ -1,0 +1,91 @@
+"""Full-vector integer-Lloyd k-means over embedding columns — the
+SemDeDup-style semantic-clustering core (Abbas et al. 2023 cluster the
+corpus with k-means, then deduplicate within clusters by cosine; the
+clustering stage is this operator). Generalizes the per-subspace Lloyd
+trainer the PQ index already ships (operators/pq.py:train_codebook):
+with m_sub=1 the "subspace" is the whole vector, so codebook training
+IS k-means and code assignment IS cluster assignment — one code path,
+one parity story (the Arrow tensor kernel's bit-parity with the JVM
+expression twin is asserted by tools/scale_probe.py:pq_codes).
+
+Exactness devices (the repo conventions): clustering runs on the
+oracle-proven SQ8 integer representation; seeds are the first
+n_clusters vectors by id; assignment is integer argmin of squared L2
+with a smallest-cluster tiebreak; centroid updates are Python
+floor-divided exact integer member sums (empty clusters keep their
+previous centroid); inertia is an exact BIGINT sum — so a fixed-round
+run is a pure integer function of the data and the oracle unrolls the
+same rounds in SQL.
+
+Scale shape: per Lloyd round one Arrow assignment pass over the corpus
+plus one bounded (cluster, component)-grain aggregate (n_clusters *
+dim rows, collected — the codebook convention); the final
+assignment + inertia is ONE codegen'd projection against the literal
+centroid array (no join, no shuffle over the corpus) feeding an
+n_clusters-row aggregate. Reference parity: the reference has no
+clustering surface; this extends SURVEY.md section 2.12's
+LLM-data-pipeline mandate (dedup/similarity families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators.pq import (
+    _codebook_literal, _codes_expr, _l2, train_codebook)
+from event_streaming_service_spark.operators.quantize import quantize_codes
+
+
+def kmeans_assign(emb: DataFrame, n_clusters: int = 8,
+                  rounds: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster_id, point_inertia): train `rounds` integer Lloyd
+    rounds (train_codebook with m_sub=1 — full-vector k-means), then
+    assign every vector to its nearest final centroid and report the
+    exact squared-L2 point inertia. The literal centroid grid is
+    n_clusters * dim ints (512 at the 8x64 default) — the bounded
+    codebook-collect convention."""
+    q = quantize_codes(emb, vec_col, id_col)
+    seeds = train_codebook(q, m_sub=1, n_codes=n_clusters,
+                           lloyd_rounds=rounds, id_col=id_col)
+    dim = len(seeds[0])
+    cent = _codebook_literal(seeds, 1, dim)
+    # assignment + inertia in two chained projections (the cluster id
+    # indexes the literal grid once instead of re-running the argmin
+    # inside the inertia expression)
+    asg = (quantize_codes(emb, vec_col, id_col)
+           .select(F.col(id_col),
+                   F.col("qv"),
+                   F.element_at(
+                       _codes_expr(cent, 1, dim, n_clusters), 1)
+                   .cast("int").alias("cluster_id")))
+    return asg.select(
+        id_col, "cluster_id",
+        _l2(F.col("qv"),
+            F.element_at(F.element_at(cent, 1),
+                         F.col("cluster_id") + 1))
+        .alias("point_inertia"))
+
+
+def kmeans_cluster_report(emb: DataFrame, n_clusters: int = 8,
+                          rounds: int = 2, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster balance/inertia report over kmeans_assign: member
+    count, corpus share in exact ppm, exact BIGINT inertia, and the
+    floor-divided mean point inertia — the readout a SemDeDup-style
+    pipeline gates its per-cluster dedup fan-out on (a skewed cluster
+    is the hot key of the downstream within-cluster pair join)."""
+    pt = kmeans_assign(emb, n_clusters, rounds, id_col, vec_col)
+    rep = (pt.groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                F.sum("point_inertia").cast("bigint").alias("inertia")))
+    tot = rep.agg(F.sum("n_members").cast("bigint").alias("__n_total"))
+    return (rep.crossJoin(F.broadcast(tot))
+            .select("cluster_id", "n_members",
+                    F.expr("n_members * 1000000 DIV __n_total")
+                    .cast("bigint").alias("share_ppm"),
+                    "inertia",
+                    F.expr("inertia DIV n_members").cast("bigint")
+                    .alias("mean_point_inertia"))
+            .orderBy("cluster_id"))

@@ -115,6 +115,19 @@ PENDING_ROTATION: tuple[str, ...] = (
     # drained into the budget above. New round-11 registrations append
     # here (each must be drive_contract-green locally — hash + schema
     # — before it is queued: the freeze rule).
+    #
+    # SemDeDup-style semantic clustering: 2 full-vector integer-Lloyd
+    # rounds (pq.train_codebook at m_sub=1) + per-cluster
+    # balance/inertia report; oracle unrolls the rounds in SQL
+    "kmeans_embedding_clusters",
+    # model APPLICATION closing the logistic train->apply loop: the
+    # 3-round Newton betas score every (hour, weekday) cell via the
+    # shared sigmoid spelling, vs the exact observed rate
+    "logreg2_cell_scores",
+    # CCNet-style paragraph-grain exact dedup: fixed 16-token
+    # segments counted corpus-wide; per-doc emitted/distinct/dup
+    # counts + exact dup ratio
+    "paragraph_dedup_stats",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -700,3 +700,51 @@ def q_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     second-stage verifier production dedup stacks run behind the
     unweighted candidate generator."""
     return dedup.idf_weighted_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_PARA_LEN = 16
+
+
+@register(
+    "paragraph_dedup_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents),
+    paras AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST((len(t) + {_PARA_LEN - 1})
+                                 // {_PARA_LEN} AS INT)),
+                   i -> array_to_string(
+                       t[(i * {_PARA_LEN} + 1):
+                         (i * {_PARA_LEN} + {_PARA_LEN})], ' ')))
+                   AS para
+        FROM toks WHERE len(t) > 0),
+    freq AS (
+        SELECT para, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM paras GROUP BY para)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(COUNT(DISTINCT p.para) AS BIGINT)
+               AS n_distinct_paragraphs,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paragraphs,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM paras p JOIN freq f USING (para)
+    GROUP BY p.doc_id
+    """,
+    tags=("dedup-exact", "text", "token-count"),
+)
+def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-grain exact dedup
+    (operators/dedup.py:paragraph_dedup_stats): fixed 16-token
+    segments keyed by their exact string, counted corpus-wide; per
+    doc the emitted/distinct/duplicated segment counts and the exact
+    dup ratio — the sub-document boilerplate pass that runs BEFORE
+    doc-level MinHash-LSH in production pipelines."""
+    return dedup.paragraph_dedup_stats(_docs(spark, sf_dir),
+                                       para_len=_PARA_LEN)

@@ -1,0 +1,121 @@
+"""Round-11 operators: full-vector integer-Lloyd k-means, logistic
+train->apply cell scoring, paragraph-grain exact dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_streaming_service_spark.operators import dedup, kmeans
+
+
+# ---- k-means over embeddings --------------------------------------
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two tight planted blobs, k=2: seeds are the first 2 vectors by
+    id (one from each blob by construction), every vector must land
+    with its blob, and the report's member counts and exact inertia
+    must match the hand computation on the SQ8 representation.
+
+    With dim-wise min=0 / max=100 the SQ8 code is
+    floor((v - 0) * 254 / 100 + 0.5) - 127: v=0 -> -127, v=100 -> 127,
+    v=2 -> -122, v=98 -> 122. Blob A = {(0,0), (2,2)} (ids 0, 2),
+    blob B = {(100,100), (98,98)} (ids 1, 3)."""
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0]),
+            (2, [2.0, 2.0]), (3, [98.0, 98.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {r["cluster_id"]: r
+           for r in kmeans.kmeans_cluster_report(
+               emb, n_clusters=2, rounds=2).collect()}
+    assert set(rep) == {0, 1}
+    assert rep[0]["n_members"] == 2 and rep[1]["n_members"] == 2
+    assert rep[0]["share_ppm"] == 500_000
+    # round 1: members of cluster 0 are qv {(-127,-127), (-122,-122)}
+    # -> centroid floor-mean (-125, -125) (floor((-127-122)//2));
+    # cluster 1 {(127,127), (122,122)} -> (124, 124) ((127+122)//2).
+    # round 2: assignment unchanged, centroids unchanged.
+    # inertia cluster 0: 2*((-127+125)^2) + 2*((-122+125)^2) = 8+18=26
+    assert rep[0]["inertia"] == 26
+    assert rep[1]["inertia"] == 2 * (127 - 124) ** 2 + 2 * (122 - 124) ** 2
+    assert rep[0]["mean_point_inertia"] == 13
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    """k=3 over 2 distinct points duplicated: the third seed equals an
+    earlier one component-wise? No — seeds are the FIRST 3 vectors by
+    id, so seed 2 duplicates seed 0's position and can never win an
+    argmin tie (tiebreak smallest cluster id). It stays empty and must
+    keep its centroid without NULLing the report (absent from the
+    member report is the correct semantics)."""
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0]),
+            (2, [0.0, 0.0]), (3, [100.0, 100.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {r["cluster_id"]: r["n_members"]
+           for r in kmeans.kmeans_cluster_report(
+               emb, n_clusters=3, rounds=1).collect()}
+    # cluster 2 (duplicate of cluster 0's seed) loses every tiebreak
+    assert rep == {0: 2, 1: 2}
+
+
+# ---- paragraph-grain exact dedup ----------------------------------
+
+
+def test_paragraph_dedup_counts(spark):
+    """para_len=2 hand case: doc 1 = 'a b a b c' segments to
+    ['a b', 'a b', 'c'] (intra-doc repeat + short tail), doc 2 =
+    'a b x y' segments to ['a b', 'x y']. Corpus counts: 'a b' -> 3,
+    'c' -> 1, 'x y' -> 1."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup.paragraph_dedup_stats(
+               docs, para_len=2).collect()}
+    assert out[1]["n_paragraphs"] == 3
+    assert out[1]["n_distinct_paragraphs"] == 2
+    assert out[1]["n_dup_paragraphs"] == 2          # the two 'a b'
+    assert out[1]["dup_ppm"] == 2 * 1_000_000 // 3
+    assert out[2]["n_paragraphs"] == 2
+    assert out[2]["n_distinct_paragraphs"] == 2
+    assert out[2]["n_dup_paragraphs"] == 1          # its 'a b'
+    assert out[2]["dup_ppm"] == 500_000
+
+
+def test_paragraph_dedup_skips_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "   ")], "doc_id long, text string")
+    out = dedup.paragraph_dedup_stats(docs, para_len=2).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+# ---- logistic train->apply calibration grid ------------------------
+
+
+def test_logreg2_cell_scores_balanced_grid(spark):
+    """On a perfectly balanced 2x2 design (every cell 50% positive)
+    Newton stays at beta=0, so the model scores every cell
+    sigmoid(0) = 0.5 -> 500000000 nano, and the observed rate is
+    500000000 too: every delta is exactly zero. Features derive from
+    id//2 and id//4 so the label (id%2) is independent of both (the
+    parity-confound rule)."""
+    from event_streaming_service_spark.operators import analytics
+
+    rows = [(i % 2, (i // 2) % 2, (i // 4) % 2) for i in range(16)]
+    df = spark.createDataFrame(rows, "y int, x1 long, x2 long")
+    model = analytics.logistic2_newton(
+        df, F.col("y") == 1, "x1", "x2", rounds=3)
+    beta = model.select(F.col("b0_micro").alias("b0"),
+                        F.col("b1_micro").alias("b1"),
+                        F.col("b2_micro").alias("b2"))
+    cells = (df.groupBy("x1", "x2")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                  F.sum("y").cast("bigint").alias("n_purchases")))
+    out = (cells.crossJoin(F.broadcast(beta))
+           .withColumn("model_p_nano",
+                       F.expr(analytics.LOGIT_P_NANO_SQL))
+           .withColumn("obs_p_nano",
+                       F.expr("n_purchases * 1000000000 DIV n_events"))
+           .collect())
+    assert len(out) == 4
+    for r in out:
+        assert r["model_p_nano"] == 500_000_000
+        assert r["obs_p_nano"] == 500_000_000
