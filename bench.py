@@ -261,6 +261,7 @@ BENCH_QUERIES_FULL = [
     "kmeans_embedding_clusters",     # full-vector integer-Lloyd k-means
     "logreg2_cell_scores",           # logistic train->apply calibration
     "paragraph_dedup_stats",         # CCNet paragraph-grain exact dedup
+    "semdedup_pairs",                # within-cluster semantic near-dups
 ]
 
 # Driver-facing rotation (VERDICT r10 item #1b): a ~100-name

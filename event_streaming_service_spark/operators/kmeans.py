@@ -33,19 +33,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators.pq import (
-    _codebook_literal, _codes_expr, _l2, train_codebook)
+    _codebook_literal, _codes_expr, _dot, _l2, train_codebook)
 from event_streaming_service_spark.operators.quantize import quantize_codes
 
 
 def kmeans_assign(emb: DataFrame, n_clusters: int = 8,
                   rounds: int = 2, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(id, cluster_id, point_inertia): train `rounds` integer Lloyd
-    rounds (train_codebook with m_sub=1 — full-vector k-means), then
-    assign every vector to its nearest final centroid and report the
-    exact squared-L2 point inertia. The literal centroid grid is
+                  vec_col: str = "embedding",
+                  emit_qv: bool = False) -> DataFrame:
+    """(id, cluster_id, point_inertia[, qv]): train `rounds` integer
+    Lloyd rounds (train_codebook with m_sub=1 — full-vector k-means),
+    then assign every vector to its nearest final centroid and report
+    the exact squared-L2 point inertia. The literal centroid grid is
     n_clusters * dim ints (512 at the 8x64 default) — the bounded
-    codebook-collect convention."""
+    codebook-collect convention. `emit_qv=True` passes the SQ8 vector
+    through for downstream within-cluster scoring (semdedup_pairs)."""
     q = quantize_codes(emb, vec_col, id_col)
     seeds = train_codebook(q, m_sub=1, n_codes=n_clusters,
                            lloyd_rounds=rounds, id_col=id_col)
@@ -60,12 +62,14 @@ def kmeans_assign(emb: DataFrame, n_clusters: int = 8,
                    F.element_at(
                        _codes_expr(cent, 1, dim, n_clusters), 1)
                    .cast("int").alias("cluster_id")))
-    return asg.select(
-        id_col, "cluster_id",
-        _l2(F.col("qv"),
-            F.element_at(F.element_at(cent, 1),
-                         F.col("cluster_id") + 1))
-        .alias("point_inertia"))
+    out = [F.col(id_col), F.col("cluster_id"),
+           _l2(F.col("qv"),
+               F.element_at(F.element_at(cent, 1),
+                            F.col("cluster_id") + 1))
+           .alias("point_inertia")]
+    if emit_qv:
+        out.append(F.col("qv"))
+    return asg.select(*out)
 
 
 def kmeans_cluster_report(emb: DataFrame, n_clusters: int = 8,
@@ -89,3 +93,45 @@ def kmeans_cluster_report(emb: DataFrame, n_clusters: int = 8,
                     F.expr("inertia DIV n_members").cast("bigint")
                     .alias("mean_point_inertia"))
             .orderBy("cluster_id"))
+
+
+def semdedup_pairs(emb: DataFrame, n_clusters: int = 8,
+                   rounds: int = 2, threshold_ppb: int = 990_000_000,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The SemDeDup second stage (Abbas et al. 2023): within each
+    k-means cluster, flag vector pairs whose cosine exceeds the
+    threshold — semantic near-duplicates the cheaper lexical passes
+    miss (a paraphrase shares no shingles but sits on the same point
+    of embedding space). The all-pairs join runs ONLY inside a
+    cluster: cluster granularity is the quadratic fan-out bound
+    exactly as the LSH band is for MinHash (at corpus scale
+    n_clusters grows ~sqrt(N), keeping per-cluster membership — and
+    so the pair count — bounded; the kmeans_cluster_report balance
+    readout is the gate that catches a hot cluster BEFORE this join).
+
+    Exactness: cosine on the SQ8 integer vectors — exact BIGINT dot
+    products into ONE pinned 9dp float spelling (the IVF convention),
+    compared against an integer ppb threshold. Pairs emit once
+    (id_a < id_b), directed survivorship is the caller's argmax.
+    Output: cluster_id, vec_a, vec_b, cosine_9dp."""
+    asg = kmeans_assign(emb, n_clusters, rounds, id_col, vec_col,
+                        emit_qv=True).persist()
+    a = asg.select(F.col("cluster_id"),
+                   F.col(id_col).alias("vec_a"),
+                   F.col("qv").alias("__qa"))
+    b = asg.select(F.col("cluster_id"),
+                   F.col(id_col).alias("vec_b"),
+                   F.col("qv").alias("__qb"))
+    pairs = (a.join(b, "cluster_id")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("__dab", _dot(F.col("__qa"), F.col("__qb")))
+             .withColumn("__daa", _dot(F.col("__qa"), F.col("__qa")))
+             .withColumn("__dbb", _dot(F.col("__qb"), F.col("__qb"))))
+    cos = F.expr(
+        "ROUND(CAST(__dab AS DOUBLE) / (SQRT(CAST(__daa AS DOUBLE))"
+        " * SQRT(CAST(__dbb AS DOUBLE))), 9)")
+    return (pairs.withColumn("cosine_9dp", cos)
+            .filter(F.col("cosine_9dp")
+                    >= threshold_ppb / 1_000_000_000.0)
+            .select("cluster_id", "vec_a", "vec_b", "cosine_9dp"))

@@ -128,6 +128,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     # segments counted corpus-wide; per-doc emitted/distinct/dup
     # counts + exact dup ratio
     "paragraph_dedup_stats",
+    # SemDeDup second stage: within-cluster 9dp-pinned SQ8 cosine
+    # pairs over the trained clusters (quadratic fan-out bounded by
+    # cluster granularity)
+    "semdedup_pairs",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -19,11 +19,13 @@ _KM_ROUNDS = 2  # integer Lloyd rounds
 _DIM = 64       # fixture embedding width
 
 
-def _kmeans_oracle(n_clusters: int, rounds: int, dim: int) -> str:
+def _kmeans_chain(n_clusters: int, rounds: int, dim: int) -> str:
     """Unrolled fixed-round k-means CTE chain (the pq_trained_topk
-    device, full-vector): DuckDB reproduces Python floor division as
-    (s - pmod(s, n)) // n; empty clusters COALESCE to their previous
-    centroid; the final grouped report is exact integer arithmetic."""
+    device, full-vector), ending in asgF (vec_id, k, d) — the final
+    assignment with its exact squared-L2. DuckDB reproduces Python
+    floor division as (s - pmod(s, n)) // n; empty clusters COALESCE
+    to their previous centroid. Shared by the report and the SemDeDup
+    pair oracle."""
     l2 = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
           f"CAST(q.qv[i] - s.cv[i] AS BIGINT)"
           f" * (q.qv[i] - s.cv[i]))) AS BIGINT)")
@@ -71,12 +73,17 @@ def _kmeans_oracle(n_clusters: int, rounds: int, dim: int) -> str:
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d, k) AS rn
             FROM distF) WHERE rn = 1)""",
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM asgF)",
     ]
     body = ",\n    ".join(parts)
+    return f"""WITH {_QUANT},
+    {body}"""
+
+
+def _kmeans_oracle(n_clusters: int, rounds: int, dim: int) -> str:
+    """Per-cluster balance/inertia report over the shared chain."""
     return f"""
-    WITH {_QUANT},
-    {body}
+    {_kmeans_chain(n_clusters, rounds, dim)},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM asgF)
     SELECT CAST(k AS INTEGER) AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(COUNT(*) * 1000000 // MAX(n_total) AS BIGINT)
@@ -84,6 +91,37 @@ def _kmeans_oracle(n_clusters: int, rounds: int, dim: int) -> str:
            CAST(SUM(d) AS BIGINT) AS inertia,
            CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_point_inertia
     FROM asgF, tot GROUP BY k ORDER BY cluster_id
+    """
+
+
+def _semdedup_oracle(n_clusters: int, rounds: int, dim: int,
+                     threshold_ppb: int) -> str:
+    """SemDeDup second stage over the shared chain: within-cluster
+    pairs (vec_a < vec_b), exact BIGINT dot products, ONE pinned 9dp
+    cosine, integer-ppb threshold spelled as the same double on both
+    engines."""
+    dot = ("CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           "CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)")
+    dab = dot.format(dim=dim, a="a.qv", b="b.qv")
+    daa = dot.format(dim=dim, a="a.qv", b="a.qv")
+    dbb = dot.format(dim=dim, a="b.qv", b="b.qv")
+    return f"""
+    {_kmeans_chain(n_clusters, rounds, dim)},
+    m AS (SELECT asgF.vec_id, asgF.k, q.qv
+          FROM asgF JOIN q USING (vec_id)),
+    pairs AS (
+        SELECT a.k AS cluster_id, a.vec_id AS vec_a,
+               b.vec_id AS vec_b,
+               ROUND(CAST({dab} AS DOUBLE)
+                     / (SQRT(CAST({daa} AS DOUBLE))
+                        * SQRT(CAST({dbb} AS DOUBLE))), 9)
+                   AS cosine_9dp
+        FROM m a JOIN m b ON a.k = b.k AND a.vec_id < b.vec_id)
+    SELECT CAST(cluster_id AS INTEGER) AS cluster_id, vec_a, vec_b,
+           cosine_9dp
+    FROM pairs
+    WHERE cosine_9dp >= {threshold_ppb} / 1000000000.0
+    ORDER BY cluster_id, vec_a, vec_b
     """
 
 
@@ -102,3 +140,24 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return kmeans.kmeans_cluster_report(emb, n_clusters=_KM_K,
                                         rounds=_KM_ROUNDS)
+
+
+_SD_T_PPB = 400_000_000  # the fixture corpus' top ~1% within-cluster
+
+
+@register(
+    "semdedup_pairs",
+    oracle=_semdedup_oracle(_KM_K, _KM_ROUNDS, _DIM, _SD_T_PPB),
+    tags=("similarity", "dedup-embedding", "embedding", "clustering"),
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup second stage (operators/kmeans.py:semdedup_pairs):
+    within each of the 8 trained clusters, vector pairs whose
+    9dp-pinned SQ8 cosine clears the 0.4 threshold — the semantic
+    near-dup detector whose quadratic fan-out the cluster granularity
+    bounds (and whose hot-cluster risk kmeans_embedding_clusters'
+    balance report gates)."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return kmeans.semdedup_pairs(emb, n_clusters=_KM_K,
+                                 rounds=_KM_ROUNDS,
+                                 threshold_ppb=_SD_T_PPB)

@@ -57,6 +57,21 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     assert rep == {0: 2, 1: 2}
 
 
+def test_semdedup_finds_planted_duplicate(spark):
+    """A duplicated vector inside one cluster must pair at cosine
+    exactly 1.0; the orthogonal vector lives in its own cluster and
+    pairs with nothing. SQ8 over dim envelopes [0,10]: 10 -> 127,
+    0 -> -127, so ids 0 and 2 quantize identically."""
+    rows = [(0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [10.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans.semdedup_pairs(emb, n_clusters=2, rounds=1,
+                                threshold_ppb=990_000_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["vec_a"], r["vec_b"]) == (0, 2)
+    assert r["cosine_9dp"] == 1.0
+
+
 # ---- paragraph-grain exact dedup ----------------------------------
 
 
