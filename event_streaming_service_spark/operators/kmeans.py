@@ -33,25 +33,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators.pq import (
-    _codebook_literal, _codes_expr, _dot, _l2, train_codebook)
+    _codebook_literal, _codes_expr, _dot, _l2, pq_codes_arrow,
+    train_codebook)
 from event_streaming_service_spark.operators.quantize import quantize_codes
 
 
 def kmeans_assign(emb: DataFrame, n_clusters: int = 8,
                   rounds: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  emit_qv: bool = False) -> DataFrame:
+                  emit_qv: bool = False,
+                  use_arrow: bool = True) -> DataFrame:
     """(id, cluster_id, point_inertia[, qv]): train `rounds` integer
     Lloyd rounds (train_codebook with m_sub=1 — full-vector k-means),
     then assign every vector to its nearest final centroid and report
     the exact squared-L2 point inertia. The literal centroid grid is
     n_clusters * dim ints (512 at the 8x64 default) — the bounded
     codebook-collect convention. `emit_qv=True` passes the SQ8 vector
-    through for downstream within-cluster scoring (semdedup_pairs)."""
+    through for downstream within-cluster scoring (semdedup_pairs).
+
+    `use_arrow=True` (default — the registered execution path) runs
+    assignment + inertia in the pq_codes_arrow tensor kernel's single
+    pass (`emit_dist`); the JVM expression twin below stays as the
+    parity reference, asserted equal by tools/scale_probe.py:kmeans."""
     q = quantize_codes(emb, vec_col, id_col)
     seeds = train_codebook(q, m_sub=1, n_codes=n_clusters,
                            lloyd_rounds=rounds, id_col=id_col)
     dim = len(seeds[0])
+    if use_arrow:
+        coded = pq_codes_arrow(quantize_codes(emb, vec_col, id_col),
+                               seeds, 1, id_col=id_col,
+                               emit_dist=True, emit_qv=emit_qv)
+        out = [F.col(id_col),
+               F.element_at("codes", 1).cast("int").alias("cluster_id"),
+               F.col("dist").alias("point_inertia")]
+        if emit_qv:
+            out.append(F.col("qv"))
+        return coded.select(*out)
     cent = _codebook_literal(seeds, 1, dim)
     # assignment + inertia in two chained projections (the cluster id
     # indexes the literal grid once instead of re-running the argmin

@@ -278,7 +278,9 @@ def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
 
 
 def pq_codes_arrow(qdf: DataFrame, seeds: list[list[int]],
-                   m_sub: int, id_col: str = "vec_id") -> DataFrame:
+                   m_sub: int, id_col: str = "vec_id",
+                   emit_dist: bool = False,
+                   emit_qv: bool = False) -> DataFrame:
     """Arrow/numpy twin of `_codes_expr` for corpus-scale assignment:
     Spark's higher-order lambdas evaluate interpreted per element
     (~40x slower than vectorized numpy — the 2M-vector probe measured
@@ -288,7 +290,14 @@ def pq_codes_arrow(qdf: DataFrame, seeds: list[list[int]],
     expression path (asserted by tools/scale_probe.py:pq_codes), so
     since round 10 it IS the default execution path of the registered
     PQ queries (the oracle compares results, not plans).
-    Input: (id, qv int array); output: (id, codes int array)."""
+    Input: (id, qv int array); output: (id, codes int array).
+
+    `emit_dist=True` adds `dist`, the exact BIGINT sum over subspaces
+    of the winning centroid's squared L2 — for m_sub=1 this is the
+    k-means point inertia, computed in the same tensor pass instead
+    of a second scan or a join back. `emit_qv=True` passes the input
+    vector through (the ivf_cells_arrow convention) for downstream
+    within-cluster scoring."""
     import numpy as np
     import pandas as pd
 
@@ -309,12 +318,23 @@ def pq_codes_arrow(qdf: DataFrame, seeds: list[list[int]],
             diff = x[:, :, None, :] - cb[None, :, :, :]
             dists = (diff * diff).sum(axis=3)
             codes = dists.argmin(axis=2)  # ties -> smallest k (argmin)
-            yield pd.DataFrame({
+            out = {
                 id_col: pdf[id_col],
                 "codes": [row.astype("int32").tolist() for row in codes],
-            })
+            }
+            if emit_dist:
+                out["dist"] = np.take_along_axis(
+                    dists, codes[:, :, None], axis=2)[:, :, 0].sum(axis=1)
+            if emit_qv:
+                out["qv"] = pdf["qv"]
+            yield pd.DataFrame(out)
 
-    return qdf.mapInPandas(batches, f"{id_col} bigint, codes array<int>")
+    schema = f"{id_col} bigint, codes array<int>"
+    if emit_dist:
+        schema += ", dist bigint"
+    if emit_qv:
+        schema += ", qv array<int>"
+    return qdf.mapInPandas(batches, schema)
 
 
 def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,

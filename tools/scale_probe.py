@@ -1349,7 +1349,58 @@ def probe_pca_power(spark):
 
 
 
+def probe_kmeans(spark):
+    """Full-vector integer-Lloyd k-means at 2M x 32: 8 planted blobs
+    separated on dim 1 (center 10*b), members split exactly in half
+    on dim 2 between raw 0 and 6 (id//8 %% 2 — consecutive ids share
+    a blob, the parity-confound rule). SQ8 gives dim-2 codes
+    {-127, +127}, so after round 1 every centroid's dim-2 component
+    is the exact floor-mean 0 and stays there; assignment never
+    crosses blobs (cross-blob dim-1 gap adds to the shared dim-2
+    term). Closed form: every cluster has exactly 250k members,
+    share 125000 ppm, point inertia exactly 127^2 = 16129.
+
+    Also asserts Arrow-vs-JVM assignment parity on a 100k slice: the
+    tensor kernel (emit_dist) and the expression twin must agree
+    bit-for-bit on (cluster_id, point_inertia) before the Arrow path
+    is trusted as the registered default."""
+    from event_streaming_service_spark.operators.kmeans import (
+        kmeans_assign, kmeans_cluster_report)
+
+    n, d = 2_000_000, 32
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda j: F.when(j == 1, (F.col("id") % 8) * F.lit(10.0))
+                   .when(j == 2, ((F.col("id") / 8).cast("bigint") % 2)
+                         * F.lit(6.0))
+                   .otherwise(F.lit(0.0)))
+    emb = spark.range(n).select(F.col("id").alias("vec_id"),
+                                vec.alias("embedding"))
+
+    # parity gate first (bounded slice, both paths)
+    small = emb.where(F.col("vec_id") < 100_000)
+    a = {r["vec_id"]: (r["cluster_id"], r["point_inertia"])
+         for r in kmeans_assign(small, 8, 2, use_arrow=True).collect()}
+    j = {r["vec_id"]: (r["cluster_id"], r["point_inertia"])
+         for r in kmeans_assign(small, 8, 2, use_arrow=False).collect()}
+    assert a == j, "Arrow/JVM assignment parity broken"
+
+    t0 = time.perf_counter()
+    rep = kmeans_cluster_report(emb, n_clusters=8, rounds=2).collect()
+    sec = time.perf_counter() - t0
+    assert len(rep) == 8, rep
+    for r in rep:
+        assert r["n_members"] == n // 8, r
+        assert r["share_ppm"] == 125_000, r
+        assert r["mean_point_inertia"] == 127 * 127, r
+        assert r["inertia"] == (n // 8) * 127 * 127, r
+    return sec, (f"vecs={n} d={d}; 2 Lloyd rounds; 8 planted blobs "
+                 f"recovered exactly (balance + inertia closed form); "
+                 f"Arrow/JVM parity on 100k")
+
+
 PROBES = {
+    "kmeans": probe_kmeans,
     "logistic_newton": probe_logistic_newton,
     "pca_power": probe_pca_power,
     "components": probe_components,
