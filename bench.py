@@ -262,6 +262,7 @@ BENCH_QUERIES_FULL = [
     "logreg2_cell_scores",           # logistic train->apply calibration
     "paragraph_dedup_stats",         # CCNet paragraph-grain exact dedup
     "semdedup_pairs",                # within-cluster semantic near-dups
+    "ols2_kfold_cv",                 # complement-moment 5-fold CV
 ]
 
 # Driver-facing rotation (VERDICT r10 item #1b): a ~100-name

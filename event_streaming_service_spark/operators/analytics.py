@@ -1883,3 +1883,92 @@ def changepoint_ols(df: DataFrame, t_col: str, y_col: str,
                     F.expr(_slope_micro_sql("r"))
                     .alias("slope_right_micro"),
                     "is_best"))
+
+
+def ols2_kfold_cv(df: DataFrame, x1_col: str, x2_col: str,
+                  y_col: str, key_col: str, k: int = 5,
+                  y_scale: int = 100) -> DataFrame:
+    """K-fold cross-validation of the ols2 model — the model-EVAL loop
+    next to the train->apply loop: every row lands in exactly one of
+    `k` content-hash folds (a pure function of the key, the
+    split_assign device), each fold's model trains on the OTHER k-1
+    folds, and the held-out rows score their own fold's betas. Output
+    per fold: n_train, n_test, the 9dp-pinned betas, and exact MAE /
+    MSE of the pinned integer-cent residuals — the out-of-sample error
+    estimate that decides whether the ols2 coefficients generalize.
+
+    The k training moment sets are NOT k corpus scans: ONE aggregate
+    computes the nine exact decimal(38,0) moments per fold, the 1-row
+    total sums them, and fold f's training moments are the exact
+    complement (total - fold_f) — moment additivity is what makes
+    k-fold free at this grain. Scale shape: one moments aggregate +
+    one scoring scan over the persisted feature frame; betas ride a
+    k-row broadcast; residuals pin per row via CONFORMAL_RESID_SQL
+    (the shared spelling) so MAE/MSE sums are exact integers."""
+    from event_streaming_service_spark.operators.sampling import (
+        sample_hash)
+
+    dec = "decimal(38,0)"
+    base = (df.select(
+        F.pmod(sample_hash(F.col(key_col)), F.lit(k)).cast("int")
+        .alias("fold"),
+        F.col(x1_col).cast("bigint").alias("x1"),
+        F.col(x2_col).cast("bigint").alias("x2"),
+        F.floor(F.col(y_col) * F.lit(float(y_scale)) + F.lit(0.5))
+        .cast("bigint").alias("yc"))
+        .persist())
+    x1, x2, yc = (F.col("x1").cast(dec), F.col("x2").cast(dec),
+                  F.col("yc").cast(dec))
+    foldm = (base.groupBy("fold")
+             .agg(F.count(F.lit(1)).cast(dec).alias("fn"),
+                  F.sum(x1).alias("f1"), F.sum(x2).alias("f2"),
+                  F.sum(x1 * x1).alias("f11"),
+                  F.sum(x1 * x2).alias("f12"),
+                  F.sum(x2 * x2).alias("f22"),
+                  F.sum(yc).alias("fy"),
+                  F.sum(x1 * yc).alias("f1y"),
+                  F.sum(x2 * yc).alias("f2y")))
+    tot = foldm.agg(*[F.sum(c).alias("t" + c[1:])
+                      for c in ("fn", "f1", "f2", "f11", "f12",
+                                "f22", "fy", "f1y", "f2y")])
+    tr = (foldm.crossJoin(F.broadcast(tot))
+          .select("fold",
+                  *[(F.col("t" + c[1:]) - F.col(c)).alias("s" + c[1:])
+                    for c in ("fn", "f1", "f2", "f11", "f12",
+                              "f22", "fy", "f1y", "f2y")]))
+    # complement moment names: sn s1 s2 s11 s12 s22 sy s1y s2y
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * g)
+                + c * (d * h - e * g))
+
+    n, s1, s2 = F.col("sn"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    d = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    nonsing = d != F.lit(0).cast(dec)
+    betas = tr.select(
+        "fold", F.col("sn").cast("bigint").alias("n_train"),
+        F.when(nonsing, F.round(d0.cast("double") / d.cast("double"), 9))
+         .alias("beta0"),
+        F.when(nonsing, F.round(d1.cast("double") / d.cast("double"), 9))
+         .alias("beta_x1"),
+        F.when(nonsing, F.round(d2.cast("double") / d.cast("double"), 9))
+         .alias("beta_x2"))
+    scored = (base.join(F.broadcast(betas), "fold")
+              .withColumn("__r", F.expr(CONFORMAL_RESID_SQL)))
+    return (scored.groupBy("fold", "n_train", "beta0", "beta_x1",
+                           "beta_x2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                 F.sum(F.col("__r").cast(dec)).alias("__sr"),
+                 F.sum(F.col("__r").cast(dec) * F.col("__r"))
+                 .alias("__sr2"))
+            .select("fold", "n_train", "n_test",
+                    "beta0", "beta_x1", "beta_x2",
+                    F.expr("CAST(__sr DIV n_test AS BIGINT)")
+                    .alias("mae_cents"),
+                    F.expr("CAST(__sr2 DIV n_test AS BIGINT)")
+                    .alias("mse_cents2")))

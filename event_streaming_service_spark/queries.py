@@ -132,6 +132,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     # pairs over the trained clusters (quadratic fan-out bounded by
     # cluster granularity)
     "semdedup_pairs",
+    # 5-fold CV of the ols2 model: complement-moment training (one
+    # aggregate, never k scans), pinned held-out residuals, exact
+    # MAE/MSE per fold
+    "ols2_kfold_cv",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

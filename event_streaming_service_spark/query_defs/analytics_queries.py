@@ -929,6 +929,84 @@ def q_conformal_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "h", "w", "value", "event_id", level_pct=95)
 
 
+from event_streaming_service_spark.operators.sampling import (  # noqa: E402
+    sample_hash_sql as _sample_hash_sql)
+
+_KF = 5
+_KF_FOLD = f"CAST(({_sample_hash_sql('event_id')}) % {_KF} AS INTEGER)"
+_KF_MOMS = """
+        CAST(COUNT(*) AS HUGEINT) AS fn,
+        SUM(CAST(x1 AS HUGEINT)) AS f1,
+        SUM(CAST(x2 AS HUGEINT)) AS f2,
+        SUM(CAST(x1 AS HUGEINT) * x1) AS f11,
+        SUM(CAST(x1 AS HUGEINT) * x2) AS f12,
+        SUM(CAST(x2 AS HUGEINT) * x2) AS f22,
+        SUM(CAST(yc AS HUGEINT)) AS fy,
+        SUM(CAST(x1 AS HUGEINT) * yc) AS f1y,
+        SUM(CAST(x2 AS HUGEINT) * yc) AS f2y"""
+
+
+@register(
+    "ols2_kfold_cv",
+    oracle=f"""
+    WITH base AS (
+        SELECT {_KF_FOLD} AS fold,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+               CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS x2,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yc
+        FROM events),
+    fm AS (SELECT fold, {_KF_MOMS} FROM base GROUP BY fold),
+    tt AS (SELECT SUM(fn) AS tn, SUM(f1) AS t1, SUM(f2) AS t2,
+                  SUM(f11) AS t11, SUM(f12) AS t12, SUM(f22) AS t22,
+                  SUM(fy) AS ty, SUM(f1y) AS t1y, SUM(f2y) AS t2y
+           FROM fm),
+    tr AS (SELECT fold, tn - fn AS n, t1 - f1 AS s1, t2 - f2 AS s2,
+                  t11 - f11 AS s11, t12 - f12 AS s12,
+                  t22 - f22 AS s22, ty - fy AS sy,
+                  t1y - f1y AS s1y, t2y - f2y AS s2y
+           FROM fm, tt),
+    b AS (SELECT fold, CAST(n AS BIGINT) AS n_train,
+                 CASE WHEN {_OLS2_D} <> 0 THEN
+                     ROUND(CAST({_OLS2_D0} AS DOUBLE)
+                           / CAST({_OLS2_D} AS DOUBLE), 9) END AS beta0,
+                 CASE WHEN {_OLS2_D} <> 0 THEN
+                     ROUND(CAST({_OLS2_D1} AS DOUBLE)
+                           / CAST({_OLS2_D} AS DOUBLE), 9) END
+                     AS beta_x1,
+                 CASE WHEN {_OLS2_D} <> 0 THEN
+                     ROUND(CAST({_OLS2_D2} AS DOUBLE)
+                           / CAST({_OLS2_D} AS DOUBLE), 9) END
+                     AS beta_x2
+          FROM tr),
+    sc AS (SELECT base.fold, b.n_train, b.beta0, b.beta_x1,
+                  b.beta_x2, {analytics.CONFORMAL_RESID_SQL} AS r
+           FROM base JOIN b USING (fold))
+    SELECT fold, n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           beta0, beta_x1, beta_x2,
+           CAST(SUM(CAST(r AS HUGEINT)) // COUNT(*) AS BIGINT)
+               AS mae_cents,
+           CAST(SUM(CAST(r AS HUGEINT) * r) // COUNT(*) AS BIGINT)
+               AS mse_cents2
+    FROM sc GROUP BY fold, n_train, beta0, beta_x1, beta_x2
+    """,
+    tags=("analytics", "ml-eval", "regression", "experimentation"),
+)
+def q_ols2_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the ols2 value model
+    (operators/analytics.py:ols2_kfold_cv): content-hash folds, each
+    fold's betas trained on the exact COMPLEMENT moments (one moments
+    aggregate, total minus fold — never k scans), held-out residuals
+    pinned to integer cents via the shared conformal spelling, exact
+    MAE/MSE per fold. The out-of-sample generalization readout for
+    the regression family."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return analytics.ols2_kfold_cv(
+        ev.select(F.hour("ts").alias("h"),
+                  F.dayofweek("ts").alias("w"), "value", "event_id"),
+        "h", "w", "value", "event_id", k=_KF)
+
+
 _CP_BREAKS = (365, 731, 1096, 1461, 1826)  # Jan 1 of 1996..2000
 
 

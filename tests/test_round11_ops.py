@@ -105,6 +105,29 @@ def test_paragraph_dedup_skips_empty_docs(spark):
 # ---- logistic train->apply calibration grid ------------------------
 
 
+def test_ols2_kfold_recovers_exact_linear_model(spark):
+    """Noise-free planted plane y = 3 + 2*x1 + 5*x2: every fold's
+    complement-moment fit must recover the cent-scaled betas
+    (300, 200, 500) exactly and score zero held-out error. Features
+    derive from id%7 and id//7 so no fold can be collinear."""
+    from event_streaming_service_spark.operators import analytics
+
+    rows = [(i, i % 7, (i // 7) % 5,
+             float(3 + 2 * (i % 7) + 5 * ((i // 7) % 5)))
+            for i in range(700)]
+    df = spark.createDataFrame(
+        rows, "event_id long, x1 long, x2 long, value double")
+    out = analytics.ols2_kfold_cv(df, "x1", "x2", "value",
+                                  "event_id", k=5).collect()
+    assert len(out) == 5
+    assert sum(r["n_test"] for r in out) == 700
+    for r in out:
+        assert r["n_train"] + r["n_test"] == 700
+        assert (r["beta0"], r["beta_x1"], r["beta_x2"]) \
+            == (300.0, 200.0, 500.0)
+        assert r["mae_cents"] == 0 and r["mse_cents2"] == 0
+
+
 def test_logreg2_cell_scores_balanced_grid(spark):
     """On a perfectly balanced 2x2 design (every cell 50% positive)
     Newton stays at beta=0, so the model scores every cell
