@@ -263,6 +263,7 @@ BENCH_QUERIES_FULL = [
     "paragraph_dedup_stats",         # CCNet paragraph-grain exact dedup
     "semdedup_pairs",                # within-cluster semantic near-dups
     "ols2_kfold_cv",                 # complement-moment 5-fold CV
+    "ivf_trained_topk",              # Lloyd-trained coarse quantizer IVF
 ]
 
 # Driver-facing rotation (VERDICT r10 item #1b): a ~100-name

@@ -29,7 +29,7 @@ LLM-data-pipeline mandate (dedup/similarity families).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators.pq import (
@@ -152,3 +152,62 @@ def semdedup_pairs(emb: DataFrame, n_clusters: int = 8,
             .filter(F.col("cosine_9dp")
                     >= threshold_ppb / 1_000_000_000.0)
             .select("cluster_id", "vec_a", "vec_b", "cosine_9dp"))
+
+
+def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
+                     n_probe: int = 4, rounds: int = 1,
+                     query_mod: int = 125, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF over TRAINED cells — the missing third corner of the
+    index-training story (pq_trained_topk trains the PQ codebook,
+    ivf_cosine_topk probes sampled cells; production FAISS trains the
+    coarse quantizer with k-means, which is exactly this operator):
+    `rounds` integer-Lloyd iterations refine the first-n_cells seeds,
+    every vector Arrow-assigns to its nearest trained centroid by
+    integer L2 (smallest-cell tiebreak), each query probes its
+    n_probe nearest cells, and candidates rerank by the EXACT BIGINT
+    dot product — an ANN pipeline with zero float operations
+    anywhere, so the oracle is integer-for-integer.
+
+    Scale shape: training is the bounded Lloyd loop (one Arrow pass +
+    one n_cells*dim-row aggregate per round); assignment is one Arrow
+    tensor pass; the probe ranks a query against the n_cells-row
+    broadcast centroid frame; candidates ride an equi-join on the
+    cell id and only probed cells' members score."""
+    q = quantize_codes(emb, vec_col, id_col)
+    seeds = train_codebook(q, m_sub=1, n_codes=n_cells,
+                           lloyd_rounds=rounds, id_col=id_col)
+    dim = len(seeds[0])
+    spark = emb.sparkSession
+    cells = spark.createDataFrame(
+        [(kk, list(map(int, cv))) for kk, cv in enumerate(seeds)],
+        "cell int, cv array<int>")
+
+    assigned = (pq_codes_arrow(quantize_codes(emb, vec_col, id_col),
+                               seeds, 1, id_col=id_col, emit_qv=True)
+                .select(F.col(id_col).alias("__nid"),
+                        F.element_at("codes", 1).cast("int")
+                        .alias("cell"),
+                        F.col("qv").alias("__nqv")))
+    queries = (quantize_codes(emb, vec_col, id_col)
+               .filter(F.col(id_col) % query_mod == 0)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("__qqv")))
+    probed = (queries.crossJoin(F.broadcast(cells))
+              .withColumn("__d", _l2(F.col("__qqv"), F.col("cv")))
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.col("__d"), F.col("cell"))))
+              .filter(F.col("__rn") <= n_probe)
+              .select("query_id", "__qqv", "cell"))
+    cand = (probed.join(assigned, "cell")
+            .filter(F.col("query_id") != F.col("__nid")))
+    scored = cand.select(
+        "query_id", F.col("__nid").alias("neighbor_id"),
+        _dot(F.col("__qqv"), F.col("__nqv")).alias("dot_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_score").desc(), F.col("neighbor_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_score", "rank"))

@@ -136,6 +136,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     # aggregate, never k scans), pinned held-out residuals, exact
     # MAE/MSE per fold
     "ols2_kfold_cv",
+    # IVF over TRAINED cells: 1 Lloyd round refines the coarse
+    # quantizer, integer-L2 probe, exact-BIGINT-dot rerank — zero
+    # float ops end to end
+    "ivf_trained_topk",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

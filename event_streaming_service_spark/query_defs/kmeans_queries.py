@@ -161,3 +161,70 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.semdedup_pairs(emb, n_clusters=_KM_K,
                                  rounds=_KM_ROUNDS,
                                  threshold_ppb=_SD_T_PPB)
+
+
+_IVF_K = 10
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+_IVF_QMOD = 125
+
+
+def _ivf_trained_oracle(n_cells: int, n_probe: int, k: int,
+                        query_mod: int, dim: int) -> str:
+    """IVF over trained cells: the shared 1-round Lloyd chain gives
+    seeds1 (trained centroids) and asgF (every vector's cell); each
+    query ranks the centroids by the same integer L2, probes n_probe
+    cells, and candidates rerank by the exact BIGINT dot product.
+    Zero float operations end to end."""
+    l2q = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           f"CAST(qq.qv[i] - s.cv[i] AS BIGINT)"
+           f" * (qq.qv[i] - s.cv[i]))) AS BIGINT)")
+    dot = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           f"CAST(qq.qv[i] AS BIGINT) * nv.qv[i])) AS BIGINT)")
+    return f"""
+    {_kmeans_chain(n_cells, 1, dim)},
+    qq AS (SELECT vec_id AS query_id, qv FROM q
+           WHERE vec_id % {query_mod} = 0),
+    qcells AS (
+        SELECT query_id, cell FROM (
+            SELECT qq.query_id, s.k AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                                      ORDER BY {l2q}, s.k) AS rn
+            FROM qq, seeds1 s) WHERE rn <= {n_probe}),
+    cand AS (
+        SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+        FROM qcells JOIN asgF a ON a.k = qcells.cell
+        WHERE a.vec_id <> query_id),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id, {dot} AS dot_score
+        FROM cand
+        JOIN qq ON qq.query_id = cand.query_id
+        JOIN q nv ON nv.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, dot_score, rank FROM (
+        SELECT query_id, neighbor_id, dot_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY dot_score DESC,
+                                                neighbor_id)
+                    AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ivf_trained_topk",
+    oracle=_ivf_trained_oracle(_IVF_CELLS, _IVF_PROBE, _IVF_K,
+                               _IVF_QMOD, _DIM),
+    tags=("similarity", "ann-ivf", "quantize", "lloyd"),
+)
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED cells (operators/kmeans.py:ivf_trained_topk):
+    one integer-Lloyd round refines the coarse quantizer (the FAISS
+    training step ivf_cosine_topk's sampled cells skip), vectors
+    Arrow-assign by integer L2, queries probe their 4 nearest trained
+    centroids, candidates rerank by the exact BIGINT dot product —
+    an ANN pipeline with no float op anywhere."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return kmeans.ivf_trained_topk(emb, k=_IVF_K, n_cells=_IVF_CELLS,
+                                   n_probe=_IVF_PROBE, rounds=1,
+                                   query_mod=_IVF_QMOD)

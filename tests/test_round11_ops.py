@@ -72,6 +72,28 @@ def test_semdedup_finds_planted_duplicate(spark):
     assert r["cosine_9dp"] == 1.0
 
 
+def test_ivf_trained_probes_right_cells(spark):
+    """Two tight blobs, k=2 cells, probe=1: a query in blob A must
+    rerank ONLY blob-A members (blob B is never probed), ranked by
+    exact integer dot product. Query = id 0 (10,0); blob A = ids
+    0,2,4 near (10,0); blob B = ids 1,3 near (0,10)."""
+    rows = [(0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [10.0, 1.0]),
+            (3, [1.0, 10.0]), (4, [9.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans.ivf_trained_topk(emb, k=10, n_cells=2, n_probe=1,
+                                  rounds=1, query_mod=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every vector is a query (query_mod=1); blob-A queries see only
+    # blob-A neighbors and vice versa
+    assert sorted(by_q[0]) == [2, 4]
+    assert sorted(by_q[2]) == [0, 4]
+    assert sorted(by_q[4]) == [0, 2]
+    assert sorted(by_q[1]) == [3]
+    assert sorted(by_q[3]) == [1]
+
+
 # ---- paragraph-grain exact dedup ----------------------------------
 
 
