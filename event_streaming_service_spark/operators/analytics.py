@@ -1919,6 +1919,9 @@ def ols2_kfold_cv(df: DataFrame, x1_col: str, x2_col: str,
         .persist())
     x1, x2, yc = (F.col("x1").cast(dec), F.col("x2").cast(dec),
                   F.col("yc").cast(dec))
+    # the k-row moment frame feeds BOTH the 1-row total and the
+    # complement projection — pin it or the corpus-wide aggregate
+    # over the cached base runs twice (seen in the sf0.01 plan)
     foldm = (base.groupBy("fold")
              .agg(F.count(F.lit(1)).cast(dec).alias("fn"),
                   F.sum(x1).alias("f1"), F.sum(x2).alias("f2"),
@@ -1927,7 +1930,8 @@ def ols2_kfold_cv(df: DataFrame, x1_col: str, x2_col: str,
                   F.sum(x2 * x2).alias("f22"),
                   F.sum(yc).alias("fy"),
                   F.sum(x1 * yc).alias("f1y"),
-                  F.sum(x2 * yc).alias("f2y")))
+                  F.sum(x2 * yc).alias("f2y"))
+             .localCheckpoint())
     tot = foldm.agg(*[F.sum(c).alias("t" + c[1:])
                       for c in ("fn", "f1", "f2", "f11", "f12",
                                 "f22", "fy", "f1y", "f2y")])

@@ -151,10 +151,11 @@ SHOWCASE = {
     "containment_doc_pairs": (
         "Asymmetric doc-in-doc join: only the CONTAINED side explodes "
         "its rarest-first prefix (the one-sided pigeonhole bound); "
-        "the container side stays a full inverted index, and the "
-        "verify is one array_intersect over the persisted per-doc "
-        "arrays — candidate fan-out is bounded by prefix x posting "
-        "lists, never all pairs."),
+        "since round 11 the container-side inverted index ALSO "
+        "explodes from the one persisted doc-array grain (no second "
+        "tokenize/df-join scan), and the verify is one "
+        "array_intersect over the same pin — candidate fan-out is "
+        "bounded by prefix x posting lists, never all pairs."),
     "ann_beam_graph_topk": (
         "Graph-navigable ANN: the offline index (exact top-m "
         "proximity graph) comes from the broadcast/tiled BLAS top-k "
@@ -228,6 +229,41 @@ SHOWCASE = {
         "per-doc multiplicity aggregate; the LM is bigram-TYPE grain "
         "with history and continuation stats joined at vocabulary "
         "grain, then ONE equi-join back to the doc grain."),
+    "kmeans_embedding_clusters": (
+        "Full-vector integer-Lloyd k-means (round 11): training is "
+        "bounded Lloyd rounds (one Arrow tensor pass + one "
+        "clusters*dim-row aggregate each); the final assignment + "
+        "inertia is ONE mapInPandas pass (emit_dist) against the "
+        "collected centroid grid — no join, no corpus shuffle before "
+        "the 8-row report aggregate."),
+    "semdedup_pairs": (
+        "SemDeDup within-cluster pairs (round 11): the all-pairs "
+        "cosine join shuffles ONLY on cluster_id, so the quadratic "
+        "fan-out is bounded by cluster membership (n_clusters grows "
+        "~sqrt(N) at corpus scale); exact BIGINT dots feed one "
+        "pinned 9dp cosine spelling."),
+    "ivf_trained_topk": (
+        "IVF over trained cells (round 11): the coarse quantizer is "
+        "a Lloyd round; assignment is the Arrow tensor kernel; the "
+        "probe ranks each query against the broadcast centroid "
+        "frame; candidates ride an equi-join on the cell id and "
+        "rerank by exact integer dots — no float op in the plan."),
+    "ols2_kfold_cv": (
+        "5-fold CV via moment additivity (round 11): ONE moments "
+        "aggregate at fold grain + a 1-row total; each fold's "
+        "training moments are the exact complement (total - fold), "
+        "so k-fold training costs one aggregate, never k scans; "
+        "betas ride a 5-row broadcast into the scoring scan."),
+    "paragraph_dedup_stats": (
+        "Paragraph-grain exact dedup (round 11): one tokenize pass "
+        "explodes to the persisted 16-token segment grain; one hash "
+        "aggregate to segment frequencies, one equi-join back, one "
+        "doc-grain aggregate — the CCNet pass before doc-level LSH."),
+    "logreg2_cell_scores": (
+        "Train->apply calibration grid (round 11): the fitted 1-row "
+        "beta frame broadcasts into a pure projection over the "
+        "24x7-row cell aggregate; model and observed rates are both "
+        "nano-pinned integers so the delta is exact."),
 }
 
 
