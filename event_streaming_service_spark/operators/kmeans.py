@@ -115,7 +115,8 @@ def kmeans_cluster_report(emb: DataFrame, n_clusters: int = 8,
 def semdedup_pairs(emb: DataFrame, n_clusters: int = 8,
                    rounds: int = 2, threshold_ppb: int = 990_000_000,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   use_arrow: bool = True) -> DataFrame:
     """The SemDeDup second stage (Abbas et al. 2023): within each
     k-means cluster, flag vector pairs whose cosine exceeds the
     threshold — semantic near-duplicates the cheaper lexical passes
@@ -131,9 +132,47 @@ def semdedup_pairs(emb: DataFrame, n_clusters: int = 8,
     products into ONE pinned 9dp float spelling (the IVF convention),
     compared against an integer ppb threshold. Pairs emit once
     (id_a < id_b), directed survivorship is the caller's argmax.
-    Output: cluster_id, vec_a, vec_b, cosine_9dp."""
+    Output: cluster_id, vec_a, vec_b, cosine_9dp.
+
+    `use_arrow=True` (the registered path) scores each cluster with
+    ONE BLAS Gram kernel per group (applyInPandas: exact int64
+    V @ V.T, the float steps spelled in the JVM twin's exact order,
+    F.round-parity half-up pinning) instead of the interpreted
+    per-element zip_with lambdas of the self-join form — that twin
+    stays below as the parity reference, asserted equal by the unit
+    test. Per-group memory is one cluster's members — exactly the
+    bound SemDeDup's clustering exists to enforce."""
     asg = kmeans_assign(emb, n_clusters, rounds, id_col, vec_col,
                         emit_qv=True).persist()
+    if use_arrow:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+        thr = threshold_ppb / 1_000_000_000.0
+
+        def per_cluster(key, pdf):
+            import numpy as np
+            import pandas as pd
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            ids = pdf[id_col].to_numpy()[order]
+            V = np.stack(pdf["qv"].to_numpy()).astype(np.int64)[order]
+            G = V @ V.T  # exact: |qv_i| <= 127, dims <= 1e4 << 2^63
+            nrm = np.sqrt(np.diag(G).astype(np.float64))
+            C = G.astype(np.float64) / (nrm[:, None] * nrm[None, :])
+            # F.round 9dp HALF_UP away-from-zero (the ivf_cells_arrow
+            # device, parity-asserted there)
+            R = np.sign(C) * (np.floor(np.abs(C) * 1e9 + 0.5) / 1e9)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = R[iu, ju] >= thr
+            return pd.DataFrame({
+                "cluster_id": np.full(int(keep.sum()), key[0],
+                                      dtype="int32"),
+                "vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]],
+                "cosine_9dp": R[iu, ju][keep]})
+
+        return asg.groupBy("cluster_id").applyInPandas(
+            per_cluster,
+            "cluster_id int, vec_a bigint, vec_b bigint,"
+            " cosine_9dp double")
     a = asg.select(F.col("cluster_id"),
                    F.col(id_col).alias("vec_a"),
                    F.col("qv").alias("__qa"))

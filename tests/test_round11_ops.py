@@ -72,6 +72,27 @@ def test_semdedup_finds_planted_duplicate(spark):
     assert r["cosine_9dp"] == 1.0
 
 
+def test_semdedup_arrow_jvm_parity(spark):
+    """The BLAS Gram kernel (registered path) and the self-join
+    expression twin must emit the SAME pair set with bit-equal pinned
+    cosines — on a low-threshold fixture where every within-cluster
+    pair survives, so the comparison covers the full pair grid."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_clusters=4, rounds=1, threshold_ppb=-2_000_000_000)
+    a = {(r["cluster_id"], r["vec_a"], r["vec_b"]): r["cosine_9dp"]
+         for r in kmeans.semdedup_pairs(emb, use_arrow=True,
+                                        **kw).collect()}
+    j = {(r["cluster_id"], r["vec_a"], r["vec_b"]): r["cosine_9dp"]
+         for r in kmeans.semdedup_pairs(emb, use_arrow=False,
+                                        **kw).collect()}
+    assert a == j and len(a) > 100
+
+
 def test_ivf_trained_probes_right_cells(spark):
     """Two tight blobs, k=2 cells, probe=1: a query in blob A must
     rerank ONLY blob-A members (blob B is never probed), ranked by
