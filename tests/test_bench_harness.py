@@ -1,0 +1,57 @@
+"""Bench-harness contract (VERDICT r10 item #1): the driver-facing
+rotation must stay inside the ~3600 s external kill, every name must
+be registered, and the full list must stay the superset BENCH_FULL.json
+is refreshed from."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bench import BENCH_QUERIES_FULL, BENCH_ROTATION, _ROTATION_DROPS
+from event_streaming_service_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_all_bench_names_registered():
+    missing = [n for n in BENCH_QUERIES_FULL if n not in REGISTRY]
+    assert not missing, f"bench names not registered: {missing}"
+    assert len(set(BENCH_QUERIES_FULL)) == len(BENCH_QUERIES_FULL)
+
+
+def test_rotation_is_full_minus_drops():
+    assert set(BENCH_ROTATION) == set(BENCH_QUERIES_FULL) - _ROTATION_DROPS
+    # drops must name real entries (a typo would silently keep a row)
+    stray = _ROTATION_DROPS - set(BENCH_QUERIES_FULL)
+    assert not stray, f"rotation drops not in the full list: {stray}"
+
+
+def test_rotation_fits_the_driver_kill_window():
+    """Wall model calibrated on the r11 dry run (120 names -> 1960 s,
+    rc=0) and the r9/r10 driver runs: wall ~= 14 x best-sum +
+    3.5 s/query + 120 s. Project the rotation's cost from the
+    BENCH_FULL minima (1.2 s default for unmeasured names) and keep a
+    >= 15% margin under the ~3600 s external kill. If this fails,
+    grow _ROTATION_DROPS — do NOT ship a list that can time out."""
+    path = os.path.join(REPO, "BENCH_FULL.json")
+    timings = json.load(open(path))["queries"]
+    best_sum = sum(timings.get(n, 1.2) for n in BENCH_ROTATION)
+    projected = 14 * best_sum + 3.5 * len(BENCH_ROTATION) + 120
+    assert projected < 3600 * 0.85, (
+        f"projected driver-bench wall {projected:.0f}s too close to "
+        f"the 3600s kill (best-sum {best_sum:.0f}s over "
+        f"{len(BENCH_ROTATION)} names)")
+
+
+def test_full_record_matches_full_list():
+    """BENCH_FULL.json must be a refresh of the CURRENT full list
+    (the r10 verdict flagged a one-round-stale record)."""
+    path = os.path.join(REPO, "BENCH_FULL.json")
+    rec = json.load(open(path))
+    assert rec.get("list") == "full"
+    assert set(rec["queries"]) == set(BENCH_QUERIES_FULL), (
+        "BENCH_FULL.json row set does not match BENCH_QUERIES_FULL — "
+        "rerun SPARK_GRAFT_BENCH_FULL=1 python bench.py")
