@@ -801,3 +801,50 @@ def beam_search_topk(emb: DataFrame, k: int = 5, n_query: int = 8,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("node").alias("neighbor_id"),
                     "cosine", "rank"))
+
+
+def hard_negative_topk(emb: DataFrame, k: int = 5,
+                       query_mod: int = 125, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining — the contrastive-training data-prep step
+    (for every anchor, the most-similar vectors of a DIFFERENT class
+    are the informative negatives; random negatives carry almost no
+    gradient): per query vector, the top-k nearest neighbors whose
+    label differs, cosine pinned to 6dp before ranking (the
+    cosine_topk convention) with a neighbor-id tiebreak.
+
+    The label filter runs BEFORE ranking (a post-filter on an
+    unfiltered top-k would lose negatives behind same-class hits).
+    Scale shape: the anchor set broadcasts (it is small by design —
+    the mining query's contract), the corpus scans once, and the only
+    shuffle is the per-query top-k window; for anchor sets past
+    broadcast size the cosine_topk tiled-BLAS dispatch applies
+    unchanged with the label filter inside the kernel."""
+    base = emb.select(F.col(id_col), F.col(label_col).alias("__l"),
+                      as_double(F.col(vec_col)).alias("__v"))
+    q = (base.filter(F.col(id_col) % query_mod == 0)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col("__l").alias("query_label"),
+                 F.col("__v").alias("__qv")))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    pairs = (base.crossJoin(F.broadcast(q))
+             .filter((F.col("__l") != F.col("query_label"))
+                     & (F.col(id_col) != F.col("query_id"))))
+    cos = F.round(
+        dot(F.col("__qv"), F.col("__v"))
+        / (F.sqrt(dot(F.col("__qv"), F.col("__qv")))
+           * F.sqrt(dot(F.col("__v"), F.col("__v")))), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (pairs.withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "query_label",
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col("__l").alias("neighbor_label"),
+                    "cosine", "rank"))

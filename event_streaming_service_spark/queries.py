@@ -140,6 +140,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # quantizer, integer-L2 probe, exact-BIGINT-dot rerank — zero
     # float ops end to end
     "ivf_trained_topk",
+    # contrastive hard-negative mining: per anchor, top-5 nearest
+    # DIFFERENT-label vectors (filter before rank, 6dp-pinned cosine)
+    "hard_negative_topk",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -601,3 +601,41 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("x.query_id").alias("id_a"),
                     F.col("y.query_id").alias("id_b"),
                     F.col("x.cosine").alias("cosine")))
+
+
+@register(
+    "hard_negative_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label,
+                 vec AS qv
+          FROM v WHERE vec_id % 125 = 0),
+    scored AS (
+        SELECT query_id, query_label, c.vec_id AS neighbor_id,
+               c.label AS neighbor_label,
+               ROUND(list_dot_product(qv, c.vec)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(c.vec, c.vec))), 6)
+                   AS cosine
+        FROM q, v c
+        WHERE c.label <> query_label AND c.vec_id <> query_id)
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity", "ann-baseline", "ml-eval", "embedding"),
+)
+def q_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:
+    hard_negative_topk): per anchor vector, the top-5 most-similar
+    vectors of a DIFFERENT label — the contrastive-training negatives
+    random sampling can't produce. Label filter BEFORE ranking,
+    cosine 6dp-pinned, anchors broadcast, corpus scanned once."""
+    emb = _emb(spark, sf_dir)
+    return similarity.hard_negative_topk(emb, k=K, query_mod=125)

@@ -145,6 +145,24 @@ def test_paragraph_dedup_skips_empty_docs(spark):
     assert [r["doc_id"] for r in out] == [1]
 
 
+def test_hard_negative_excludes_same_label(spark):
+    """The most-similar SAME-label vector must never appear: anchor 0
+    (label 0) sits next to id 1 (label 0, near-identical) but its
+    hard negatives are drawn from labels != 0 only — the nearest is
+    the label-1 vector pointing almost the same way."""
+    from event_streaming_service_spark.operators import similarity
+
+    rows = [(0, 0, [10.0, 0.0]), (1, 0, [10.0, 0.1]),
+            (2, 1, [9.0, 1.0]), (3, 1, [0.0, 10.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = similarity.hard_negative_topk(emb, k=2, query_mod=1).collect()
+    mine = sorted([(r["neighbor_id"], r["rank"]) for r in out
+                   if r["query_id"] == 0])
+    assert mine == [(2, 1), (3, 2)]       # id 1 (same label) excluded
+    assert all(r["neighbor_label"] != r["query_label"] for r in out)
+
+
 # ---- logistic train->apply calibration grid ------------------------
 
 
