@@ -143,6 +143,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     # contrastive hard-negative mining: per anchor, top-5 nearest
     # DIFFERENT-label vectors (filter before rank, 6dp-pinned cosine)
     "hard_negative_topk",
+    # near-dup split-leakage audit: verified LSH pairs x content-hash
+    # split matrix — off-diagonal rows ARE the train/test leak
+    "split_leakage_near_dup",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

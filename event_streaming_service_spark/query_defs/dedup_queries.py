@@ -748,3 +748,65 @@ def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-level MinHash-LSH in production pipelines."""
     return dedup.paragraph_dedup_stats(_docs(spark, sf_dir),
                                        para_len=_PARA_LEN)
+
+
+from event_streaming_service_spark.operators.curation import (  # noqa: E402
+    split_assign, split_assign_sql)
+
+_DOC_SPLIT_SQL = split_assign_sql("doc_id")
+
+
+@register(
+    "split_leakage_near_dup",
+    oracle="WITH " + _JACCARD + _minhash_sql_body() + _bands_sql() + f""",
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_keys a JOIN band_keys b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM candidates c
+        JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    ),
+    sp AS (SELECT doc_id, {_DOC_SPLIT_SQL} AS split FROM documents),
+    m AS (
+        SELECT LEAST(sa.split, sb.split) AS split_lo,
+               GREATEST(sa.split, sb.split) AS split_hi
+        FROM verified v
+        JOIN sp sa ON sa.doc_id = v.doc_a
+        JOIN sp sb ON sb.doc_id = v.doc_b)
+    SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY split_lo, split_hi
+    """,
+    tags=("dedup-minhash-lsh", "ml-eval"),
+)
+def q_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate SPLIT-LEAKAGE audit — the contamination check a
+    row-grain train/test split needs (a near-duplicate pair straddling
+    train and test leaks the answer into evaluation; group-grain
+    splits prevent it structurally, this measures what a row split
+    actually leaks): the verified MinHash+LSH near-dup pairs
+    (dedup.minhash_near_dups — banded candidates, exact Jaccard >=
+    0.5) joined to each side's content-hash split assignment
+    (curation.split_assign on doc_id), reported as the split-pair
+    matrix. Off-diagonal rows (train/test, train/val, test/val) ARE
+    the leak count. Pure composition of two driver-proven operators;
+    scale shape inherits theirs (banded candidates only + a stateless
+    split projection)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+    pairs = dedup.minhash_near_dups(docs, JACCARD_THRESHOLD)
+    sp = docs.select("doc_id", split_assign(F.col("doc_id"))
+                     .alias("split"))
+    j = (pairs
+         .join(sp.select(F.col("doc_id").alias("doc_a"),
+                         F.col("split").alias("__sa")), "doc_a")
+         .join(sp.select(F.col("doc_id").alias("doc_b"),
+                         F.col("split").alias("__sb")), "doc_b"))
+    return (j.select(F.least("__sa", "__sb").alias("split_lo"),
+                     F.greatest("__sa", "__sb").alias("split_hi"))
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))

@@ -163,6 +163,42 @@ def test_hard_negative_excludes_same_label(spark):
     assert all(r["neighbor_label"] != r["query_label"] for r in out)
 
 
+def test_split_leakage_matrix_counts_planted_pair(spark):
+    """One planted near-dup pair (identical long docs) must land in
+    exactly the sorted-(split, split) cell of the leak matrix, the
+    splits computed independently from the content-hash assignment;
+    the unrelated third doc contributes nothing."""
+    from event_streaming_service_spark.operators.curation import (
+        split_assign)
+    from event_streaming_service_spark.query_defs.dedup_queries import (
+        JACCARD_THRESHOLD)
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text),
+         (3, "totally different words nothing shared here at all")],
+        "doc_id long, text string")
+    pairs = dedup.minhash_near_dups(docs, JACCARD_THRESHOLD)
+    assert {(r["doc_a"], r["doc_b"])
+            for r in pairs.collect()} == {(1, 2)}
+    sp_frame = docs.select("doc_id",
+                           split_assign(F.col("doc_id")).alias("split"))
+    sp = {r["doc_id"]: r["split"] for r in sp_frame.collect()}
+    want = tuple(sorted((sp[1], sp[2])))
+    matrix = (pairs
+              .join(sp_frame.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("split").alias("__sa")),
+                    "doc_a")
+              .join(sp_frame.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("split").alias("__sb")),
+                    "doc_b")
+              .select(F.least("__sa", "__sb").alias("lo"),
+                      F.greatest("__sa", "__sb").alias("hi"))
+              .groupBy("lo", "hi").count().collect())
+    assert [(r["lo"], r["hi"], r["count"]) for r in matrix] \
+        == [(want[0], want[1], 1)]
+
+
 # ---- logistic train->apply calibration grid ------------------------
 
 
