@@ -259,11 +259,21 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int,
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = 3) -> DataFrame:
+                       text_col: str = "text", n: int = 3,
+                       sets_: DataFrame | None = None) -> DataFrame:
     """MinHash signatures: NUM_HASHES permutation-minima per doc over
     its shingle set — one explode + one hash aggregate, constant output
-    size per doc regardless of document length."""
-    hashed = shingle_sets(docs, id_col, text_col, n).withColumn(
+    size per doc regardless of document length.
+
+    `sets_`: a precomputed (id, shingle) grain. Callers that already
+    persist the shingle grain for other consumers (the IDF verifier
+    persists it for df/totals/intersect) pass it in so the signature
+    pipeline reads the pin instead of re-running tokenize + explode
+    over the corpus (the containment_pairs shared-grain convention,
+    VERDICT r11 item #3)."""
+    if sets_ is None:
+        sets_ = shingle_sets(docs, id_col, text_col, n)
+    hashed = sets_.withColumn(
         "h", portable_token_hash(F.col("shingle")))
     aggs = [
         F.min((HASH_AS[i] * F.col("h") + HASH_BS[i]) % _HASH_P).alias(f"mh{i}")
@@ -294,7 +304,8 @@ def minhash_band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
-                            bucket_cap: int | None = None) -> DataFrame:
+                            bucket_cap: int | None = None,
+                            sets_: DataFrame | None = None) -> DataFrame:
     """Distinct candidate pairs from LSH banding (doc_a < doc_b) —
     the sub-quadratic candidate generation step; join is on band_key,
     never all-pairs.
@@ -316,7 +327,8 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     should clearCache between them.
     """
     keys = minhash_band_keys(
-        minhash_signatures(docs, id_col, text_col, n), id_col)
+        minhash_signatures(docs, id_col, text_col, n, sets_=sets_),
+        id_col)
     if bucket_cap is not None:
         keys = keys.cache()
         big = (keys.groupBy("band", "band_key")
@@ -893,8 +905,12 @@ def idf_weighted_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     ppm. Scale shape: candidates come from LSH banding (never
     all-pairs); the intersection rides the candidate x shingle
     equi-join restricted to candidate docs; per-doc weight totals are
-    one hash aggregate. The shingle grain persists (it feeds df, the
-    totals, and both sides of the intersect join)."""
+    one hash aggregate. The shingle grain persists ONCE and feeds
+    every consumer — df, the per-doc totals, both sides of the
+    intersect join, AND the minhash signature pipeline (VERDICT r11
+    item #3: the candidate stage formerly re-ran the whole tokenize →
+    shingle pipeline from the raw docs; at corpus scale that is a
+    second full scan + explode of the dominant grain)."""
     sets_ = shingle_sets(docs, id_col, text_col, n).persist()
     nd = sets_.agg(F.countDistinct(id_col).cast("bigint")
                    .alias("n_docs"))
@@ -907,7 +923,8 @@ def idf_weighted_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     tot = (sets_.join(w, "shingle")
            .groupBy(id_col)
            .agg(F.sum("w").cast("bigint").alias("tw")))
-    cand = minhash_candidate_pairs(docs, id_col, text_col, n)
+    cand = minhash_candidate_pairs(docs, id_col, text_col, n,
+                                   sets_=sets_)
     xa = sets_.select(F.col(id_col).alias("doc_a"), "shingle")
     xb = sets_.select(F.col(id_col).alias("doc_b"), "shingle")
     sh = (cand.join(xa, "doc_a").join(xb, ["doc_b", "shingle"])

@@ -54,14 +54,18 @@ def kmeans_assign(emb: DataFrame, n_clusters: int = 8,
     `use_arrow=True` (default — the registered execution path) runs
     assignment + inertia in the pq_codes_arrow tensor kernel's single
     pass (`emit_dist`); the JVM expression twin below stays as the
-    parity reference, asserted equal by tools/scale_probe.py:kmeans."""
-    q = quantize_codes(emb, vec_col, id_col)
+    parity reference, asserted equal by tools/scale_probe.py:kmeans.
+
+    The quantized frame persists ONCE and feeds both training and the
+    assignment pass (ADVICE r11: each quantize_codes call re-runs
+    dim_stats, a corpus-wide per-dimension min/max aggregate — the
+    same redundant-rescan pattern the containment/BPE fixes closed)."""
+    q = quantize_codes(emb, vec_col, id_col).persist()
     seeds = train_codebook(q, m_sub=1, n_codes=n_clusters,
                            lloyd_rounds=rounds, id_col=id_col)
     dim = len(seeds[0])
     if use_arrow:
-        coded = pq_codes_arrow(quantize_codes(emb, vec_col, id_col),
-                               seeds, 1, id_col=id_col,
+        coded = pq_codes_arrow(q, seeds, 1, id_col=id_col,
                                emit_dist=True, emit_qv=emit_qv)
         out = [F.col(id_col),
                F.element_at("codes", 1).cast("int").alias("cluster_id"),
@@ -73,7 +77,7 @@ def kmeans_assign(emb: DataFrame, n_clusters: int = 8,
     # assignment + inertia in two chained projections (the cluster id
     # indexes the literal grid once instead of re-running the argmin
     # inside the inertia expression)
-    asg = (quantize_codes(emb, vec_col, id_col)
+    asg = (q
            .select(F.col(id_col),
                    F.col("qv"),
                    F.element_at(
@@ -96,11 +100,17 @@ def kmeans_cluster_report(emb: DataFrame, n_clusters: int = 8,
     count, corpus share in exact ppm, exact BIGINT inertia, and the
     floor-divided mean point inertia — the readout a SemDeDup-style
     pipeline gates its per-cluster dedup fan-out on (a skewed cluster
-    is the hot key of the downstream within-cluster pair join)."""
+    is the hot key of the downstream within-cluster pair join).
+
+    The n_clusters-row `rep` frame is eagerly pinned (localCheckpoint
+    — the ols2_kfold_cv foldm device): it has two consumers (the
+    total aggregate and the join), and without the pin each re-runs
+    the corpus-wide Arrow assignment pass (VERDICT r11 item #4)."""
     pt = kmeans_assign(emb, n_clusters, rounds, id_col, vec_col)
     rep = (pt.groupBy("cluster_id")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
-                F.sum("point_inertia").cast("bigint").alias("inertia")))
+                F.sum("point_inertia").cast("bigint").alias("inertia"))
+           .localCheckpoint())
     tot = rep.agg(F.sum("n_members").cast("bigint").alias("__n_total"))
     return (rep.crossJoin(F.broadcast(tot))
             .select("cluster_id", "n_members",
@@ -212,8 +222,11 @@ def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
     one n_cells*dim-row aggregate per round); assignment is one Arrow
     tensor pass; the probe ranks a query against the n_cells-row
     broadcast centroid frame; candidates ride an equi-join on the
-    cell id and only probed cells' members score."""
-    q = quantize_codes(emb, vec_col, id_col)
+    cell id and only probed cells' members score. The quantized frame
+    persists ONCE and feeds training, assignment, and the query slice
+    (ADVICE r11: three quantize_codes calls = three corpus-wide
+    dim_stats aggregates for one envelope)."""
+    q = quantize_codes(emb, vec_col, id_col).persist()
     seeds = train_codebook(q, m_sub=1, n_codes=n_cells,
                            lloyd_rounds=rounds, id_col=id_col)
     dim = len(seeds[0])
@@ -222,13 +235,13 @@ def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
         [(kk, list(map(int, cv))) for kk, cv in enumerate(seeds)],
         "cell int, cv array<int>")
 
-    assigned = (pq_codes_arrow(quantize_codes(emb, vec_col, id_col),
-                               seeds, 1, id_col=id_col, emit_qv=True)
+    assigned = (pq_codes_arrow(q, seeds, 1, id_col=id_col,
+                               emit_qv=True)
                 .select(F.col(id_col).alias("__nid"),
                         F.element_at("codes", 1).cast("int")
                         .alias("cell"),
                         F.col("qv").alias("__nqv")))
-    queries = (quantize_codes(emb, vec_col, id_col)
+    queries = (q
                .filter(F.col(id_col) % query_mod == 0)
                .select(F.col(id_col).alias("query_id"),
                        F.col("qv").alias("__qqv")))

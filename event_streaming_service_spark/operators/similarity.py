@@ -806,7 +806,8 @@ def beam_search_topk(emb: DataFrame, k: int = 5, n_query: int = 8,
 def hard_negative_topk(emb: DataFrame, k: int = 5,
                        query_mod: int = 125, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       label_col: str = "label") -> DataFrame:
+                       label_col: str = "label",
+                       use_arrow: bool = True) -> DataFrame:
     """Hard-negative mining — the contrastive-training data-prep step
     (for every anchor, the most-similar vectors of a DIFFERENT class
     are the informative negatives; random negatives carry almost no
@@ -818,15 +819,75 @@ def hard_negative_topk(emb: DataFrame, k: int = 5,
     unfiltered top-k would lose negatives behind same-class hits).
     Scale shape: the anchor set broadcasts (it is small by design —
     the mining query's contract), the corpus scans once, and the only
-    shuffle is the per-query top-k window; for anchor sets past
-    broadcast size the cosine_topk tiled-BLAS dispatch applies
-    unchanged with the label filter inside the kernel."""
+    shuffle is the per-query top-k rerank window over the k-per-batch
+    candidates.
+
+    `use_arrow=True` (the registered path — VERDICT r11 item #5:
+    the expression form scored every (corpus x anchor) row with
+    interpreted zip_with lambdas) broadcasts the collected anchor
+    matrix and scores each corpus Arrow batch with ONE BLAS matmul;
+    the label filter applies INSIDE the kernel, per anchor, before
+    the batch-local top-k, so recall is identical to the expression
+    twin below (kept as the parity reference, asserted equal by
+    tests/test_round11_ops.py)."""
     base = emb.select(F.col(id_col), F.col(label_col).alias("__l"),
                       as_double(F.col(vec_col)).alias("__v"))
     q = (base.filter(F.col(id_col) % query_mod == 0)
          .select(F.col(id_col).alias("query_id"),
                  F.col("__l").alias("query_label"),
                  F.col("__v").alias("__qv")))
+    if use_arrow:
+        import numpy as np
+        import pandas as pd  # noqa: F401
+        rows = q.orderBy("query_id").collect()
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        qlabels = np.array([r[1] for r in rows], dtype=np.int64)
+        qmat = np.array([r[2] for r in rows], dtype=np.float64)
+        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+        b = emb.sparkSession.sparkContext.broadcast(
+            (qids, qlabels, qmat, qnorms))
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+            aqids, aqlabels, aqmat, aqnorms = b.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cids = pdf.iloc[:, 0].to_numpy().astype(np.int64)
+                clab = pdf["__l"].to_numpy().astype(np.int64)
+                cm = np.array(list(pdf["__v"]), dtype=np.float64)
+                cnorms = np.sqrt((cm * cm).sum(axis=1))
+                sims = np.round((aqmat @ cm.T)
+                                / np.outer(aqnorms, cnorms), 6)
+                out = []
+                for j in range(len(aqids)):
+                    mask = ((clab != aqlabels[j])
+                            & (cids != aqids[j]))
+                    order = np.lexsort(
+                        (cids[mask], -sims[j][mask]))[:k]
+                    out.append(pd.DataFrame({
+                        "query_id": aqids[j],
+                        "query_label": int(aqlabels[j]),
+                        "neighbor_id": cids[mask][order],
+                        "neighbor_label": clab[mask][order],
+                        "cosine": sims[j][mask][order]}))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        from event_streaming_service_spark.operators.text import fan_out
+        scored = fan_out(base).mapInPandas(
+            score,
+            "query_id long, query_label int, neighbor_id long,"
+            " neighbor_label int, cosine double")
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id"))
+        return (scored
+                .withColumn("rank",
+                            F.row_number().over(wf).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "query_label", "neighbor_id",
+                        "neighbor_label", "cosine", "rank"))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),

@@ -254,3 +254,59 @@ def test_logreg2_cell_scores_balanced_grid(spark):
     for r in out:
         assert r["model_p_nano"] == 500_000_000
         assert r["obs_p_nano"] == 500_000_000
+
+
+def test_hard_negative_arrow_jvm_parity(spark):
+    """The broadcast-anchor BLAS kernel (registered path, VERDICT r11
+    item #5) and the crossJoin expression twin must emit identical
+    (anchor, neighbor, labels, cosine, rank) rows — the in-kernel
+    label filter must not change recall, and the 6dp pin must agree
+    bit-for-bit."""
+    import random
+
+    from event_streaming_service_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = [(i, i % 3, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    kw = dict(k=3, query_mod=10)
+    key = ("query_id", "query_label", "neighbor_id",
+           "neighbor_label", "cosine", "rank")
+    a = sorted(tuple(r[c] for c in key) for r in
+               similarity.hard_negative_topk(
+                   emb, use_arrow=True, **kw).collect())
+    j = sorted(tuple(r[c] for c in key) for r in
+               similarity.hard_negative_topk(
+                   emb, use_arrow=False, **kw).collect())
+    assert a == j and len(a) == 6 * 3
+
+
+def test_semdedup_rounding_boundary_parity(spark):
+    """ADVICE r11: the Arrow kernel pins with
+    sign(C)*floor(abs(C)*1e9+0.5)/1e9 in binary doubles while the JVM
+    twin uses ROUND(x, 9) HALF_UP — values landing EXACTLY on a .5
+    boundary are where they could diverge. Constructed SQ8 vectors
+    u=[31,7,3,2,1], v=[-7,31,2,-3,1]: daa=dbb=1024 (dyadic perfect
+    square, so sqrt and the quotient are exact in doubles), dab=1,
+    cosine = 1/1024 -> cosine*1e9 = 976562.5 EXACTLY. Both paths must
+    round it up (away from zero) to 0.000976563 and agree on every
+    pair. Envelope rows 0/254 pin the per-dim quantizer so each
+    integer vector is q = value - 127 exactly."""
+    rows = [
+        (0, [0.0] * 5),                              # qv = [-127]*5
+        (1, [254.0] * 5),                            # qv = [+127]*5
+        (2, [158.0, 134.0, 130.0, 129.0, 128.0]),    # qv = u
+        (3, [120.0, 158.0, 129.0, 124.0, 128.0]),    # qv = v
+    ]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    kw = dict(n_clusters=1, rounds=1, threshold_ppb=-2_000_000_000)
+    a = {(r["vec_a"], r["vec_b"]): r["cosine_9dp"] for r in
+         kmeans.semdedup_pairs(emb, use_arrow=True, **kw).collect()}
+    j = {(r["vec_a"], r["vec_b"]): r["cosine_9dp"] for r in
+         kmeans.semdedup_pairs(emb, use_arrow=False, **kw).collect()}
+    assert a == j and len(a) == 6
+    assert a[(2, 3)] == 0.000976563      # the .5 boundary, rounded up
+    assert a[(0, 1)] == -1.0
