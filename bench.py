@@ -435,6 +435,10 @@ def main() -> None:
             # measured so far.
             if session_cost * (runs / (runs + 1.0)) * 1.1 <= remaining and runs > 1:
                 runs -= 1
+                # keep the emitted runs_per_query honest: it reports
+                # the SMALLEST best-of-N any timed session actually
+                # ran, not the configured N (ADVICE r11)
+                _STATE["runs"] = runs
             else:
                 break
         t_session = time.monotonic()
