@@ -263,3 +263,85 @@ def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dot_score", "rank"))
+
+
+def ivf_split_contamination(emb: DataFrame, split_expr,
+                            n_cells: int = 16, n_probe: int = 4,
+                            rounds: int = 1,
+                            threshold_ppb: int = 990_000_000,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            train_value: str = "train") -> DataFrame:
+    """Embedding-space CONTAMINATION audit — the semantic analog of
+    the lexical split-leakage check (split_leakage_near_dup flags
+    near-dup TEXT straddling a train/eval split; a paraphrase shares
+    no shingles but sits on the same point of embedding space, and
+    this operator catches exactly that): every held-out vector (split
+    != `train_value` under `split_expr`, a pure function of the id)
+    probes a trained-IVF index built over the TRAIN split ONLY, and
+    its top-1 train neighbor's pinned 9dp SQ8 cosine is compared to
+    the integer-ppb threshold — a hit means the eval example has a
+    semantic twin in training and its eval score is leaked.
+
+    Exactness: shared SQ8 quantization over the FULL corpus (one
+    envelope — the production shape: the quantizer is trained once,
+    splits share it); Lloyd training, cell assignment and the probe
+    are the ivf_trained_topk integer path restricted to the train
+    split; the cosine is exact BIGINT dots into ONE ROUND(x, 9).
+
+    Scale shape: identical to ivf_trained_topk (bounded Lloyd loop,
+    one Arrow assignment pass over the train split, n_cells-row
+    broadcast centroid probe, candidates ride the cell equi-join) —
+    the eval set is the small side by construction (5-10% of the
+    corpus) and never joins the full train split, only probed cells'
+    members."""
+    q = (quantize_codes(emb, vec_col, id_col)
+         .withColumn("__split", split_expr)
+         .persist())
+    corpus = q.filter(F.col("__split") == train_value)
+    seeds = train_codebook(corpus, m_sub=1, n_codes=n_cells,
+                           lloyd_rounds=rounds, id_col=id_col)
+    spark = emb.sparkSession
+    cells = spark.createDataFrame(
+        [(kk, list(map(int, cv))) for kk, cv in enumerate(seeds)],
+        "cell int, cv array<int>")
+    assigned = (pq_codes_arrow(corpus, seeds, 1, id_col=id_col,
+                               emit_qv=True)
+                .select(F.col(id_col).alias("__nid"),
+                        F.element_at("codes", 1).cast("int")
+                        .alias("cell"),
+                        F.col("qv").alias("__nqv")))
+    queries = (q.filter(F.col("__split") != train_value)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("__split").alias("query_split"),
+                       F.col("qv").alias("__qqv")))
+    probed = (queries.crossJoin(F.broadcast(cells))
+              .withColumn("__d", _l2(F.col("__qqv"), F.col("cv")))
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("query_id")
+                  .orderBy(F.col("__d"), F.col("cell"))))
+              .filter(F.col("__rn") <= n_probe)
+              .select("query_id", "query_split", "__qqv", "cell"))
+    cand = probed.join(assigned, "cell")
+    cos = F.expr(
+        "ROUND(CAST(__dab AS DOUBLE) / (SQRT(CAST(__daa AS DOUBLE))"
+        " * SQRT(CAST(__dbb AS DOUBLE))), 9)")
+    scored = (cand
+              .withColumn("__dab", _dot(F.col("__qqv"),
+                                        F.col("__nqv")))
+              .withColumn("__daa", _dot(F.col("__qqv"),
+                                        F.col("__qqv")))
+              .withColumn("__dbb", _dot(F.col("__nqv"),
+                                        F.col("__nqv")))
+              .withColumn("cosine_9dp", cos))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_9dp").desc(), F.col("__nid"))
+    return (scored
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("query_id", "query_split",
+                    F.col("__nid").alias("neighbor_id"),
+                    "cosine_9dp",
+                    (F.col("cosine_9dp")
+                     >= threshold_ppb / 1_000_000_000.0)
+                    .alias("contaminated")))

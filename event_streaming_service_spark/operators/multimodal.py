@@ -1356,3 +1356,78 @@ def resize_gif(media_df: DataFrame, target_w: int, target_h: int
                 "ch0_sum", "ch1_sum", "ch2_sum", "out_bytes"])
 
     return media_df.mapInPandas(batches, GIF_RESIZE_SCHEMA)
+
+
+def image_text_dup_pairs(media_df: DataFrame, docs: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """CLIP-style multimodal pair curation — the cross-modal dedup
+    composition (an image-text corpus dedups on BOTH arms: byte-level
+    text hashing misses re-encoded images, dHash misses rewritten
+    captions; the pair table of image-identical docs scored by text
+    overlap is what a curation pipeline ranks and prunes): documents
+    whose REAL-decoded PNGs collapse to the same (dhash, width,
+    height) perceptual key pair up (doc_a < doc_b), and each pair
+    carries its exact text-shingle Jaccard (truncating ppm, the
+    jaccard_pairs device) plus a byte-exact same_text flag.
+
+    High jaccard_ppm = full dup (drop one); low jaccard_ppm with the
+    same image = caption divergence — the rows a contrastive-training
+    curation keeps exactly one of, chosen by text quality.
+
+    Scale shape: the dHash frame is one row per image (the decode
+    kernel runs once — persisted, it feeds both sides of the group
+    self-join); the pair fan-out is bounded by perceptual-group size
+    exactly as LSH bucket size bounds MinHash candidates (true
+    near-identical image families; an exact_canonical-style cap
+    applies if a degenerate corpus floods one key); the text verify
+    joins the persisted per-doc shingle arrays on candidate pairs
+    ONLY — never a corpus-wide text join."""
+    from event_streaming_service_spark.operators.dedup import shingle_sets
+
+    fp = (image_dhash_png(media_df)
+          .select("dhash", "width", "height", id_col)
+          .persist())
+    a = fp.select("dhash", "width", "height",
+                  F.col(id_col).alias("doc_a"))
+    b = fp.select("dhash", "width", "height",
+                  F.col(id_col).alias("doc_b"))
+    pairs = (a.join(b, ["dhash", "width", "height"])
+             .filter(F.col("doc_a") < F.col("doc_b")))
+    arrs = (shingle_sets(docs, id_col, text_col, n)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("shingle"))
+                 .alias("__set"),
+                 F.count(F.lit(1)).cast("bigint").alias("__n"))
+            .persist())
+    md = docs.select(F.col(id_col), F.md5(F.col(text_col))
+                     .alias("__md5"))
+    out = (pairs
+           .join(arrs.select(F.col(id_col).alias("doc_a"),
+                             F.col("__set").alias("__sa"),
+                             F.col("__n").alias("__na")),
+                 "doc_a", "left")
+           .join(arrs.select(F.col(id_col).alias("doc_b"),
+                             F.col("__set").alias("__sb"),
+                             F.col("__n").alias("__nb")),
+                 "doc_b", "left")
+           .join(md.select(F.col(id_col).alias("doc_a"),
+                           F.col("__md5").alias("__ma")), "doc_a")
+           .join(md.select(F.col(id_col).alias("doc_b"),
+                           F.col("__md5").alias("__mb")), "doc_b")
+           .withColumn("inter",
+                       F.coalesce(
+                           F.size(F.array_intersect("__sa", "__sb"))
+                           .cast("bigint"), F.lit(0).cast("bigint")))
+           .withColumn("size_a",
+                       F.coalesce("__na", F.lit(0).cast("bigint")))
+           .withColumn("size_b",
+                       F.coalesce("__nb", F.lit(0).cast("bigint"))))
+    return out.select(
+        "dhash", "width", "height", "doc_a", "doc_b",
+        "inter", "size_a", "size_b",
+        F.expr("CAST(inter * 1000000"
+               " DIV GREATEST(size_a + size_b - inter, 1)"
+               " AS BIGINT)").alias("jaccard_ppm"),
+        (F.col("__ma") == F.col("__mb")).alias("same_text"))

@@ -43,109 +43,86 @@ REGISTRY: dict[str, QuerySpec] = {}
 # closure: the union of operator tags over PRIORITY covers the full
 # required tag set.
 PRIORITY: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 items #2/#3): drain the ENTIRE
-    # 17-name round-10 PENDING_ROTATION queue (the only oracle-backed
-    # queries never driver-verified), re-verify the two queries whose
-    # plans change this round (containment's shared shingle grain and
-    # the BPE learn/apply shared vocab frame — VERDICT r10 items
-    # #5/#6), then start the r2/r3 oldest-green backlog: all five
-    # round-2 rows plus every round-3 multi-tag anchor the tag-closure
-    # budget can carry. The closure itself is a feasibility-guarded
-    # greedy cover (tools-computed this round): old providers win a
-    # slot whenever the remaining tags stay coverable, the
-    # sole-source tags take their forced newer providers. ~65 r3/r4
-    # names remain after this round; the r12 rotation (queue expected
-    # small) clears ~40 and r13 the rest.
+    # Round-12 rotation (VERDICT r11 items #1/#2/#3/#4/#5): drain the
+    # ENTIRE 8-name round-11 PENDING_ROTATION queue (the only
+    # oracle-backed queries never driver-verified), re-verify the one
+    # previously-green query whose plan changes this round
+    # (idf_weighted_jaccard's shared persisted shingle grain), then
+    # spend every remaining slot on the r3/r4 oldest-green backlog.
+    # The cover is tools/plan_rotation.py's three-phase greedy:
+    # (1) tags with NO r<=4 provider take their forced newer
+    # compressors (oldest provider at equal gain), (2) old names
+    # greedily cover the rest, (3) oldest-first fill. 27 backlog
+    # names drain this round; 48 r3/r4 names remain for r13 (the
+    # forced sole-source compressors recur every round, so the
+    # per-round drain ceiling is ~budget - queue - ~14).
     #
-    # -- never driver-verified: the full round-10 rotation queue --
-    "kn_bigram_lm_scores", "bpe_encoded_doc_stats",
-    "pca_pc1_scores", "bh_fdr_value_drift",
-    "lm_quality_filter_en", "dirichlet_ql_scores",
-    "minhash_jaccard_error_report", "logreg2_purchase_model",
-    "vocab_growth_by_lang", "conformal_ols2_value_interval",
-    "readability_scores", "idf_weighted_jaccard_pairs",
-    "welch_ttest_value_drift", "changepoint_value_trend",
-    "skipgram_pairs_top", "negative_sampling_table",
-    "gopher_quality_flags",
-    # -- green before, but their plans change THIS round (shared
-    #    persisted shingle grain in containment; shared vocab frame in
-    #    the BPE learn/apply pair) — re-verify, never assume --
-    "containment_doc_pairs", "bpe_learned_merges",
-    # -- the round-2 block: the five oldest-green rows in the repo --
-    "doc_text_metrics", "session_windows_30m",
-    "tpch_q19_disjunctive_join", "tpch_q5_local_supplier_volume",
-    "tumbling_daily_by_type",
-    # -- round-3 multi-tag anchors (oldest-green cover providers) --
-    "routing_surface",            # 10 tags: R1-R11 key strategies
-    "catalog_surface",            # topics/groups/subscriptions O/P6/S8
-    "lag_surface",                # A1/A2/A3 ROLLUP lag grains
-    "pipeline_dispositions",      # P3/S3/W5/W6 disposition split
-    "tpch_q18_large_volume_customers",  # A-family agg-in-join
-    # -- fresh surfaces the closure arithmetic forces (84 tags over
-    #    31 free slots needs >2.5 tags/slot; these are the compressors) --
-    "governance_surface",         # 2.9/A8/A9/A11/calendar/listagg
-    "ops_catalog_surface",        # A4/J1/O/P5/S5-S9/2.10
-    "streaming_core_surface",     # W1/W4/W8/W9/rollup/streaming
-    "corpus_pipeline_surface",    # 2.11/packing/scrub/mmlsh/quality
-    "envelope_props_surface",     # P1/P2/P7/map-ops
-    "joins_surface",              # 2.6-range/J4/J5
-    "ann_cosine_surface",         # ann-baseline/ann-lsh/similarity
-    "corpus_fingerprint_surface",  # dedup-exact/-simhash/fingerprint
-    "window_functions_profile",   # 2.7/W2
-    "cdc_merge_upsert",           # 2.6+J3
-    "routing_pipeline_surface",   # D1/P8 + retry families
-    # -- sole-source / no-old-provider tags (forced picks, oldest
-    #    provider preferred at equal slot cost) --
-    "dataset_split_assignment",   # 2.12-sampling (r6, oldest)
-    "adamic_adar_copurchase",     # 2.12-graph (r7, oldest)
-    "kmv_intersection_click_purchase",  # 2.12-sketch (r7, oldest)
-    "seasonal_hourly_anomalies",  # 2.12-timeseries (r8, oldest)
-    "video_frames_apng",          # 2.12-video (r8, oldest)
-    "winnow_shared_pairs",        # 2.12-fingerprint (r9, oldest)
+    # -- never driver-verified: the full round-11 rotation queue --
+    "kmeans_embedding_clusters", "logreg2_cell_scores",
+    "paragraph_dedup_stats", "semdedup_pairs", "ols2_kfold_cv",
+    "ivf_trained_topk", "hard_negative_topk",
+    "split_leakage_near_dup",
+    # -- green r11, but the plan changes THIS round (the minhash
+    #    candidate stage now reads the persisted shingle grain;
+    #    VERDICT r11 item #3) — re-verify, never assume --
+    "idf_weighted_jaccard_pairs",
+    # -- forced picks: tags with no r<=4 provider (sole-source
+    #    operators and the multi-tag compressors that carry them;
+    #    oldest available provider preferred at equal gain) --
+    "routing_pipeline_surface",   # D1/P8 + retry families (r11)
+    "ops_catalog_surface",        # A4/J1/O/P5/S5-S9/2.10 (r11)
+    "nation_presence_full_outer",  # 2.6-full-outer (r6, oldest)
+    "pareto_frontier_parts",      # 2.12-skyline (r6, oldest)
+    "sampling_surface",           # 2.12-sampling grains (r7, oldest)
+    "association_rules_lift",     # 2.12-assoc (r8, oldest)
+    "dyadic_quantile_sketch_prices",  # 2.12-sketch (r8, oldest)
+    "ohlc_bars_daily",            # 2.12-timeseries (r9, oldest)
+    "video_frames_gif",           # 2.12-video (r9, oldest)
+    "winnow_fingerprint_stats",   # 2.12-fingerprint (r10, oldest)
     "late_drop_counts",           # W3 (sole source)
     "mmr_diverse_topk",           # 2.12-mmr (sole source)
     "proto_wire_roundtrip",       # S10 (sole source)
     "skew_key_diagnostics",       # 2.12-skew (sole source)
+    # -- the r3/r4 oldest-green backlog: tag-cover picks first, then
+    #    oldest-first fill (27 names drain; 48 remain for r13) --
+    "props_map_functions", "streaming_continuous_rollup",
+    "orders_enriched_by_nation", "ann_lsh_cosine",
+    "asof_last_order_before_event", "customers_with_orders_semi",
+    "envelope_projection", "event_types_per_tenant_listagg",
+    "health_status", "language_id_heuristic",
+    "latest_event_per_user", "moving_window_frames",
+    "multimodal_frame_sample", "orders_by_month",
+    "per_key_ordering", "pii_scrub_stats", "price_band_range_join",
+    "quality_scores", "schema_registry_stats", "seq_packing",
+    "simhash_portable", "streaming_dedup",
+    "streaming_tumbling_counts", "cosine_topk_bruteforce",
+    "dedup_earliest", "dedup_exact_canonical", "doc_fingerprints",
 )
 
 # Oracle-backed queries waiting for a driver slot (bounded <= 25,
 # drained by the NEXT round's rotation — tests/test_priority.py).
 PENDING_ROTATION: tuple[str, ...] = (
-    # Round 11 starts with an EMPTY queue: the round-10 queue was
-    # drained into the budget above. New round-11 registrations append
+    # Round 12 starts with an EMPTY queue: the round-11 queue was
+    # drained into the budget above. New round-12 registrations append
     # here (each must be drive_contract-green locally — hash + schema
     # — before it is queued: the freeze rule).
     #
-    # SemDeDup-style semantic clustering: 2 full-vector integer-Lloyd
-    # rounds (pq.train_codebook at m_sub=1) + per-cluster
-    # balance/inertia report; oracle unrolls the rounds in SQL
-    "kmeans_embedding_clusters",
-    # model APPLICATION closing the logistic train->apply loop: the
-    # 3-round Newton betas score every (hour, weekday) cell via the
-    # shared sigmoid spelling, vs the exact observed rate
-    "logreg2_cell_scores",
-    # CCNet-style paragraph-grain exact dedup: fixed 16-token
-    # segments counted corpus-wide; per-doc emitted/distinct/dup
-    # counts + exact dup ratio
-    "paragraph_dedup_stats",
-    # SemDeDup second stage: within-cluster 9dp-pinned SQ8 cosine
-    # pairs over the trained clusters (quadratic fan-out bounded by
-    # cluster granularity)
-    "semdedup_pairs",
-    # 5-fold CV of the ols2 model: complement-moment training (one
-    # aggregate, never k scans), pinned held-out residuals, exact
-    # MAE/MSE per fold
-    "ols2_kfold_cv",
-    # IVF over TRAINED cells: 1 Lloyd round refines the coarse
-    # quantizer, integer-L2 probe, exact-BIGINT-dot rerank — zero
-    # float ops end to end
-    "ivf_trained_topk",
-    # contrastive hard-negative mining: per anchor, top-5 nearest
-    # DIFFERENT-label vectors (filter before rank, 6dp-pinned cosine)
-    "hard_negative_topk",
-    # near-dup split-leakage audit: verified LSH pairs x content-hash
-    # split matrix — off-diagonal rows ARE the train/test leak
-    "split_leakage_near_dup",
+    # SemDeDup ENDGAME: verified within-cluster cosine pairs ->
+    # connected components -> argmax-quality survivor per semantic
+    # dup group (quality = sidecar document n_chars), one row per
+    # corpus vector; oracle = shared kmeans chain + recursive
+    # transitive closure
+    "semdedup_survivors",
+    # embedding-space contamination audit: every held-out (val/test)
+    # vector probes a trained-IVF index built over the TRAIN split
+    # only; top-1 train neighbor's 9dp cosine vs the 0.5 threshold
+    # flags semantic eval leaks (the paraphrase case the lexical
+    # split_leakage_near_dup misses)
+    "embedding_split_contamination",
+    # CLIP-style multimodal pair curation: REAL-decoded PNG dHash
+    # groups pair image-identical docs; each pair carries exact
+    # text-shingle Jaccard ppm + byte-exact same_text flag
+    "image_text_dup_pairs",
 )
 
 # After PRIORITY and the rotation queue in driver order (a >50 budget

@@ -19,27 +19,30 @@ _KM_ROUNDS = 2  # integer Lloyd rounds
 _DIM = 64       # fixture embedding width
 
 
-def _kmeans_chain(n_clusters: int, rounds: int, dim: int) -> str:
+def _kmeans_chain(n_clusters: int, rounds: int, dim: int,
+                  src: str = "q", src_cte: str = "") -> str:
     """Unrolled fixed-round k-means CTE chain (the pq_trained_topk
     device, full-vector), ending in asgF (vec_id, k, d) — the final
     assignment with its exact squared-L2. DuckDB reproduces Python
     floor division as (s - pmod(s, n)) // n; empty clusters COALESCE
-    to their previous centroid. Shared by the report and the SemDeDup
-    pair oracle."""
+    to their previous centroid. Shared by the report, the SemDeDup
+    pair oracle, and (with `src` = a filtered view of q) the
+    split-contamination oracle, which trains and assigns over the
+    TRAIN split only."""
     l2 = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
-          f"CAST(q.qv[i] - s.cv[i] AS BIGINT)"
-          f" * (q.qv[i] - s.cv[i]))) AS BIGINT)")
+          f"CAST({src}.qv[i] - s.cv[i] AS BIGINT)"
+          f" * ({src}.qv[i] - s.cv[i]))) AS BIGINT)")
     parts = [
         f"""seeds0 AS (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, qv AS cv
-        FROM (SELECT vec_id, qv FROM q ORDER BY vec_id
+        FROM (SELECT vec_id, qv FROM {src} ORDER BY vec_id
               LIMIT {n_clusters}))""",
         f"pos AS (SELECT unnest(range(1, {dim} + 1)) AS i)",
     ]
     for r in range(rounds):
         parts += [
             f"""dist{r} AS (
-            SELECT q.vec_id, s.k, {l2} AS d FROM q, seeds{r} s)""",
+            SELECT {src}.vec_id, s.k, {l2} AS d FROM {src}, seeds{r} s)""",
             f"""asg{r} AS (
             SELECT vec_id, k FROM (
                 SELECT vec_id, k,
@@ -48,9 +51,9 @@ def _kmeans_chain(n_clusters: int, rounds: int, dim: int) -> str:
                 FROM dist{r}) WHERE rn = 1)""",
             f"""upd{r} AS (
             SELECT a.k, pos.i,
-                   CAST(SUM(CAST(q.qv[pos.i] AS BIGINT)) AS BIGINT) AS s,
+                   CAST(SUM(CAST({src}.qv[pos.i] AS BIGINT)) AS BIGINT) AS s,
                    CAST(COUNT(*) AS BIGINT) AS n
-            FROM asg{r} a JOIN q USING (vec_id), pos
+            FROM asg{r} a JOIN {src} USING (vec_id), pos
             GROUP BY a.k, pos.i)""",
             f"""newv{r} AS (
             SELECT sp.k, sp.i,
@@ -66,7 +69,8 @@ def _kmeans_chain(n_clusters: int, rounds: int, dim: int) -> str:
         ]
     parts += [
         f"""distF AS (
-        SELECT q.vec_id, s.k, {l2} AS d FROM q, seeds{rounds} s)""",
+        SELECT {src}.vec_id, s.k, {l2} AS d
+        FROM {src}, seeds{rounds} s)""",
         """asgF AS (
         SELECT vec_id, k, d FROM (
             SELECT vec_id, k, d,
@@ -75,8 +79,9 @@ def _kmeans_chain(n_clusters: int, rounds: int, dim: int) -> str:
             FROM distF) WHERE rn = 1)""",
     ]
     body = ",\n    ".join(parts)
+    src_part = f"{src_cte},\n    " if src_cte else ""
     return f"""WITH {_QUANT},
-    {body}"""
+    {src_part}{body}"""
 
 
 def _kmeans_oracle(n_clusters: int, rounds: int, dim: int) -> str:
@@ -228,3 +233,228 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.ivf_trained_topk(emb, k=_IVF_K, n_cells=_IVF_CELLS,
                                    n_probe=_IVF_PROBE, rounds=1,
                                    query_mod=_IVF_QMOD)
+
+
+def _semdedup_survivors_oracle(n_clusters: int, rounds: int, dim: int,
+                               threshold_ppb: int) -> str:
+    """Survivorship over the SemDeDup pair graph: the shared chain's
+    verified within-cluster pairs -> recursive transitive closure
+    (the near_dup_clusters component device) -> argmax-quality
+    survivor per semantic dup group (quality = the document's n_chars,
+    ties -> smallest id), one row per corpus vector."""
+    dot = ("CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           "CAST({a}[i] AS BIGINT) * {b}[i])) AS BIGINT)")
+    dab = dot.format(dim=dim, a="a.qv", b="b.qv")
+    daa = dot.format(dim=dim, a="a.qv", b="a.qv")
+    dbb = dot.format(dim=dim, a="b.qv", b="b.qv")
+    chain = _kmeans_chain(n_clusters, rounds, dim).replace(
+        "WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {chain},
+    m AS (SELECT asgF.vec_id, asgF.k, q.qv
+          FROM asgF JOIN q USING (vec_id)),
+    sd_pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM m a JOIN m b ON a.k = b.k AND a.vec_id < b.vec_id
+        WHERE ROUND(CAST({dab} AS DOUBLE)
+                    / (SQRT(CAST({daa} AS DOUBLE))
+                       * SQRT(CAST({dbb} AS DOUBLE))), 9)
+              >= {threshold_ppb} / 1000000000.0),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM sd_pairs
+        UNION ALL SELECT vec_b, vec_a FROM sd_pairs),
+    walk(node, reach) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+    comp AS (
+        SELECT node, LEAST(node, MIN(reach)) AS component
+        FROM walk GROUP BY node),
+    assigned AS (
+        SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS group_id
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node),
+    sized AS (
+        SELECT vec_id, group_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS group_size
+        FROM assigned),
+    wq AS (
+        SELECT s.vec_id, s.group_id,
+               CAST(s.group_size AS BIGINT) AS group_size,
+               CAST(d.n_chars AS BIGINT) AS quality
+        FROM sized s JOIN documents d ON d.doc_id = s.vec_id),
+    winners AS (
+        SELECT group_id, quality AS best_quality,
+               vec_id AS best_vec_id FROM (
+            SELECT group_id, quality, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY group_id
+                                      ORDER BY quality DESC, vec_id)
+                       AS rn
+            FROM wq WHERE group_size > 1) WHERE rn = 1)
+    SELECT wq.vec_id, wq.group_id, wq.group_size, wq.quality,
+           COALESCE(w.best_quality, wq.quality) AS best_quality,
+           COALESCE(w.best_vec_id, wq.vec_id) AS best_vec_id,
+           COALESCE(w.best_vec_id, wq.vec_id) = wq.vec_id
+               AS is_survivor
+    FROM wq LEFT JOIN winners w USING (group_id)
+    """
+
+
+@register(
+    "semdedup_survivors",
+    oracle=_semdedup_survivors_oracle(_KM_K, _KM_ROUNDS, _DIM,
+                                      _SD_T_PPB),
+    tags=("similarity", "dedup-embedding", "embedding", "clustering"),
+)
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup ENDGAME — what the pair list exists for (Abbas et
+    al. 2023 keep one member per semantic-duplicate group): verified
+    within-cluster cosine pairs (kmeans.semdedup_pairs) -> connected
+    components (dedup.connected_components, min-label propagation) ->
+    quality-argmax survivor per group, quality = the sidecar
+    document's n_chars (keep the longest copy — the
+    cluster_survivors policy applied to SEMANTIC groups). One row per
+    corpus vector: group id/size, own + winning quality, is_survivor.
+
+    Scale shape: pairs are cluster-bounded (never all-pairs); the
+    pinned pair list is tiny, so components iterate over it alone and
+    the corpus-sized frames only see one broadcast left join each —
+    exactly near_dup_clusters' shape with embeddings instead of
+    shingles."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_service_spark.operators import dedup
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    docs = tables.load_table(spark, sf_dir, "documents")
+    # the pair frame feeds the symmetrized edge union (two consumers)
+    # and is the root of an iterative loop — eager-pin it so the
+    # clustering kernel runs exactly once (the iterative-lineage rule)
+    pairs = (kmeans.semdedup_pairs(emb, n_clusters=_KM_K,
+                                   rounds=_KM_ROUNDS,
+                                   threshold_ppb=_SD_T_PPB)
+             .select("vec_a", "vec_b")
+             .localCheckpoint())
+    comp = dedup.connected_components(pairs, a_col="vec_a",
+                                      b_col="vec_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__gs"))
+    quality = docs.select(F.col("doc_id").alias("vec_id"),
+                          F.col("n_chars").cast("bigint")
+                          .alias("quality"))
+    base = (emb.select("vec_id")
+            .join(F.broadcast(comp.withColumnRenamed("node",
+                                                     "vec_id")),
+                  "vec_id", "left")
+            .withColumn("group_id",
+                        F.coalesce("component", F.col("vec_id")))
+            .join(F.broadcast(
+                sizes.withColumnRenamed("component", "group_id")),
+                "group_id", "left")
+            .withColumn("group_size",
+                        F.coalesce("__gs", F.lit(1)).cast("bigint"))
+            .join(quality, "vec_id"))
+    multi = base.filter(F.col("group_size") > 1)
+    winners = (multi.groupBy("group_id")
+               .agg(F.max(F.struct(F.col("quality"),
+                                   (-F.col("vec_id")).alias("__ni")))
+                    .alias("__w"))
+               .select("group_id",
+                       F.col("__w.quality").alias("best_quality"),
+                       (-F.col("__w.__ni")).alias("best_vec_id")))
+    return (base.join(F.broadcast(winners), "group_id", "left")
+            .select("vec_id", "group_id", "group_size", "quality",
+                    F.coalesce("best_quality", F.col("quality"))
+                    .alias("best_quality"),
+                    F.coalesce("best_vec_id", F.col("vec_id"))
+                    .alias("best_vec_id"),
+                    (F.coalesce("best_vec_id", F.col("vec_id"))
+                     == F.col("vec_id")).alias("is_survivor")))
+
+
+_CT_CELLS = 16
+_CT_PROBE = 4
+_CT_T_PPB = 500_000_000
+
+
+def _contamination_oracle(n_cells: int, n_probe: int,
+                          threshold_ppb: int, dim: int) -> str:
+    """Held-out anchors vs the TRAIN-split trained-IVF index: the
+    shared chain runs over qc (train rows only); each eval row ranks
+    the trained centroids by integer L2, probes n_probe cells, and
+    its top-1 train neighbor by pinned 9dp cosine carries the
+    threshold flag."""
+    from event_streaming_service_spark.operators.curation import (
+        split_assign_sql,
+    )
+    sp = split_assign_sql("vec_id")
+    l2q = (f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           f"CAST(qe.qv[i] - s.cv[i] AS BIGINT)"
+           f" * (qe.qv[i] - s.cv[i]))) AS BIGINT)")
+    dot = ("CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+           "CAST({a}.qv[i] AS BIGINT) * {b}.qv[i])) AS BIGINT)")
+    dab = dot.format(dim=dim, a="qe", b="nv")
+    daa = dot.format(dim=dim, a="qe", b="qe")
+    dbb = dot.format(dim=dim, a="nv", b="nv")
+    chain = _kmeans_chain(
+        n_cells, 1, dim, src="qc",
+        src_cte=f"""qc AS (
+        SELECT vec_id, qv FROM q WHERE {sp} = 'train')""")
+    return f"""
+    {chain},
+    qe AS (SELECT vec_id AS query_id, {sp} AS query_split, qv
+           FROM q WHERE {sp} <> 'train'),
+    qcells AS (
+        SELECT query_id, cell FROM (
+            SELECT qe.query_id, s.k AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY qe.query_id
+                                      ORDER BY {l2q}, s.k) AS rn
+            FROM qe, seeds1 s) WHERE rn <= {n_probe}),
+    cand AS (
+        SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+        FROM qcells JOIN asgF a ON a.k = qcells.cell),
+    scored AS (
+        SELECT cand.query_id, qe.query_split, cand.neighbor_id,
+               ROUND(CAST({dab} AS DOUBLE)
+                     / (SQRT(CAST({daa} AS DOUBLE))
+                        * SQRT(CAST({dbb} AS DOUBLE))), 9)
+                   AS cosine_9dp
+        FROM cand
+        JOIN qe ON qe.query_id = cand.query_id
+        JOIN qc nv ON nv.vec_id = cand.neighbor_id)
+    SELECT query_id, query_split, neighbor_id, cosine_9dp,
+           cosine_9dp >= {threshold_ppb} / 1000000000.0
+               AS contaminated
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_9dp DESC,
+                                              neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk = 1
+    """
+
+
+@register(
+    "embedding_split_contamination",
+    oracle=_contamination_oracle(_CT_CELLS, _CT_PROBE, _CT_T_PPB,
+                                 _DIM),
+    tags=("similarity", "ann-ivf", "ml-eval", "sampling"),
+)
+def q_embedding_split_contamination(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Embedding-space contamination audit (operators/kmeans.py:
+    ivf_split_contamination) — the SEMANTIC analog of
+    split_leakage_near_dup: every held-out (val/test) vector probes a
+    trained-IVF index built over the TRAIN split only, and its top-1
+    train neighbor's 9dp-pinned SQ8 cosine against the 0.5 threshold
+    flags the eval rows whose semantic twin sits in training (the
+    leak a lexical near-dup check misses for paraphrases). Composes
+    the two r11 operators (trained IVF + the hash split) verbatim."""
+    from event_streaming_service_spark.operators.curation import (
+        split_assign,
+    )
+    from pyspark.sql import functions as F
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return kmeans.ivf_split_contamination(
+        emb, split_assign(F.col("vec_id")), n_cells=_CT_CELLS,
+        n_probe=_CT_PROBE, rounds=1, threshold_ppb=_CT_T_PPB)

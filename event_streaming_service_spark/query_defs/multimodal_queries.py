@@ -710,3 +710,93 @@ def q_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_gif_payload(
         tables.load_table(spark, sf_dir, "documents"))
     return multimodal.resize_gif(media, 24, 24).drop("out_bytes")
+
+
+@register(
+    "image_text_dup_pairs",
+    oracle=f"""
+    WITH {_PNG_DIMS},
+    txs AS (SELECT doc_id, w, h, unnest(range(0, 9)) AS tx FROM dims),
+    grid AS (
+        SELECT doc_id, tx, ty,
+               (doc_id % 128) + (((tx * w) // 9) % 32)
+               + (((ty * h) // 8) % 32) + 10 AS g
+        FROM (SELECT doc_id, w, h, tx, unnest(range(0, 8)) AS ty
+              FROM txs)),
+    bits AS (
+        SELECT a.doc_id, a.ty, a.tx,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        FROM grid a JOIN grid b
+          ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+        WHERE a.tx < 8),
+    rowbytes AS (
+        SELECT doc_id, ty,
+               CAST(SUM(bit * (1 << CAST(tx AS INTEGER))) AS INTEGER)
+                   AS byte
+        FROM bits GROUP BY doc_id, ty),
+    hashes AS (
+        SELECT r.doc_id, d.w AS width, d.h AS height,
+               string_agg(printf('%02x', byte), '' ORDER BY ty)
+                   AS dhash
+        FROM rowbytes r JOIN dims d USING (doc_id)
+        GROUP BY r.doc_id, d.w, d.h),
+    img_pairs AS (
+        SELECT a.dhash, a.width, a.height,
+               a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM hashes a JOIN hashes b
+          ON a.dhash = b.dhash AND a.width = b.width
+             AND a.height = b.height AND a.doc_id < b.doc_id),
+    shingle_sets AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                   AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    set_sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size
+                  FROM shingle_sets GROUP BY doc_id),
+    pair_inter AS (
+        SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM img_pairs p
+        JOIN shingle_sets sa ON sa.doc_id = p.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = p.doc_b
+                             AND sb.shingle = sa.shingle
+        GROUP BY 1, 2),
+    md AS (SELECT doc_id, md5(text) AS m FROM documents)
+    SELECT p.dhash, p.width, p.height, p.doc_a, p.doc_b,
+           CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+           CAST(COALESCE(za.set_size, 0) AS BIGINT) AS size_a,
+           CAST(COALESCE(zb.set_size, 0) AS BIGINT) AS size_b,
+           CAST(COALESCE(i.inter, 0) * 1000000
+                // GREATEST(COALESCE(za.set_size, 0)
+                            + COALESCE(zb.set_size, 0)
+                            - COALESCE(i.inter, 0), 1) AS BIGINT)
+               AS jaccard_ppm,
+           da.m = db.m AS same_text
+    FROM img_pairs p
+    LEFT JOIN pair_inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    LEFT JOIN set_sizes za ON za.doc_id = p.doc_a
+    LEFT JOIN set_sizes zb ON zb.doc_id = p.doc_b
+    JOIN md da ON da.doc_id = p.doc_a
+    JOIN md db ON db.doc_id = p.doc_b
+    """,
+    tags=("multimodal", "decode-png", "dedup-jaccard",
+          "dedup-embedding"),
+)
+def q_image_text_dup_pairs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """CLIP-style multimodal pair curation (operators/multimodal.py:
+    image_text_dup_pairs): REAL-decoded PNG dHash groups pair up
+    image-identical documents, and each pair carries its exact
+    text-shingle Jaccard (ppm) + byte-exact same_text flag — the
+    cross-modal dedup readout (same image + divergent caption is the
+    row a contrastive curation pipeline adjudicates). The oracle
+    rebuilds the dHash from the synthetic pixel formula and the
+    Jaccard from the shared shingle CTE, restricted to the candidate
+    pairs only."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_png_payload(docs)
+    return multimodal.image_text_dup_pairs(media, docs)

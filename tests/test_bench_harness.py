@@ -63,9 +63,13 @@ def test_full_record_matches_full_list():
 # its registration and the next BENCH_FULL refresh, which must fold it
 # into BENCH_QUERIES_FULL and empty this set.
 BENCH_DEFERRED: set[str] = {
-    # r11 deferrals (registered after the r11 BENCH_FULL generation) —
-    # fold into BENCH_QUERIES_FULL at the r12 BENCH_FULL refresh
-    "hard_negative_topk", "split_leakage_near_dup",
+    # r12 registrations awaiting the end-of-round BENCH_FULL refresh,
+    # which folds them into BENCH_QUERIES_FULL and empties this set
+    # (the two r11 deferrals hard_negative_topk /
+    # split_leakage_near_dup fold in at the same refresh — they left
+    # this ledger when the r12 rotation moved them into PRIORITY)
+    "semdedup_survivors", "embedding_split_contamination",
+    "image_text_dup_pairs",
 }
 
 
