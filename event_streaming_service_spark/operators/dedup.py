@@ -903,14 +903,15 @@ def idf_weighted_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     Exactness: df/N are exact integers, each weight ONE pinned float
     (micro-nats), all pair sums exact bigints, the ratio truncating
     ppm. Scale shape: candidates come from LSH banding (never
-    all-pairs); the intersection rides the candidate x shingle
-    equi-join restricted to candidate docs; per-doc weight totals are
-    one hash aggregate. The shingle grain persists ONCE and feeds
-    every consumer — df, the per-doc totals, both sides of the
-    intersect join, AND the minhash signature pipeline (VERDICT r11
-    item #3: the candidate stage formerly re-ran the whole tokenize →
-    shingle pipeline from the raw docs; at corpus scale that is a
-    second full scan + explode of the dominant grain)."""
+    all-pairs); ONE hash aggregate builds each doc's weighted shingle
+    array AND its weight total together, and verification is an
+    array_intersect fold over the two persisted per-doc arrays —
+    cost bounded by document length, never a second corpus shuffle
+    (the jaccard_pairs verify convention; VERDICT r11 item #3 closed
+    the duplicated tokenize → shingle pipeline by sharing the
+    persisted grain with the signature stage, and this replaces the
+    remaining exploded intersect join + separate totals aggregate —
+    four corpus-grain shuffles — with that one aggregate)."""
     sets_ = shingle_sets(docs, id_col, text_col, n).persist()
     nd = sets_.agg(F.countDistinct(id_col).cast("bigint")
                    .alias("n_docs"))
@@ -920,26 +921,30 @@ def idf_weighted_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
              "CAST(FLOOR(LN(CAST(n_docs AS DOUBLE)"
              " / CAST(df AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)")
              .alias("w")))
-    tot = (sets_.join(w, "shingle")
-           .groupBy(id_col)
-           .agg(F.sum("w").cast("bigint").alias("tw")))
+    # one row per doc: the (shingle, w) struct array — w is GLOBAL
+    # per shingle, so shared structs compare equal across docs and
+    # array_intersect is exactly the weighted intersection — plus the
+    # doc's weight total from the same aggregate. Persisted: it feeds
+    # both sides of the candidate verify join.
+    warr = (sets_.join(w, "shingle")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("shingle", "w")))
+                 .alias("__wset"),
+                 F.sum("w").cast("bigint").alias("tw"))
+            .persist())
     cand = minhash_candidate_pairs(docs, id_col, text_col, n,
                                    sets_=sets_)
-    xa = sets_.select(F.col(id_col).alias("doc_a"), "shingle")
-    xb = sets_.select(F.col(id_col).alias("doc_b"), "shingle")
-    sh = (cand.join(xa, "doc_a").join(xb, ["doc_b", "shingle"])
-          .join(w, "shingle")
-          .groupBy("doc_a", "doc_b")
-          .agg(F.sum("w").cast("bigint").alias("shared_w")))
     p = (cand
-         .join(sh, ["doc_a", "doc_b"], "left")
+         .join(warr.select(F.col(id_col).alias("doc_a"),
+                           F.col("__wset").alias("__wa"),
+                           F.col("tw").alias("total_w_a")), "doc_a")
+         .join(warr.select(F.col(id_col).alias("doc_b"),
+                           F.col("__wset").alias("__wb"),
+                           F.col("tw").alias("total_w_b")), "doc_b")
          .withColumn("shared_w",
-                     F.coalesce(F.col("shared_w"), F.lit(0))
-                     .cast("bigint"))
-         .join(tot.select(F.col(id_col).alias("doc_a"),
-                          F.col("tw").alias("total_w_a")), "doc_a")
-         .join(tot.select(F.col(id_col).alias("doc_b"),
-                          F.col("tw").alias("total_w_b")), "doc_b"))
+                     F.aggregate(F.array_intersect("__wa", "__wb"),
+                                 F.lit(0).cast("bigint"),
+                                 lambda acc, x: acc + x["w"])))
     return p.select(
         "doc_a", "doc_b", "shared_w", "total_w_a", "total_w_b",
         F.expr("CAST(shared_w * 1000000"
