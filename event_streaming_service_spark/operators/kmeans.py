@@ -271,7 +271,8 @@ def ivf_split_contamination(emb: DataFrame, split_expr,
                             threshold_ppb: int = 990_000_000,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            train_value: str = "train") -> DataFrame:
+                            train_value: str = "train",
+                            use_arrow: bool = True) -> DataFrame:
     """Embedding-space CONTAMINATION audit — the semantic analog of
     the lexical split-leakage check (split_leakage_near_dup flags
     near-dup TEXT straddling a train/eval split; a paraphrase shares
@@ -294,7 +295,17 @@ def ivf_split_contamination(emb: DataFrame, split_expr,
     broadcast centroid probe, candidates ride the cell equi-join) —
     the eval set is the small side by construction (5-10% of the
     corpus) and never joins the full train split, only probed cells'
-    members."""
+    members.
+
+    `use_arrow=True` (the registered path) scores each probed cell
+    with ONE BLAS kernel per (cell x its probing anchors) cogroup —
+    exact int64 Q @ V.T, the float steps in the JVM twin's order,
+    the semdedup 9dp half-up pin (bit-parity asserted there at the
+    .5 boundary) — and emits only the per-cell best per anchor, so
+    the global rerank window sees n_probe rows per anchor instead of
+    every candidate (the interpreted zip_with expression plan below
+    stays as the parity twin; 1M-row probe: 314 s -> the kernel
+    path, see tools/scale_probe.py:contamination)."""
     q = (quantize_codes(emb, vec_col, id_col)
          .withColumn("__split", split_expr)
          .persist())
@@ -322,6 +333,54 @@ def ivf_split_contamination(emb: DataFrame, split_expr,
                   .orderBy(F.col("__d"), F.col("cell"))))
               .filter(F.col("__rn") <= n_probe)
               .select("query_id", "query_split", "__qqv", "cell"))
+    thr = threshold_ppb / 1_000_000_000.0
+    if use_arrow:
+        import numpy as np  # noqa: F401
+        import pandas as pd  # noqa: F401
+
+        def per_cell(cpdf, qpdf):
+            import numpy as np
+            import pandas as pd
+            empty = pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "query_split": pd.Series(dtype="object"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cosine_9dp": pd.Series(dtype="float64")})
+            if not len(cpdf) or not len(qpdf):
+                return empty
+            nid = cpdf["__nid"].to_numpy().astype(np.int64)
+            V = np.stack(cpdf["__nqv"].to_numpy()).astype(np.int64)
+            Q = np.stack(qpdf["__qqv"].to_numpy()).astype(np.int64)
+            G = Q @ V.T          # exact: |qv| <= 127, dims bounded
+            daa = (Q * Q).sum(axis=1).astype(np.float64)
+            dbb = (V * V).sum(axis=1).astype(np.float64)
+            C = G.astype(np.float64) / (np.sqrt(daa)[:, None]
+                                        * np.sqrt(dbb)[None, :])
+            R = np.sign(C) * (np.floor(np.abs(C) * 1e9 + 0.5) / 1e9)
+            best = np.lexsort((np.broadcast_to(nid, R.shape), -R),
+                              axis=1)[:, 0]
+            rows = np.arange(len(Q))
+            return pd.DataFrame({
+                "query_id": qpdf["query_id"].to_numpy(),
+                "query_split": qpdf["query_split"].to_numpy(),
+                "neighbor_id": nid[best],
+                "cosine_9dp": R[rows, best]})
+
+        locals_ = (assigned.groupBy("cell")
+                   .cogroup(probed.groupBy("cell"))
+                   .applyInPandas(
+                       per_cell,
+                       "query_id long, query_split string,"
+                       " neighbor_id long, cosine_9dp double"))
+        wl = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_9dp").desc(), F.col("neighbor_id"))
+        return (locals_
+                .withColumn("__rk", F.row_number().over(wl))
+                .filter(F.col("__rk") == 1)
+                .select("query_id", "query_split", "neighbor_id",
+                        "cosine_9dp",
+                        (F.col("cosine_9dp") >= thr)
+                        .alias("contaminated")))
     cand = probed.join(assigned, "cell")
     cos = F.expr(
         "ROUND(CAST(__dab AS DOUBLE) / (SQRT(CAST(__daa AS DOUBLE))"

@@ -1399,8 +1399,57 @@ def probe_kmeans(spark):
                  f"Arrow/JVM parity on 100k")
 
 
+def probe_contamination(spark):
+    """Embedding-split contamination audit at 1M x 32, 64 trained
+    cells: blob b = id %% 64 at raw 10*b on dim 1 (distinct SQ8 codes
+    — envelope [0, 630], step ~4), train = everything except
+    id %% 2000 in {1998, 1999}. Planted closed form: the 1998-rows are
+    EXACT twins of their blob's train vectors (top-1 cosine exactly
+    1.0, contaminated, neighbor = the blob's smallest train id = b);
+    the 1999-rows carry dim2 = 50 instead (every train row has dim2
+    raw 0 -> SQ8 -127), so for any train neighbor the pinned cosine is
+    (-127*q_b - 127*127) / (sqrt(2)*127 * |qv_t|) <= 0 — never
+    contaminated at the 0.99 threshold. Candidates stay bounded by
+    the probed-cell membership (2 cells x ~15.6k members per anchor),
+    the operator's whole scale argument."""
+    from event_streaming_service_spark.operators.kmeans import (
+        ivf_split_contamination)
+
+    n, d = 1_000_000, 32
+    is_twin = (F.col("id") % 2000) == 1998
+    is_clean = (F.col("id") % 2000) == 1999
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(d)),
+        lambda j: F.when(j == 1, (F.col("id") % 64) * F.lit(10.0))
+                   .when(j == 2, F.when(is_clean, F.lit(50.0))
+                         .otherwise(F.lit(0.0)))
+                   .otherwise(F.lit(0.0)))
+    emb = spark.range(n).select(F.col("id").alias("vec_id"),
+                                vec.alias("embedding"))
+    split = F.when((F.col("vec_id") % 2000) >= 1998,
+                   F.lit("test")).otherwise(F.lit("train"))
+    t0 = time.perf_counter()
+    out = ivf_split_contamination(
+        emb, split, n_cells=64, n_probe=2, rounds=1,
+        threshold_ppb=990_000_000).collect()
+    sec = time.perf_counter() - t0
+    assert len(out) == n // 1000, len(out)
+    for r in out:
+        q = r["query_id"]
+        assert r["neighbor_id"] % 2000 < 1998, r   # train-only index
+        if q % 2000 == 1998:
+            assert r["contaminated"] and r["cosine_9dp"] == 1.0, r
+            assert r["neighbor_id"] == q % 64, r   # blob's first id
+        else:
+            assert not r["contaminated"] and r["cosine_9dp"] <= 0.0, r
+    return sec, (f"vecs={n} d={d}; 64 trained cells, 1000 held-out "
+                 f"anchors; planted twins flagged at cosine exactly "
+                 f"1.0, clean anchors <= 0; index train-split-only")
+
+
 PROBES = {
     "kmeans": probe_kmeans,
+    "contamination": probe_contamination,
     "logistic_newton": probe_logistic_newton,
     "pca_power": probe_pca_power,
     "components": probe_components,
