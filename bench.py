@@ -264,6 +264,14 @@ BENCH_QUERIES_FULL = [
     "semdedup_pairs",                # within-cluster semantic near-dups
     "ols2_kfold_cv",                 # complement-moment 5-fold CV
     "ivf_trained_topk",              # Lloyd-trained coarse quantizer IVF
+    # round 11 late registrations (deferred past the r11 BENCH_FULL
+    # generation; folded in at the r12 refresh)
+    "hard_negative_topk",            # broadcast-anchor BLAS mining
+    "split_leakage_near_dup",        # LSH pairs x split matrix
+    # round 12
+    "semdedup_survivors",            # pair graph -> components -> argmax
+    "embedding_split_contamination",  # eval anchors vs train-only IVF
+    "image_text_dup_pairs",          # dHash groups x text jaccard
 ]
 
 # Driver-facing rotation (VERDICT r10 item #1b): a ~100-name

@@ -229,7 +229,6 @@ def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
     q = quantize_codes(emb, vec_col, id_col).persist()
     seeds = train_codebook(q, m_sub=1, n_codes=n_cells,
                            lloyd_rounds=rounds, id_col=id_col)
-    dim = len(seeds[0])
     spark = emb.sparkSession
     cells = spark.createDataFrame(
         [(kk, list(map(int, cv))) for kk, cv in enumerate(seeds)],

@@ -62,15 +62,9 @@ def test_full_record_matches_full_list():
 # disclosure used to live in prose): a name may sit here only between
 # its registration and the next BENCH_FULL refresh, which must fold it
 # into BENCH_QUERIES_FULL and empty this set.
-BENCH_DEFERRED: set[str] = {
-    # r12 registrations awaiting the end-of-round BENCH_FULL refresh,
-    # which folds them into BENCH_QUERIES_FULL and empties this set
-    # (the two r11 deferrals hard_negative_topk /
-    # split_leakage_near_dup fold in at the same refresh — they left
-    # this ledger when the r12 rotation moved them into PRIORITY)
-    "semdedup_survivors", "embedding_split_contamination",
-    "image_text_dup_pairs",
-}
+BENCH_DEFERRED: set[str] = set()
+# (empty since the r12 BENCH_FULL refresh folded in the two r11
+# deferrals and all three r12 registrations)
 
 
 def test_every_queued_query_is_benchmarked():
