@@ -146,10 +146,16 @@ def shared_fp_pairs(docs: DataFrame, min_shared: int = 2,
     aggregate on fp, reused by the self-join shuffle) -> self equi-join
     on fp -> pair aggregation -> join per-doc rare-set sizes back for
     the union denominator."""
-    all_fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    # all_fps is the Python winnowing kernel's output and feeds two
+    # consumers (the df aggregate and the rare join); fps feeds three
+    # (per-doc sizes + both self-join legs). Unpinned, Catalyst re-ran
+    # the mapInPandas kernel once per downstream consumer — 8
+    # MapInPandas nodes in the sf0.1 plan (guide §4: never recompute
+    # the JVM->Python boundary). Cache lifecycle: query lifetime.
+    all_fps = winnow_fingerprints(docs, id_col, text_col, k, w).persist()
     rare_vals = (all_fps.groupBy("fp").count()
                  .filter(F.col("count") <= max_df).select("fp"))
-    fps = all_fps.join(rare_vals, "fp")
+    fps = all_fps.join(rare_vals, "fp").persist()
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     a = fps.alias("a")
     b = fps.alias("b")
