@@ -382,15 +382,33 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     propagation: every node's label converges to the smallest node id
     reachable from it. Returns (node, component).
 
-    Each round is one distributed step — join the current labels across
-    the (symmetrized) edge list, take the min neighbor label, fold it
-    into the node's own label — so a round costs one shuffle on node
-    id and converges after O(graph diameter) rounds. Near-dup clusters
-    are short chains (a duplicate of a duplicate), so the diameter is
-    small in practice; for adversarially long path graphs the
-    alternating large-star/small-star contraction halves path lengths
-    per round (O(log d)) with the same join shape — this operator keeps
-    the simpler propagation and caps rounds at `max_rounds`.
+    Round structure (r12 optimization — each barrier round of this
+    loop costs two fixed-overhead jobs, checkpoint + changed-count,
+    so the round COUNT is the cost driver, guide §1.2 "the
+    distributed algorithm"): labels initialize to min(node, min
+    neighbor) via ONE aggregate on the symmetrized edge list (the
+    former round 1, for free — no join); each round then chains TWO
+    1-hop min-propagation steps (join labels across the edges, take
+    the min neighbor label, fold into the node's own) inside a single
+    plan, followed by one POINTER JUMP through the checkpointed
+    previous-round labels — next = min(hop, labels[hop]) — which
+    composes the label's previous reach on top of the fresh hops, so
+    the reached radius grows geometrically instead of +1 per barrier
+    (Shiloach-Vishkin shortcutting). The semdedup pair graph at sf0.1
+    measured 16 one-hop rounds vs 8 two-hop+jump rounds for the same
+    fixpoint (5.1 -> 4.1 s); a chain graph needs O(log d) rounds.
+    The jump looks up the PINNED labels frame, never the un-pinned
+    hop frame — a self-join there would re-run the hop join+aggregate
+    twice per round.
+
+    Fixpoint equivalence: labels always hold the id of some node
+    reachable from the row's node (neighbor labels are reachable by
+    transitivity, the jump composes two reachable hops), labels never
+    increase, and the component-minimum node keeps its own id — so
+    changed==0 implies in particular stability under a single 1-hop
+    step, i.e. label(u) == label(v) across every edge: constant label
+    per component = the component minimum, identical to the pure
+    propagation fixpoint the recursive-CTE oracle computes.
 
     Iterative-plan hygiene: every round ends in `localCheckpoint`,
     truncating the lineage so round N's plan does not embed rounds
@@ -403,23 +421,40 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
              .distinct().cache())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
+    # round 1 folded into initialization: min(node, min neighbor) is
+    # one hash aggregate over the symmetrized edges — the node set
+    # derivation (formerly a separate distinct) rides the same pass
+    labels = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
               .localCheckpoint())
     for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src").agg(F.min("component").alias("neighbor_component")))
+        # the previous round's label rides along as __old so the
+        # changed-count never needs a join back
+        cur = labels.select("node", "component",
+                            F.col("component").alias("__old"))
+        for _hop in range(2):
+            neighbor_min = (
+                edges.join(cur.select(F.col("node").alias("dst"),
+                                      "component"), "dst")
+                .groupBy("src")
+                .agg(F.min("component").alias("__nc")))
+            cur = (cur.join(neighbor_min.withColumnRenamed("src", "node"),
+                            "node", "left")
+                   .select("node", "__old",
+                           F.least("component",
+                                   F.coalesce("__nc", "component"))
+                           .alias("component")))
         stepped = (
-            labels.join(neighbor_min.withColumnRenamed("src", "node"),
-                        "node", "left")
-            .select("node", "component",
-                    F.least("component",
-                            F.coalesce("neighbor_component", "component"))
+            cur.withColumnRenamed("component", "__hop")
+            .join(labels.select(F.col("node").alias("__hop"),
+                                F.col("component").alias("__jumped")),
+                  "__hop", "left")
+            .select("node", "__old",
+                    F.least("__hop", F.coalesce("__jumped", "__hop"))
                     .alias("next_component"))
             .localCheckpoint())
         changed = stepped.filter(
-            F.col("next_component") != F.col("component")).count()
+            F.col("next_component") != F.col("__old")).count()
         labels = stepped.select(
             "node", F.col("next_component").alias("component"))
         if changed == 0:

@@ -462,8 +462,14 @@ def wl_roles(edges: DataFrame, rounds: int = 2,
 HITS_SCALE = 1_000_000_000
 
 
+def _bc(df: DataFrame, flag: bool) -> DataFrame:
+    """Broadcast hint applied only when the caller asked for it."""
+    return F.broadcast(df) if flag else df
+
+
 def hits(edges: DataFrame, iterations: int = 3,
-         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+         src_col: str = "src", dst_col: str = "dst",
+         broadcast_scores: bool = False) -> DataFrame:
     """Integer-exact HITS (Kleinberg hubs & authorities) over a
     directed edge list: hub score = how much good authority a node
     points AT, authority score = how much good hub mass points at IT
@@ -482,7 +488,15 @@ def hits(edges: DataFrame, iterations: int = 3,
     Scale shape: per round, one equi-join of the cached edge list
     against the node-grain score frame + one hash agg, then a 1-row
     total broadcast-cross-joined back (the quantiles.py device — no
-    global window). Node-only rows keep 0 via left joins."""
+    global window). Node-only rows keep 0 via left joins.
+
+    broadcast_scores=True pins the node-grain score frame (and the
+    per-round contribution aggregate) to the broadcast side of its
+    joins — the lpa broadcast_labels device: the cached edge list
+    then never re-shuffles per half-round (post-aggregate size
+    estimates are too opaque for AQE to pick this up on its own).
+    Right whenever the NODE set fits an executor; leave False for
+    cluster-scale node sets."""
     dec = "decimal(38,0)"
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
@@ -500,10 +514,12 @@ def hits(edges: DataFrame, iterations: int = 3,
         # localCheckpoint per round (on the round's hub frame, plus
         # the final auth frame) keeps the iterated lineage flat at a
         # third of the eager-everywhere materialization cost.
+        hb = F.broadcast(hubs) if broadcast_scores else hubs
         araw = (nodes.join(
-                    e.join(hubs, e.src == hubs.node)
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum("s").cast(dec).alias("raw")),
+                    _bc(e.join(hb, e.src == hb.node)
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum("s").cast(dec).alias("raw")),
+                        broadcast_scores),
                     "node", "left")
                 .select("node", F.coalesce(F.col("raw"),
                                            F.lit(0).cast(dec))
@@ -517,10 +533,12 @@ def hits(edges: DataFrame, iterations: int = 3,
                      " AS DECIMAL(38,0))").alias("s")))
         if i == iterations - 1:
             auths = auths.localCheckpoint(eager=True)
+        ab = F.broadcast(auths) if broadcast_scores else auths
         hraw = (nodes.join(
-                    e.join(auths, e.dst == auths.node)
-                    .groupBy(F.col("src").alias("node"))
-                    .agg(F.sum("s").cast(dec).alias("raw")),
+                    _bc(e.join(ab, e.dst == ab.node)
+                        .groupBy(F.col("src").alias("node"))
+                        .agg(F.sum("s").cast(dec).alias("raw")),
+                        broadcast_scores),
                     "node", "left")
                 .select("node", F.coalesce(F.col("raw"),
                                            F.lit(0).cast(dec))
@@ -536,7 +554,8 @@ def hits(edges: DataFrame, iterations: int = 3,
         araw.unpersist()
         hraw.unpersist()
     return (hubs.withColumnRenamed("s", "__h")
-            .join(auths.withColumnRenamed("s", "__a"), "node")
+            .join(_bc(auths.withColumnRenamed("s", "__a"),
+                      broadcast_scores), "node")
             .select("node",
                     F.col("__h").cast("bigint").alias("hub_nano"),
                     F.col("__a").cast("bigint").alias("auth_nano")))

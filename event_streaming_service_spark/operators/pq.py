@@ -372,9 +372,15 @@ def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,
         d_sub = dim // m_sub
 
         for _ in range(lloyd_rounds):
-            coded = pq_codes_arrow(qdf, seeds, m_sub, id_col=id_col)
-            joined = coded.join(qdf, id_col)
-            member = (joined
+            # emit_qv threads the quantized vector through the SAME
+            # Arrow assignment pass — the former coded.join(qdf, id)
+            # shuffled the whole corpus on both sides once per Lloyd
+            # round just to reattach a column the kernel already had
+            # in hand (guide §2.4: remove shuffles outright). Member
+            # sums are exact integers, so the result is bit-identical.
+            coded = pq_codes_arrow(qdf, seeds, m_sub, id_col=id_col,
+                                   emit_qv=True)
+            member = (coded
                       .select(F.explode(F.sequence(F.lit(0),
                                                    F.lit(m_sub - 1)))
                               .alias("m"), "codes", "qv")

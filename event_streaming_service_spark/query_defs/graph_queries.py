@@ -530,7 +530,11 @@ def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("l_suppkey").cast("string"))
                      .alias("dst"))
              .distinct())
-    return graph.hits(edges, iterations=HITS_ITERS)
+    # the node set is dimension-sized (customers + suppliers), so the
+    # per-round score frames broadcast and the cached edge list never
+    # re-shuffles (the lpa broadcast_labels device)
+    return graph.hits(edges, iterations=HITS_ITERS,
+                      broadcast_scores=True)
 
 
 LPA_ROUNDS = 3

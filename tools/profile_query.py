@@ -5,7 +5,10 @@ execution, best of N after one warmup. Usage:
     python tools/profile_query.py <name> [...]
 
 Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
-PROFILE_RUNS (default 2).
+PROFILE_RUNS (default 2), PROFILE_WARM=1 keeps caches from the warmup
+(bench.py parity: the bench times best-of-N after an untimed warmup
+with clearCache only BETWEEN queries, so persisted intermediates are
+warm in its timed runs; default 0 clears after every run = cold).
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from event_streaming_service_spark.session import get_spark
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = int(os.environ.get("PROFILE_RUNS", "2"))
+WARM = os.environ.get("PROFILE_WARM", "0") == "1"
 
 
 def main() -> None:
@@ -43,7 +47,8 @@ def main() -> None:
         # warmup
         REGISTRY[name].builder(spark, sf_dir).write.format(
             "noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+        if not WARM:
+            spark.catalog.clearCache()
         bb, be, bt = float("inf"), float("inf"), float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
@@ -54,6 +59,9 @@ def main() -> None:
             bb = min(bb, t1 - t0)
             be = min(be, t2 - t1)
             bt = min(bt, t2 - t0)
+            if not WARM:
+                spark.catalog.clearCache()
+        if WARM:
             spark.catalog.clearCache()
         print(f"PROFILE {name}: build={bb:.3f}s exec={be:.3f}s "
               f"total={bt:.3f}s", flush=True)
