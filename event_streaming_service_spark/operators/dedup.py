@@ -417,6 +417,14 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     materialization instead of a separate action. The driver loop only
     carries COUNTS, never rows.
     """
+    # The symmetrization consumes `pairs` TWICE (one leg per
+    # direction), and building the edge cache evaluates both legs in
+    # one job — an unpinned caller pipeline (the LSH candidate+verify
+    # chain) would run twice before the cache even exists. Eager-pin
+    # the projected pair list first; callers no longer need their own
+    # checkpoint (r12: near_dup_clusters' cold path measured the
+    # verify stage re-running inside the edge-cache build).
+    pairs = pairs.select(F.col(a_col), F.col(b_col)).localCheckpoint()
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
@@ -812,20 +820,29 @@ def cluster_survivors(clusters: DataFrame, quality: DataFrame,
     (only docs that hit an LSH pair), but the assignment frame is
     corpus-sized, so the argmax aggregate groups ONLY rows from
     multi-doc clusters (cluster_size > 1) and broadcasts the winners
-    back; singletons survive by construction and never shuffle."""
+    back; singletons survive by construction and never shuffle.
+
+    The winner aggregate attaches quality to the TINY multi-cluster
+    id set with a broadcast join (r12: the former
+    clusters-join-quality-then-filter shape ran the corpus-vs-corpus
+    quality join TWICE — once under the winners aggregate, once for
+    the final per-row readout; now only the final readout pays it,
+    guide §2.4)."""
     q = quality.select(F.col(id_col).alias("doc_id"),
                        F.col(quality_col).cast("bigint").alias("__q"))
-    withq = clusters.join(q, "doc_id")
-    multi = withq.filter(F.col("cluster_size") > 1)
+    multi = (clusters.filter(F.col("cluster_size") > 1)
+             .select("doc_id", "cluster_id"))
     # deterministic argmax: max over (quality, -id) == highest
     # quality, smallest id on ties
-    winners = (multi.groupBy("cluster_id")
+    winners = (q.join(F.broadcast(multi), "doc_id")
+               .groupBy("cluster_id")
                .agg(F.max(F.struct(F.col("__q"),
                                    (-F.col("doc_id")).alias("__ni")))
                     .alias("__w"))
                .select("cluster_id",
                        F.col("__w.__q").alias("best_quality"),
                        (-F.col("__w.__ni")).alias("best_doc_id")))
+    withq = clusters.join(q, "doc_id")
     return (withq
             .join(F.broadcast(winners), "cluster_id", "left")
             .select("doc_id", "cluster_id", "cluster_size",

@@ -326,14 +326,12 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.load_table(spark, sf_dir, "embeddings")
     docs = tables.load_table(spark, sf_dir, "documents")
-    # the pair frame feeds the symmetrized edge union (two consumers)
-    # and is the root of an iterative loop — eager-pin it so the
-    # clustering kernel runs exactly once (the iterative-lineage rule)
+    # connected_components eager-pins its pair input itself (it is
+    # structurally a two-consumer union), so no caller checkpoint here
     pairs = (kmeans.semdedup_pairs(emb, n_clusters=_KM_K,
                                    rounds=_KM_ROUNDS,
                                    threshold_ppb=_SD_T_PPB)
-             .select("vec_a", "vec_b")
-             .localCheckpoint())
+             .select("vec_a", "vec_b"))
     comp = dedup.connected_components(pairs, a_col="vec_a",
                                       b_col="vec_b")
     sizes = comp.groupBy("component").agg(
@@ -341,6 +339,23 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.select(F.col("doc_id").alias("vec_id"),
                           F.col("n_chars").cast("bigint")
                           .alias("quality"))
+    # Winners come from the TINY component membership (every comp node
+    # sits in a >=2-member group by construction — it has a pair), so
+    # quality attaches to it with one broadcast join; the former
+    # filter-the-corpus-frame shape consumed the unpinned corpus-sized
+    # `base` twice, doubling the emb scan and the corpus quality join
+    # (r12, guide §2.4).
+    winners = (quality
+               .join(F.broadcast(comp.withColumnRenamed("node",
+                                                        "vec_id")),
+                     "vec_id")
+               .groupBy(F.col("component").alias("group_id"))
+               .agg(F.max(F.struct(F.col("quality"),
+                                   (-F.col("vec_id")).alias("__ni")))
+                    .alias("__w"))
+               .select("group_id",
+                       F.col("__w.quality").alias("best_quality"),
+                       (-F.col("__w.__ni")).alias("best_vec_id")))
     base = (emb.select("vec_id")
             .join(F.broadcast(comp.withColumnRenamed("node",
                                                      "vec_id")),
@@ -353,14 +368,6 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("group_size",
                         F.coalesce("__gs", F.lit(1)).cast("bigint"))
             .join(quality, "vec_id"))
-    multi = base.filter(F.col("group_size") > 1)
-    winners = (multi.groupBy("group_id")
-               .agg(F.max(F.struct(F.col("quality"),
-                                   (-F.col("vec_id")).alias("__ni")))
-                    .alias("__w"))
-               .select("group_id",
-                       F.col("__w.quality").alias("best_quality"),
-                       (-F.col("__w.__ni")).alias("best_vec_id")))
     return (base.join(F.broadcast(winners), "group_id", "left")
             .select("vec_id", "group_id", "group_size", "quality",
                     F.coalesce("best_quality", F.col("quality"))
