@@ -251,7 +251,13 @@ def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
                   .orderBy(F.col("__d"), F.col("cell"))))
               .filter(F.col("__rn") <= n_probe)
               .select("query_id", "__qqv", "cell"))
-    cand = (probed.join(assigned, "cell")
+    # broadcast the PROBED side explicitly: it is queries x n_probe —
+    # tiny by construction — while `assigned` is the corpus. Without
+    # the hint the planner broadcast the corpus side (the post-window
+    # probed estimate is opaque), which flips into an OOM at scale
+    # (r12 plan audit; guide §3.1 "use an explicit broadcast when you
+    # know a side is small").
+    cand = (F.broadcast(probed).join(assigned, "cell")
             .filter(F.col("query_id") != F.col("__nid")))
     scored = cand.select(
         "query_id", F.col("__nid").alias("neighbor_id"),
@@ -380,7 +386,7 @@ def ivf_split_contamination(emb: DataFrame, split_expr,
                         "cosine_9dp",
                         (F.col("cosine_9dp") >= thr)
                         .alias("contaminated")))
-    cand = probed.join(assigned, "cell")
+    cand = F.broadcast(probed).join(assigned, "cell")
     cos = F.expr(
         "ROUND(CAST(__dab AS DOUBLE) / (SQRT(CAST(__daa AS DOUBLE))"
         " * SQRT(CAST(__dbb AS DOUBLE))), 9)")

@@ -246,7 +246,7 @@ def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
     q_cells = assign(v.where(F.pmod("__vid", F.lit(query_mod)) == 0)
                      .select(F.col("__vid").alias("query_id"), "__v"),
                      ["query_id"], n_probe)
-    cand = (q_cells.join(c_cells, "cell")
+    cand = (F.broadcast(q_cells).join(c_cells, "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
 
@@ -533,7 +533,7 @@ def ivf_pq_topk_arrow(emb: DataFrame, k: int = 10, n_cells: int = 16,
                    v.where(F.pmod("__vid", F.lit(query_mod)) == 0),
                    cents, n_probe)
                .withColumnRenamed("__vid", "query_id"))
-    cand = (q_cells.join(c_cells, "cell")
+    cand = (F.broadcast(q_cells).join(c_cells, "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
 

@@ -264,8 +264,10 @@ def ann_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     else:
         qb = q.withColumn("bucket", base_bucket)
     cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    # queries x probes is the small side by construction — hint it so
+    # the corpus bucket frame is never the broadcast build (guide §3.1)
     scored = (
-        qb.join(cb, "bucket")
+        F.broadcast(qb).join(cb, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a pair can surface through several probe buckets — dedupe before
         # scoring so ranks stay unique
@@ -476,7 +478,7 @@ def ivf_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
                        as_double(F.col(vec_col)).alias("qv"))
     c_cells = assign(c, F.col("cv"), ["neighbor_id", "cv"], 1)
     q_cells = assign(q, F.col("qv"), ["query_id", "qv"], n_probe)
-    scored = (q_cells.join(c_cells, "cell")
+    scored = (F.broadcast(q_cells).join(c_cells, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .dropDuplicates(["query_id", "neighbor_id"])
               .withColumn("cosine",
@@ -538,7 +540,7 @@ def _ivf_cosine_topk_arrow(queries: DataFrame, corpus: DataFrame,
     q_cells = ivf_cells_arrow(q, cents, n_probe, id_col="query_id",
                               vec_col="qv", cell_ids=cell_ids,
                               emit_vec=True)
-    scored = (q_cells.join(c_cells, "cell")
+    scored = (F.broadcast(q_cells).join(c_cells, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .dropDuplicates(["query_id", "neighbor_id"])
               .withColumn("cosine",
