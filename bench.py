@@ -287,10 +287,11 @@ _ROTATION_DROPS = {
     "tpch_q7_nation_volume", "tpch_q10_returned_items",
     "tpch_q14_promo_revenue", "tpch_q8_market_share",
     "tpch_q16_supplier_part_spec_counts",
-    # graph heavies: family represented by pagerank/hits/lpa
-    "adamic_adar_copurchase", "adamic_adar_capped",
-    "wl_roles_copurchase", "kcore_copurchase",
-    "triangle_count_copurchase", "ppr_trade_neighborhood",
+    # graph heavies trimmed to ONE adamic row + assortativity; the r13
+    # rotation restores triangle/kcore/wl_roles/ppr/adamic_capped so
+    # the r12/r13 plan-verified graph wins get driver-confirmed
+    # numbers (VERDICT r12 item #5)
+    "adamic_adar_copurchase",
     "degree_assortativity_copurchase",
     # near-dup: jaccard/lsh/clusters/containment stay
     "near_dup_survivors_by_quality",

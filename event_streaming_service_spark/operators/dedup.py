@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.operators.hints import (
+    gated_broadcast_rows)
 from event_streaming_service_spark.operators.text import (
     fan_out,
     shingles_from_tokens,
@@ -375,9 +377,60 @@ def minhash_near_dups(docs: DataFrame, threshold: float,
     )
 
 
+def _cc_union_find(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact min-label connected components of a SMALL pinned pair
+    list in one executor-side pass: coalesce(1) + a path-compressing
+    union-find inside mapInPandas (no driver collect — guide §5 —
+    and no barrier rounds at all, guide §1.2). The caller gates on
+    the pair count; a single task over <=200k pairs is milliseconds.
+    Output matches the propagation loop row for row: (node,
+    component), component = smallest node id reachable."""
+    id_t = pairs.schema[a_col].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf[a_col], pdf[b_col]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        if not parent:
+            return
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        nodes = sorted(parent)
+        yield pd.DataFrame({
+            "node": nodes,
+            "component": [comp_min[find(n)] for n in nodes]})
+
+    return (pairs.coalesce(1)
+            .mapInPandas(run, f"node {id_t}, component {id_t}")
+            .localCheckpoint())
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
-                         max_rounds: int = 50) -> DataFrame:
+                         max_rounds: int = 50,
+                         stats_out: dict | None = None) -> DataFrame:
     """Connected components of the near-dup pair graph by min-label
     propagation: every node's label converges to the smallest node id
     reachable from it. Returns (node, component).
@@ -410,12 +463,24 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     per component = the component minimum, identical to the pure
     propagation fixpoint the recursive-CTE oracle computes.
 
-    Iterative-plan hygiene: every round ends in `localCheckpoint`,
-    truncating the lineage so round N's plan does not embed rounds
-    1..N-1 (unbounded plan growth is the classic iterative-Spark
-    failure); the early-exit check piggybacks on the checkpoint
-    materialization instead of a separate action. The driver loop only
-    carries COUNTS, never rows.
+    Iterative-plan hygiene: every round ends in a LAZY
+    `localCheckpoint` whose materialization is the round's single
+    action — the changed-count aggregate computes the checkpoint and
+    reads the exit test from it in ONE job (r13; the former
+    eager-checkpoint-then-count shape paid two fixed-overhead jobs
+    per barrier, and on a 1k-node graph the job count IS the cost —
+    the r12 scaling block measured semdedup_survivors FASTER on 8
+    cores than 32). The driver loop only carries COUNTS, never rows.
+
+    SMALL-GRAPH FAST PATH (r13, guide §1.2): LSH/semantic pair lists
+    are duplicate-bounded, and below
+    `spark.graft.cc.localMaxPairs` (default 200k) the whole fixpoint
+    collapses into ONE executor-side pass — a single-task
+    union-find over the pinned pair list (exact min-label
+    components, no driver collect, no barrier rounds at all). The
+    pinned pair count is known anyway (it gates the path), so the
+    decision costs one near-free cached count. Above the threshold
+    the loop below is the scale path.
     """
     # The symmetrization consumes `pairs` TWICE (one leg per
     # direction), and building the edge cache evaluates both legs in
@@ -425,6 +490,20 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     # checkpoint (r12: near_dup_clusters' cold path measured the
     # verify stage re-running inside the edge-cache build).
     pairs = pairs.select(F.col(a_col), F.col(b_col)).localCheckpoint()
+    n_pairs = pairs.count()
+    spark = pairs.sparkSession
+    try:
+        local_cap = int(spark.conf.get("spark.graft.cc.localMaxPairs",
+                                       "200000"))
+    except Exception:
+        local_cap = 200_000
+    if n_pairs <= local_cap:
+        labels = _cc_union_find(pairs, a_col, b_col)
+        if stats_out is not None:
+            # exact count would cost a job; consumers only gate
+            # broadcasts on it, so the 2-per-pair upper bound is fine
+            stats_out["n_nodes"] = 2 * n_pairs
+        return labels
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
@@ -435,6 +514,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     labels = (edges.groupBy(F.col("src").alias("node"))
               .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
               .localCheckpoint())
+    n_nodes = None
     for _ in range(max_rounds):
         # the previous round's label rides along as __old so the
         # changed-count never needs a join back
@@ -460,20 +540,37 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             .select("node", "__old",
                     F.least("__hop", F.coalesce("__jumped", "__hop"))
                     .alias("next_component"))
-            .localCheckpoint())
-        changed = stepped.filter(
-            F.col("next_component") != F.col("__old")).count()
+            # LAZY checkpoint: the aggregate below is the action that
+            # materializes it, so each barrier round is ONE job, not
+            # two (r13 — the r12 shape paid an eager-checkpoint job
+            # plus a count job per round)
+            .localCheckpoint(eager=False))
+        # one aggregate returns BOTH the changed count (the loop's
+        # exit test) and the node count — the latter is the free
+        # byproduct callers use to size-gate their broadcast of the
+        # returned labels (VERDICT r12 items #1/#3: component
+        # membership is duplicate-fraction-proportional, so the
+        # downstream F.broadcast hints must not be unconditional)
+        row = stepped.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_if(F.col("next_component")
+                       != F.col("__old")).alias("__c")).first()
+        n_nodes = int(row["__n"])
+        changed = int(row["__c"] or 0)
         labels = stepped.select(
             "node", F.col("next_component").alias("component"))
         if changed == 0:
             break
     edges.unpersist()
+    if stats_out is not None:
+        stats_out["n_nodes"] = n_nodes
     return labels
 
 
 def near_dup_clusters(docs: DataFrame, threshold: float,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3,
+                      stats_out: dict | None = None) -> DataFrame:
     """The dedup endgame: MinHash+LSH near-dup pairs -> connected
     components -> one canonical survivor per cluster. Output has one
     row per INPUT doc: (doc_id, cluster_id, cluster_size,
@@ -489,20 +586,32 @@ def near_dup_clusters(docs: DataFrame, threshold: float,
     once and never shuffled.
     """
     pairs = minhash_near_dups(docs, threshold, id_col, text_col, n)
-    comp = connected_components(pairs).cache()
-    # cluster sizes > 1 exist only inside the (tiny) component frame,
-    # so derive them there and broadcast — a count-over-window on the
-    # full corpus would shuffle every doc row just to label singletons 1
+    cc_stats: dict = {}
+    comp = connected_components(pairs, stats_out=cc_stats).cache()
+    if stats_out is not None:
+        stats_out.update(cc_stats)
+    n_members = cc_stats.get("n_nodes")
+    # cluster sizes > 1 exist only inside the component frame, so
+    # derive them there and broadcast — a count-over-window on the
+    # full corpus would shuffle every doc row just to label singletons
+    # 1. The broadcasts are ROW-COUNT-GATED on the component count the
+    # CC loop already measured (zero extra jobs): membership is
+    # duplicate-fraction-proportional, and on a crawl-like corpus with
+    # 20-40% near-dups an unconditional hint would broadcast a
+    # corpus-scale frame (VERDICT r12 item #3).
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("__cluster_size"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")),
-              "doc_id", "left")
+        .join(gated_broadcast_rows(
+            comp.withColumnRenamed("node", "doc_id"), n_members, 16),
+            "doc_id", "left")
         .withColumn("cluster_id",
                     F.coalesce("component", F.col("doc_id")))
-        .join(F.broadcast(sizes.withColumnRenamed("component", "cluster_id")),
-              "cluster_id", "left")
+        .join(gated_broadcast_rows(
+            sizes.withColumnRenamed("component", "cluster_id"),
+            n_members, 16),
+            "cluster_id", "left")
         .select("doc_id", "cluster_id",
                 F.coalesce("__cluster_size", F.lit(1).cast("bigint"))
                  .alias("cluster_size"),
@@ -805,7 +914,8 @@ def incremental_dedup(new_docs: DataFrame, index_docs: DataFrame,
 
 def cluster_survivors(clusters: DataFrame, quality: DataFrame,
                       quality_col: str,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      n_members: int | None = None) -> DataFrame:
     """Quality-aware survivorship over near-dup clusters: instead of
     near_dup_clusters' min-id canonical, keep the HIGHEST-quality
     member of each cluster (ties -> smallest id) — the policy real
@@ -833,8 +943,13 @@ def cluster_survivors(clusters: DataFrame, quality: DataFrame,
     multi = (clusters.filter(F.col("cluster_size") > 1)
              .select("doc_id", "cluster_id"))
     # deterministic argmax: max over (quality, -id) == highest
-    # quality, smallest id on ties
-    winners = (q.join(F.broadcast(multi), "doc_id")
+    # quality, smallest id on ties. `multi` has exactly one row per
+    # pair-hitting doc (duplicate-fraction-proportional), so its
+    # broadcast is gated on the caller-supplied member count (the CC
+    # loop's free byproduct — near_dup_clusters(stats_out=...));
+    # unknown count degrades to shuffle-hash (VERDICT r12 item #3)
+    winners = (q.join(gated_broadcast_rows(multi, n_members, 16),
+                      "doc_id")
                .groupBy("cluster_id")
                .agg(F.max(F.struct(F.col("__q"),
                                    (-F.col("doc_id")).alias("__ni")))
@@ -844,7 +959,8 @@ def cluster_survivors(clusters: DataFrame, quality: DataFrame,
                        (-F.col("__w.__ni")).alias("best_doc_id")))
     withq = clusters.join(q, "doc_id")
     return (withq
-            .join(F.broadcast(winners), "cluster_id", "left")
+            .join(gated_broadcast_rows(winners, n_members, 24),
+                  "cluster_id", "left")
             .select("doc_id", "cluster_id", "cluster_size",
                     F.col("__q").alias("quality"),
                     F.coalesce("best_quality", F.col("__q"))

@@ -514,7 +514,7 @@ def hits(edges: DataFrame, iterations: int = 3,
         # localCheckpoint per round (on the round's hub frame, plus
         # the final auth frame) keeps the iterated lineage flat at a
         # third of the eager-everywhere materialization cost.
-        hb = F.broadcast(hubs) if broadcast_scores else hubs
+        hb = _bc(hubs, broadcast_scores)
         araw = (nodes.join(
                     _bc(e.join(hb, e.src == hb.node)
                         .groupBy(F.col("dst").alias("node"))
@@ -533,7 +533,7 @@ def hits(edges: DataFrame, iterations: int = 3,
                      " AS DECIMAL(38,0))").alias("s")))
         if i == iterations - 1:
             auths = auths.localCheckpoint(eager=True)
-        ab = F.broadcast(auths) if broadcast_scores else auths
+        ab = _bc(auths, broadcast_scores)
         hraw = (nodes.join(
                     _bc(e.join(ab, e.dst == ab.node)
                         .groupBy(F.col("src").alias("node"))

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.operators.hints import (
+    gated_broadcast, plan_bytes)
 from event_streaming_service_spark.operators.pq import (
     _codebook_literal, _codes_expr, _dot, _l2, pq_codes_arrow,
     train_codebook)
@@ -251,13 +253,15 @@ def ivf_trained_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
                   .orderBy(F.col("__d"), F.col("cell"))))
               .filter(F.col("__rn") <= n_probe)
               .select("query_id", "__qqv", "cell"))
-    # broadcast the PROBED side explicitly: it is queries x n_probe —
-    # tiny by construction — while `assigned` is the corpus. Without
-    # the hint the planner broadcast the corpus side (the post-window
-    # probed estimate is opaque), which flips into an OOM at scale
-    # (r12 plan audit; guide §3.1 "use an explicit broadcast when you
-    # know a side is small").
-    cand = (F.broadcast(probed).join(assigned, "cell")
+    # Pin the PROBED side as the build side explicitly — without a
+    # hint the planner broadcast the CORPUS side (the post-window
+    # probed estimate is opaque; r12 plan audit, guide §3.1). probed
+    # is queries x n_probe = corpus/query_mod x n_probe WITH vectors —
+    # corpus-PROPORTIONAL, so the broadcast is size-gated on the base
+    # scan's stats (zero jobs) and degrades to SHUFFLE_HASH above the
+    # cap instead of OOMing the executors (VERDICT r12 item #1).
+    probed_est = plan_bytes(emb) * n_probe / query_mod
+    cand = (gated_broadcast(probed, probed_est).join(assigned, "cell")
             .filter(F.col("query_id") != F.col("__nid")))
     scored = cand.select(
         "query_id", F.col("__nid").alias("neighbor_id"),
@@ -386,7 +390,12 @@ def ivf_split_contamination(emb: DataFrame, split_expr,
                         "cosine_9dp",
                         (F.col("cosine_9dp") >= thr)
                         .alias("contaminated")))
-    cand = F.broadcast(probed).join(assigned, "cell")
+    # eval-anchor side: held-out fraction x n_probe with vectors —
+    # corpus-proportional (5-10% of a 100 TB corpus); same gate as
+    # ivf_trained_topk, with frac=1 (the split selectivity is opaque
+    # to Catalyst, so the conservative estimate is the full scan)
+    cand = gated_broadcast(
+        probed, plan_bytes(emb) * n_probe).join(assigned, "cell")
     cos = F.expr(
         "ROUND(CAST(__dab AS DOUBLE) / (SQRT(CAST(__daa AS DOUBLE))"
         " * SQRT(CAST(__dbb AS DOUBLE))), 9)")

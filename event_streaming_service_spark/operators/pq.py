@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.operators.hints import (
+    gated_broadcast, gated_broadcast_rows, plan_bytes)
 from event_streaming_service_spark.operators.quantize import quantize_codes
 
 
@@ -159,7 +161,12 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
                  .withColumnRenamed(id_col, "neighbor_id"))
         qdf = emb.sparkSession.createDataFrame(
             [(qid,) for qid in sorted(query_qvs)], "query_id bigint")
-        cand = (coded.crossJoin(F.broadcast(qdf))
+        # query-id fan-out frame: the exact row count is in hand from
+        # the collect above, so the broadcast is row-count-gated (a
+        # cross join has no shuffle-hash form — above the cap the
+        # planner's cartesian handles it)
+        cand = (coded.crossJoin(gated_broadcast_rows(
+                    qdf, len(query_qvs), 8, fallback="none"))
                 .where(F.col("query_id") != F.col("neighbor_id"))
                 .select("query_id", "neighbor_id", "codes"))
         scored = adc_scores_lut(cand, query_qvs, seeds, m_sub)
@@ -185,7 +192,11 @@ def pq_topk(emb: DataFrame, k: int = 10, m_sub: int = 8,
                            F.col("qv").alias("qqv")))
 
         adc = _adc_expr(cent, m_sub, d_sub)
-        scored = (coded.crossJoin(F.broadcast(queries))
+        # query slice with vectors = corpus/query_mod — gate on the
+        # base scan's stats (guide §3.1; VERDICT r12 item #1)
+        scored = (coded.crossJoin(gated_broadcast(
+                      queries, plan_bytes(emb) / query_mod,
+                      fallback="none"))
                   .where(F.col("query_id") != F.col("neighbor_id"))
                   .select("query_id", "neighbor_id",
                           adc.alias("adc_score")))
@@ -246,7 +257,12 @@ def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
     q_cells = assign(v.where(F.pmod("__vid", F.lit(query_mod)) == 0)
                      .select(F.col("__vid").alias("query_id"), "__v"),
                      ["query_id"], n_probe)
-    cand = (F.broadcast(q_cells).join(c_cells, "cell")
+    # probed query cells = corpus/query_mod x n_probe (narrow rows,
+    # but corpus-proportional): size-gate the hint, degrade to
+    # shuffle-hash above the cap (VERDICT r12 item #1)
+    cand = (gated_broadcast(q_cells,
+                            plan_bytes(emb) * n_probe / query_mod)
+            .join(c_cells, "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
 
@@ -267,7 +283,9 @@ def ivf_pq_topk(emb: DataFrame, k: int = 10, n_cells: int = 16,
                        F.col("qv").alias("qqv")))
     scored = (cand
               .join(coded, "neighbor_id")
-              .join(F.broadcast(queries), "query_id")
+              .join(gated_broadcast(queries,
+                                    plan_bytes(emb) / query_mod),
+                    "query_id")
               .select("query_id", "neighbor_id",
                       _adc_expr(cent, m_sub, d_sub).alias("adc_score")))
     w = Window.partitionBy("query_id").orderBy(
@@ -361,8 +379,17 @@ def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,
     # qdf feeds 2 jobs PER ROUND (Arrow assignment scan + the member
     # join's probe side) plus the seed collect — persist once so the
     # quantization upstream (parquet scan + int rounding) runs once,
-    # not 2 * lloyd_rounds + 1 times (VERDICT r7 item #6)
-    qdf = qdf.persist()
+    # not 2 * lloyd_rounds + 1 times (VERDICT r7 item #6). Manage the
+    # cache ONLY when the caller has not: the former unconditional
+    # persist/unpersist dropped the CALLER's pin on exit, so every
+    # post-training consumer (assignment pass, query slice) re-ran
+    # quantize_codes' corpus-wide dim_stats aggregate from scratch —
+    # up to 3 dim_stats scans per IVF query (VERDICT r12 residual /
+    # ADVICE r11; guide §2.4).
+    sl = qdf.storageLevel
+    managed = not (sl.useMemory or sl.useDisk or sl.useOffHeap)
+    if managed:
+        qdf = qdf.persist()
     try:
         rows = qdf.orderBy(id_col).limit(n_codes).collect()
         seeds = [list(map(int, r["qv"])) for r in rows]
@@ -402,7 +429,8 @@ def train_codebook(qdf: DataFrame, m_sub: int, n_codes: int,
             seeds = new_seeds
         return seeds
     finally:
-        qdf.unpersist()
+        if managed:
+            qdf.unpersist()
 
 
 def ivf_cells_arrow(v: DataFrame, cents: list[list[float]],
@@ -533,7 +561,10 @@ def ivf_pq_topk_arrow(emb: DataFrame, k: int = 10, n_cells: int = 16,
                    v.where(F.pmod("__vid", F.lit(query_mod)) == 0),
                    cents, n_probe)
                .withColumnRenamed("__vid", "query_id"))
-    cand = (F.broadcast(q_cells).join(c_cells, "cell")
+    # same corpus-proportional probed-cell gate as the JVM twin
+    cand = (gated_broadcast(q_cells,
+                            plan_bytes(emb) * n_probe / query_mod)
+            .join(c_cells, "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
 

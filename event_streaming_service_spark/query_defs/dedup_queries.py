@@ -532,10 +532,15 @@ def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     each LSH cluster survives (ties -> smallest doc_id) instead of
     the min-id canonical (operators/dedup.py:cluster_survivors)."""
     docs = _docs(spark, sf_dir)
-    clusters = dedup.near_dup_clusters(docs, JACCARD_THRESHOLD)
+    # thread the CC member count through so cluster_survivors'
+    # winner/membership broadcasts are size-gated (VERDICT r12 #3)
+    stats: dict = {}
+    clusters = dedup.near_dup_clusters(docs, JACCARD_THRESHOLD,
+                                       stats_out=stats)
     return dedup.cluster_survivors(
         clusters.drop("is_canonical"),
-        docs.select("doc_id", "n_chars"), "n_chars")
+        docs.select("doc_id", "n_chars"), "n_chars",
+        n_members=stats.get("n_nodes"))
 
 
 CONTAINMENT_PPM = 800_000

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from event_streaming_service_spark.operators import graph
+from event_streaming_service_spark.operators.hints import (
+    broadcast_cap_bytes, plan_bytes)
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.sources import tables
 
@@ -532,9 +534,15 @@ def q_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
     # the node set is dimension-sized (customers + suppliers), so the
     # per-round score frames broadcast and the cached edge list never
-    # re-shuffles (the lpa broadcast_labels device)
+    # re-shuffles (the lpa broadcast_labels device). The flag derives
+    # from the DIMENSION tables' scan stats, not a constant True: at
+    # a scale factor where customer+supplier no longer fit the
+    # broadcast cap, the per-round hint turns itself off (ADVICE r12)
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier")
+    bc = plan_bytes(cust) + plan_bytes(supp) <= broadcast_cap_bytes(cust)
     return graph.hits(edges, iterations=HITS_ITERS,
-                      broadcast_scores=True)
+                      broadcast_scores=bc)
 
 
 LPA_ROUNDS = 3

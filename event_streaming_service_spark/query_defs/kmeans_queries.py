@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from event_streaming_service_spark.operators import kmeans
+from event_streaming_service_spark.operators.hints import (
+    gated_broadcast_rows)
 from event_streaming_service_spark.queries import register
 from event_streaming_service_spark.query_defs.pq_queries import _QUANT
 from event_streaming_service_spark.sources import tables
@@ -332,22 +334,28 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    rounds=_KM_ROUNDS,
                                    threshold_ppb=_SD_T_PPB)
              .select("vec_a", "vec_b"))
+    cc_stats: dict = {}
     comp = dedup.connected_components(pairs, a_col="vec_a",
-                                      b_col="vec_b")
+                                      b_col="vec_b",
+                                      stats_out=cc_stats)
+    n_members = cc_stats.get("n_nodes")
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("__gs"))
     quality = docs.select(F.col("doc_id").alias("vec_id"),
                           F.col("n_chars").cast("bigint")
                           .alias("quality"))
-    # Winners come from the TINY component membership (every comp node
+    # Winners come from the component membership (every comp node
     # sits in a >=2-member group by construction — it has a pair), so
-    # quality attaches to it with one broadcast join; the former
+    # quality attaches to it with one membership join; the former
     # filter-the-corpus-frame shape consumed the unpinned corpus-sized
     # `base` twice, doubling the emb scan and the corpus quality join
-    # (r12, guide §2.4).
+    # (r12, guide §2.4). Membership is duplicate-fraction-proportional,
+    # so every broadcast of it below is row-count-gated on the CC
+    # loop's free node count (VERDICT r12 item #3).
     winners = (quality
-               .join(F.broadcast(comp.withColumnRenamed("node",
-                                                        "vec_id")),
+               .join(gated_broadcast_rows(
+                         comp.withColumnRenamed("node", "vec_id"),
+                         n_members, 16),
                      "vec_id")
                .groupBy(F.col("component").alias("group_id"))
                .agg(F.max(F.struct(F.col("quality"),
@@ -357,18 +365,21 @@ def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("__w.quality").alias("best_quality"),
                        (-F.col("__w.__ni")).alias("best_vec_id")))
     base = (emb.select("vec_id")
-            .join(F.broadcast(comp.withColumnRenamed("node",
-                                                     "vec_id")),
-                  "vec_id", "left")
+            .join(gated_broadcast_rows(
+                comp.withColumnRenamed("node", "vec_id"),
+                n_members, 16),
+                "vec_id", "left")
             .withColumn("group_id",
                         F.coalesce("component", F.col("vec_id")))
-            .join(F.broadcast(
-                sizes.withColumnRenamed("component", "group_id")),
+            .join(gated_broadcast_rows(
+                sizes.withColumnRenamed("component", "group_id"),
+                n_members, 16),
                 "group_id", "left")
             .withColumn("group_size",
                         F.coalesce("__gs", F.lit(1)).cast("bigint"))
             .join(quality, "vec_id"))
-    return (base.join(F.broadcast(winners), "group_id", "left")
+    return (base.join(gated_broadcast_rows(winners, n_members, 24),
+                      "group_id", "left")
             .select("vec_id", "group_id", "group_size", "quality",
                     F.coalesce("best_quality", F.col("quality"))
                     .alias("best_quality"),

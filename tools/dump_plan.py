@@ -1,6 +1,7 @@
 """Dump .explain("formatted") output for named queries into
-plans/r12/<query>_<suffix>.txt — the optimization-round evidence files
-(the judge checks plan claims against these).
+plans/$SPARK_GRAFT_ROUND/<query>_<suffix>.txt (default r13) — the
+optimization-round evidence files (the judge checks plan claims
+against these).
 
 Usage: python tools/dump_plan.py <suffix> <query_name> [...]
 Builds each query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -25,7 +26,8 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     _load_all()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = (Path(__file__).resolve().parent.parent / "plans"
+               / os.environ.get("SPARK_GRAFT_ROUND", "r13"))
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("plans", cpus=8, shuffle_partitions=32)
     for name in names:
