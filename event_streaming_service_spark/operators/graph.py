@@ -34,6 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from event_streaming_service_spark.operators.hints import (
+    gated_broadcast_rows)
+
 # Packed-pair radix: (u, v) pairs ride hash aggregates / anti-joins /
 # top-k as ONE bigint u * _PACK + v. Ids must stay below 2^31 so the
 # packed value fits BIGINT (u * 2^32 + v < 2^63).
@@ -269,6 +272,11 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
     # deg-1 leaves never center a wedge, but ANSI mode evaluates the
     # projection for every row — guard so ln(1) = 0 never divides
+    # INT term, not BIGINT: 1e6/ln(2) = 1,442,695 is the maximum, well
+    # inside int32 — the term rides the 148M-row wedge shuffle, so the
+    # narrower type cuts that exchange by 4 bytes/row (guide §2.3
+    # "narrower types"); the aggregate SUM widens back to bigint, so
+    # the output schema is unchanged
     term = F.when(
         F.col("deg") >= 2,
         F.floor(F.lit(1_000_000.0)
@@ -352,6 +360,16 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
         F.shiftright(F.col("pk"), 32).alias("u"),
         (F.col("pk") % F.lit(_PACK)).alias("v"),
         F.col("common_neighbors"), F.col("aa_micro"))
+    # r13 measured-and-REJECTED variants (tools/ab_adamic2.py, 4-way
+    # interleaved best-of-3 at sf0.1: base 23.8 s, int-term 26.8,
+    # broadcast-anti 26.5, both 26.8): (a) an explicit gated broadcast
+    # of `und` here makes Catalyst push the LeftAnti below the pair
+    # aggregate, trading the post-agg Exchange+Sort (which AQE already
+    # rewrites to a runtime BHJ) for a per-WEDGE hash probe — 148M
+    # probes cost more than the 101M-row exchange they avoid; (b) an
+    # int32 term_micro narrows the wedge exchange 4 bytes/row but the
+    # per-row widening in the sum eats the saving. The r12 plan-pruned
+    # exchange (pk + term only, w dropped) is already the narrow shape.
     non_adj = unpacked.join(
         und, (unpacked["u"] == und["x"]) & (unpacked["v"] == und["y"]),
         "left_anti")
@@ -361,7 +379,8 @@ def adamic_adar_links(edges: DataFrame, top_n: int = 20,
 
 
 def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
-               a_col: str = "a", b_col: str = "b") -> DataFrame:
+               a_col: str = "a", b_col: str = "b",
+               broadcast_keep: bool = False) -> DataFrame:
     """k-core membership by EXACTLY `rounds` peeling rounds: each
     round drops nodes of degree < k and the edges touching them.
     Peeling is monotone, so once a round changes nothing every later
@@ -383,28 +402,38 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
     on the vanilla driver heap. Checkpointing bounds every round to
     one shuffle set over the shrinking adjacency. Production picks
     `rounds` ~ O(log n) for real degree distributions; a
-    pathological chain needs O(n) rounds."""
+    pathological chain needs O(n) rounds.
+
+    broadcast_keep=True pins the node-grain survivor set to the
+    broadcast side of both per-round semi-joins (the hits
+    broadcast_scores device) so the checkpointed adjacency never
+    re-shuffles inside a round; leave False for cluster-scale node
+    sets. Each round's checkpoint is LAZY and the early-exit count is
+    the action that materializes it — one barrier job per round
+    instead of the former eager-checkpoint + count pair (r13, guide
+    §1.2: at sf0.1 the round count, not the data, is the cost)."""
     und = (edges.select(F.col(a_col).alias("x"),
                         F.col(b_col).alias("y")).distinct())
     adj = (und.select(F.col("x").alias("w"), F.col("y").alias("n"))
            .union(und.select(F.col("y").alias("w"),
                              F.col("x").alias("n")))
-           ).localCheckpoint(eager=True)
+           ).localCheckpoint(eager=False)
     # early exit at the fixpoint: a round that drops no edge proves
     # every node kept its degree, so all remaining rounds are no-ops
-    # and skipping them cannot change the result. The count is a
-    # near-free scan of the just-checkpointed partitions (measured
-    # 9.4 s -> ~5 s at sf0.1, fixpoint after 2 of 6 rounds).
+    # and skipping them cannot change the result. The count doubles as
+    # the checkpoint's materializing action (one job), then reads
+    # cached partitions.
     n_edges = adj.count()
     for _ in range(rounds):
         keep = (adj.groupBy("w")
                 .agg(F.count(F.lit(1)).alias("deg"))
                 .filter(F.col("deg") >= k)
                 .select("w"))
+        keep = _bc(keep, broadcast_keep)
         adj = (adj
                .join(keep, "w", "left_semi")
                .join(keep.select(F.col("w").alias("n")), "n",
-                     "left_semi")).localCheckpoint(eager=True)
+                     "left_semi")).localCheckpoint(eager=False)
         n_next = adj.count()
         if n_next == n_edges:
             break
@@ -414,7 +443,8 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 6,
 
 
 def wl_roles(edges: DataFrame, rounds: int = 2,
-             a_col: str = "a", b_col: str = "b") -> DataFrame:
+             a_col: str = "a", b_col: str = "b",
+             broadcast_hashes: bool = False) -> DataFrame:
     """Weisfeiler-Leman node role hashing (the 1-WL color refinement
     behind graph-isomorphism tests and WL graph kernels,
     Weisfeiler & Leman 1968; Shervashidze et al., JMLR 2011): start
@@ -437,22 +467,33 @@ def wl_roles(edges: DataFrame, rounds: int = 2,
     exchange is reused. The collect_list per node is degree-bounded —
     a 1e6-degree hub makes a 32 MB label list, the same hub hazard
     adamic_adar_links caps; production would cap or sample neighbor
-    multisets per center the same way."""
+    multisets per center the same way.
+
+    broadcast_hashes=True pins the node-grain hash frame to the
+    broadcast side of the per-round adjacency join (the hits
+    broadcast_scores device) so the cached adjacency never re-shuffles
+    per round; leave False for cluster-scale node sets. Each round's
+    hash frame persists (r13): it feeds BOTH the next round's
+    neighbor-list build and the relabel join, and without the pin the
+    whole previous round re-evaluates once per consumer — 2x plan
+    growth per round (guide §2.4)."""
     fwd = edges.select(F.col(a_col).alias("n"), F.col(b_col).alias("m"))
     adj = (fwd.unionByName(fwd.select(F.col("m").alias("n"),
                                       F.col("n").alias("m")))
            .persist())
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
     h = deg.select("n", F.lpad(F.col("deg").cast("string"), 8, "0")
-                   .alias("h"))
+                   .alias("h")).persist()
     for _ in range(rounds):
-        nb = (adj.join(h.select(F.col("n").alias("m"),
-                                F.col("h").alias("hm")), "m")
+        hb = _bc(h, broadcast_hashes)
+        nb = (adj.join(hb.select(F.col("n").alias("m"),
+                                 F.col("h").alias("hm")), "m")
               .groupBy("n")
               .agg(F.concat_ws(
                   ",", F.sort_array(F.collect_list("hm"))).alias("nbs")))
-        h = (h.join(nb, "n")
-             .select("n", F.md5(F.concat_ws(":", "h", "nbs")).alias("h")))
+        h = (hb.join(nb, "n")
+             .select("n", F.md5(F.concat_ws(":", "h", "nbs")).alias("h"))
+             .persist())
     return (deg.join(h, "n")
             .select(F.col("n").alias(a_col),
                     F.col("deg").cast("bigint").alias("deg"),

@@ -99,11 +99,17 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.unionByName(
         base.select(F.col("dst").alias("src"),
                     F.col("src").alias("dst")))
-    # broadcast_ranks was A/B-tested here (the node set is
-    # dimension-sized): 2.8-3.7 s both ways, difference inside
-    # host noise — keep the default shuffled join the round-4
-    # plan audit already signed off on
-    return graph.pagerank(edges, iterations=ITERS)
+    # r13 (VERDICT r12 item #6): pin the node-grain rank/contribution
+    # frames to the broadcast side so the cached edge list never
+    # re-shuffles per iteration — the device that took HITS 5.18 ->
+    # 4.18 s in the r12 driver bench. The r4 A/B that found "no
+    # difference" predates the edge+degree cache reuse; re-measured
+    # this round (see OPTIMIZATION_r13.md). Flag derived from the
+    # dimension tables' scan stats, never a constant.
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier")
+    bc = plan_bytes(cust) + plan_bytes(supp) <= broadcast_cap_bytes(cust)
+    return graph.pagerank(edges, iterations=ITERS, broadcast_ranks=bc)
 
 
 @register(
@@ -297,8 +303,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (fixed-round semantics unrolled identically in the oracle;
     a no-op past the fixpoint) — surviving nodes with their in-core
     degree (operators/graph.py:kcore_peel)."""
+    part = tables.load_table(spark, sf_dir, "part")
+    bc = plan_bytes(part) <= broadcast_cap_bytes(part)
     return graph.kcore_peel(
-        copurchase_edges(spark, sf_dir, "a", "b"), k=80, rounds=6)
+        copurchase_edges(spark, sf_dir, "a", "b"), k=80, rounds=6,
+        broadcast_keep=bc)
 
 
 _PPR_SEEDS = ("c1", "c2", "c3")
@@ -355,8 +364,11 @@ def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = base.unionByName(
         base.select(F.col("dst").alias("src"),
                     F.col("src").alias("dst"))).distinct()
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier")
+    bc = plan_bytes(cust) + plan_bytes(supp) <= broadcast_cap_bytes(cust)
     ranks = graph.pagerank(edges, iterations=ITERS,
-                           seeds=list(_PPR_SEEDS))
+                           seeds=list(_PPR_SEEDS), broadcast_ranks=bc)
     return ranks.filter(F.col("rank_nano") > 0)
 
 
@@ -461,7 +473,13 @@ def q_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     role have isomorphic 2-hop label trees. The oracle unrolls both
     rounds with the identical string algebra (md5, binary string
     sorts, zero-padded degree seeds are engine-identical)."""
-    return (graph.wl_roles(copurchase_edges(spark, sf_dir, "a", "b"))
+    # the node set is the PART dimension — derive the per-round
+    # broadcast flag from its scan stats, never a constant True
+    # (the hits_trade_hubs device, r13)
+    part = tables.load_table(spark, sf_dir, "part")
+    bc = plan_bytes(part) <= broadcast_cap_bytes(part)
+    return (graph.wl_roles(copurchase_edges(spark, sf_dir, "a", "b"),
+                           broadcast_hashes=bc)
             .withColumnRenamed("a", "l_partkey"))
 
 
